@@ -1,0 +1,114 @@
+"""A-19 keyword generation + A-20 summary generation.
+
+Keywords: meta ``keywords`` if present; else deterministic term
+extraction over ``content_text``: lowercase ``\\w+`` tokens, stopword
+filter (vendored list), unigram+bigram counts, top-10 ordered by
+(frequency desc, first-position asc). The reference used an NLP
+dependency for this (SURVEY.md A-19 [R]); nltk is unavailable, so this
+pure-Python equivalent is the frozen spec.
+
+Summary: meta/og description if ≥ 40 chars; else the first sentences of
+``content_text`` up to ~500 chars, cut on a sentence boundary (frozen
+regex splitter).
+"""
+
+from __future__ import annotations
+
+import re
+
+from readembedability_spark.extractor.stopwords import STOPWORDS
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+_SENTENCE_RE = re.compile(r"(?<=[.!?])\s+(?=[\"'“‘]?[A-Z0-9])")
+_MAX_KEYWORDS = 10
+_MIN_TOKEN_LEN = 3
+_SUMMARY_TARGET = 500
+_MIN_DESC_LEN = 40
+
+
+def keywords_from_meta(raw: str) -> list[str]:
+    out: list[str] = []
+    seen: set[str] = set()
+    for part in re.split(r"[,;]", raw):
+        kw = " ".join(part.split()).lower()
+        if kw and kw not in seen and len(kw) <= 50:
+            seen.add(kw)
+            out.append(kw)
+    return out[:_MAX_KEYWORDS]
+
+
+def keywords_from_text(text: str) -> list[str]:
+    tokens = [t.lower() for t in _TOKEN_RE.findall(text)]
+    content_idx = [
+        (i, t)
+        for i, t in enumerate(tokens)
+        if len(t) >= _MIN_TOKEN_LEN and t not in STOPWORDS and not t.isdigit()
+    ]
+    counts: dict[str, int] = {}
+    first_pos: dict[str, int] = {}
+    for i, t in content_idx:
+        counts[t] = counts.get(t, 0) + 1
+        first_pos.setdefault(t, i)
+    # bigrams over adjacent content tokens (adjacent in the original stream)
+    for (i1, t1), (i2, t2) in zip(content_idx, content_idx[1:]):
+        if i2 == i1 + 1:
+            bg = f"{t1} {t2}"
+            counts[bg] = counts.get(bg, 0) + 1
+            first_pos.setdefault(bg, i1)
+    # a bigram must repeat to count; unigrams need freq >= 2 on long texts
+    items = [
+        (term, n)
+        for term, n in counts.items()
+        if n >= 2 or (len(counts) < 12 and " " not in term)
+    ]
+    items.sort(key=lambda kv: (-kv[1], first_pos[kv[0]], kv[0]))
+    selected: list[str] = []
+    for term, n in items:
+        if len(selected) >= _MAX_KEYWORDS:
+            break
+        selected.append(term)
+    return selected
+
+
+def extract_keywords(meta_keywords: str | None, content_text: str) -> list[str]:
+    if meta_keywords and meta_keywords.strip():
+        kws = keywords_from_meta(meta_keywords)
+        if kws:
+            return kws
+    if content_text:
+        return keywords_from_text(content_text)
+    return []
+
+
+def split_sentences(text: str) -> list[str]:
+    return [s for s in _SENTENCE_RE.split(text) if s.strip()]
+
+
+def extract_summary(description: str | None, content_text: str) -> str | None:
+    if description and len(description) >= _MIN_DESC_LEN:
+        return description
+    if not content_text:
+        return description or None
+    # first substantial paragraph's sentences up to the target length
+    # (skip short leading blocks such as a repeated headline)
+    paras = content_text.split("\n\n")
+    first_para = next(
+        (p for p in paras if len(p) >= 60), paras[0]
+    ).replace("\n", " ")
+    sentences = split_sentences(first_para)
+    out: list[str] = []
+    total = 0
+    for s in sentences:
+        s = s.strip()
+        if not s:
+            continue
+        if total and total + len(s) + 1 > _SUMMARY_TARGET:
+            break
+        out.append(s)
+        total += len(s) + 1
+        if total >= _SUMMARY_TARGET:
+            break
+    summary = " ".join(out).strip()
+    if not summary:
+        summary = first_para[:_SUMMARY_TARGET].strip()
+    return summary or (description or None)

@@ -1,0 +1,154 @@
+"""A-9 title, A-12 canonical URL, A-13 OpenGraph, A-14 Twitter cards.
+
+One DOM pass collects all ``<meta>``/``<link>``/``<title>`` facts into a
+``PageMeta``; individual extractors read from it. First occurrence wins
+for every map (deterministic under duplicated metas).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlparse
+
+from readembedability_spark.extractor.dom import Element, find_first
+from readembedability_spark.extractor.sanitize import absolutize
+
+_TITLE_DELIMS = (" | ", " - ", " – ", " — ", " :: ", " » ")
+
+
+class PageMeta:
+    """All head-level facts from one DOM pass."""
+
+    __slots__ = ("names", "properties", "links", "title_tag", "h1")
+
+    def __init__(self) -> None:
+        self.names: dict[str, str] = {}  # <meta name=...>
+        self.properties: dict[str, str] = {}  # <meta property=...>
+        self.links: dict[str, str] = {}  # <link rel=...> href (first wins)
+        self.title_tag: str | None = None
+        self.h1: str | None = None
+
+    # convenience accessors ------------------------------------------------
+
+    def og(self, key: str) -> str | None:
+        return self.properties.get(f"og:{key}")
+
+    def twitter(self, key: str) -> str | None:
+        return self.names.get(f"twitter:{key}") or self.properties.get(
+            f"twitter:{key}"
+        )
+
+
+def collect_meta(root: Element) -> PageMeta:
+    pm = PageMeta()
+    for el in root.iter():
+        tag = el.tag
+        if tag == "meta":
+            content = el.attrs.get("content")
+            if content is None:
+                continue
+            name = el.attrs.get("name")
+            if name:
+                pm.names.setdefault(name.strip().lower(), content)
+            prop = el.attrs.get("property")
+            if prop:
+                pm.properties.setdefault(prop.strip().lower(), content)
+            http_equiv = el.attrs.get("http-equiv")
+            if http_equiv:
+                pm.names.setdefault(http_equiv.strip().lower(), content)
+        elif tag == "link":
+            rel = el.attrs.get("rel")
+            href = el.attrs.get("href")
+            if rel and href:
+                pm.links.setdefault(rel.strip().lower(), href)
+        elif tag == "title" and pm.title_tag is None:
+            pm.title_tag = el.text_content()
+        elif tag == "h1" and pm.h1 is None:
+            pm.h1 = el.text_content()
+    return pm
+
+
+def _clean_ws(s: str | None) -> str | None:
+    if s is None:
+        return None
+    out = " ".join(s.split())
+    return out or None
+
+
+def clean_title_tag(raw: str, url: str) -> str | None:
+    """Split ``<title>`` on site-name delimiters; keep the most
+    informative half (longest, with a penalty for halves that look like
+    the host name)."""
+    raw = " ".join(raw.split())
+    if not raw:
+        return None
+    host = (urlparse(url).hostname or "").lower()
+    host_stem = host.removeprefix("www.").split(".")[0] if host else ""
+    for delim in _TITLE_DELIMS:
+        if delim in raw:
+            parts = [p.strip() for p in raw.split(delim) if p.strip()]
+            if len(parts) >= 2:
+
+                def informativeness(p: str) -> tuple[int, int]:
+                    looks_site = int(
+                        bool(host_stem)
+                        and re.sub(r"[\s\-_]", "", p.lower()) == host_stem
+                    )
+                    return (-looks_site, len(p))
+
+                best = max(parts, key=informativeness)
+                return best
+    return raw
+
+
+def extract_title(pm: PageMeta, jsonld_headline: str | None, url: str):
+    """A-9 priority chain → (value, confidence) candidates list."""
+    out = []
+    og_t = _clean_ws(pm.og("title"))
+    if og_t:
+        out.append((og_t, 0.9))
+    tw_t = _clean_ws(pm.twitter("title"))
+    if tw_t:
+        out.append((tw_t, 0.85))
+    if jsonld_headline:
+        out.append((_clean_ws(jsonld_headline), 0.8))
+    if pm.title_tag:
+        cleaned = clean_title_tag(pm.title_tag, url)
+        if cleaned:
+            out.append((cleaned, 0.6))
+    h1 = _clean_ws(pm.h1)
+    if h1:
+        out.append((h1, 0.5))
+    return [(v, c) for v, c in out if v]
+
+
+def extract_canonical(pm: PageMeta, url: str) -> str:
+    """A-12: rel=canonical > og:url > input url, absolutized."""
+    cand = pm.links.get("canonical") or pm.og("url")
+    if cand:
+        absolute = absolutize(cand.strip(), url)
+        if absolute and absolute.startswith(("http://", "https://")):
+            return absolute
+    return url
+
+
+def extract_description(pm: PageMeta) -> str | None:
+    """Best meta description (og > twitter > meta name)."""
+    for cand in (
+        pm.og("description"),
+        pm.twitter("description"),
+        pm.names.get("description"),
+    ):
+        cleaned = _clean_ws(cand)
+        if cleaned:
+            return cleaned
+    return None
+
+
+def page_host(url: str) -> str:
+    return (urlparse(url).hostname or "").lower()
+
+
+def find_h1(root: Element) -> str | None:
+    el = find_first(root, "h1")
+    return _clean_ws(el.text_content()) if el is not None else None

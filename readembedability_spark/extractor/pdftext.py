@@ -1,0 +1,115 @@
+"""A-21: minimal pure-Python PDF text extraction.
+
+Scope (deliberately small — SURVEY.md §7 risk list): parse PDF object
+streams, inflate FlateDecode streams with stdlib zlib, walk ``BT..ET``
+text blocks and collect ``Tj`` / ``TJ`` / ``'`` show-text operators in
+stream order. Handles literal ``( )`` strings with escapes and hex
+``< >`` strings (latin-1 interpretation — no font/CMap decoding).
+Anything non-decodable yields empty text; callers quarantine the row
+with ``status='pdf'`` so PDF behavior can never destabilize HTML bytes.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.DOTALL)
+_FLATE_HINT = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# ( literal ) Tj|'   or   [ array ] TJ
+_SHOW_RE = re.compile(
+    rb"(?:\(((?:\\.|[^\\()])*)\)\s*(?:Tj|')|\[((?:\s*(?:\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|-?\d+(?:\.\d+)?))*)\]\s*TJ)",
+    re.DOTALL,
+)
+_LIT_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+_ESCAPES = {
+    b"n": b"\n",
+    b"r": b"\r",
+    b"t": b"\t",
+    b"b": b"\b",
+    b"f": b"\f",
+    b"(": b"(",
+    b")": b")",
+    b"\\": b"\\",
+}
+
+
+def _unescape_literal(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal \ddd
+                j = i + 1
+                digits = b""
+                while j < n and len(digits) < 3 and raw[j : j + 1].isdigit():
+                    digits += raw[j : j + 1]
+                    j += 1
+                try:
+                    out.append(int(digits, 8) & 0xFF)
+                except ValueError:
+                    pass
+                i = j
+                continue
+            i += 2
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _decode_stream(raw: bytes, header_window: bytes) -> bytes:
+    if _FLATE_HINT.search(header_window):
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return b""
+    return raw
+
+
+def _texts_from_content(content: bytes) -> list[str]:
+    lines: list[str] = []
+    for block in _BT_ET_RE.findall(content):
+        parts: list[bytes] = []
+        for m in _SHOW_RE.finditer(block):
+            lit, arr = m.group(1), m.group(2)
+            if lit is not None:
+                parts.append(_unescape_literal(lit))
+            elif arr is not None:
+                for lm in _LIT_RE.finditer(arr):
+                    parts.append(_unescape_literal(lm.group(1)))
+        line = b"".join(parts).decode("latin-1", errors="replace").strip()
+        if line:
+            lines.append(line)
+    return lines
+
+
+def extract_pdf_text(blob: bytes, max_bytes: int = 8 << 20) -> str:
+    """Best-effort layout-order text from a PDF blob; '' on failure."""
+    if not blob.startswith(b"%PDF-") or len(blob) > max_bytes:
+        return ""
+    lines: list[str] = []
+    try:
+        pos = 0
+        for m in _STREAM_RE.finditer(blob):
+            header_window = blob[max(0, m.start() - 512) : m.start()]
+            content = _decode_stream(m.group(1), header_window)
+            if content:
+                lines.extend(_texts_from_content(content))
+            pos = m.end()
+            if pos > max_bytes:
+                break
+        if not lines:
+            # uncompressed page content outside stream extraction fallback
+            lines = _texts_from_content(blob)
+    except Exception:
+        return ""
+    return "\n".join(lines).strip()

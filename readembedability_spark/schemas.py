@@ -1,0 +1,86 @@
+"""Declared schemas for the extraction pipeline (SURVEY.md §1.3).
+
+Fixed StructTypes (never inferred) — required for Arrow-vectorized UDFs and
+byte-stable outputs. Input shape is mandated by BASELINE.json:15
+(``input_hint``): ``(url:string, warc_ts:timestamp, html:binary,
+text:string, lang:string)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Input table of Common-Crawl-style pages (BASELINE.json:15).
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+#: Output table, one row per url; field set fixed by BASELINE.json:6
+#: (content_html, content_text, title, authors, published_at, image,
+#: keywords) plus summary/canonical/embed/status/lineage columns.
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("content_html", StringType(), True),
+        # byte-identity surface (BASELINE.json:15)
+        StructField("content_text", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("authors", ArrayType(StringType()), True),
+        StructField("published_at", TimestampType(), True),
+        StructField("image", StringType(), True),
+        StructField("keywords", ArrayType(StringType()), True),
+        StructField("summary", StringType(), True),
+        StructField("canonical_url", StringType(), True),
+        StructField("embed", BooleanType(), True),
+        StructField("confidences", MapType(StringType(), DoubleType()), True),
+        # ok|empty|non_html|parse_error|pdf|oversize
+        StructField("status", StringType(), False),
+        # skew salt retained for lineage (SURVEY.md O-8)
+        StructField("salt", IntegerType(), False),
+    ]
+)
+
+#: Per-partition metrics (BASELINE.json:6 "per-partition lineage + metrics").
+METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("partition_id", IntegerType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("n_ok", LongType(), False),
+        StructField("n_error", LongType(), False),
+        StructField("bytes_in", LongType(), False),
+        StructField("wall_ms", LongType(), False),
+    ]
+)
+
+#: Checkpoint / lineage table — unit of resume is a url-hash bucket.
+CHECKPOINT_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("url_bucket", IntegerType(), False),
+        StructField("status", StringType(), False),
+        StructField("n_rows", LongType(), False),
+    ]
+)
+
+#: Default number of resume buckets (pmod(xxhash64(url), N_BUCKETS)).
+N_BUCKETS = 256
