@@ -1,0 +1,114 @@
+"""O-20: the vectorized extract stage — Arrow batches through the
+pure-Python extractor chain inside ``mapInPandas``.
+
+This is the ONLY Python-side computation in the pipeline
+(BASELINE.json:15 "vectorized pandas/Arrow UDFs (no per-row Python)"):
+everything before/after is JVM-side. Each Arrow batch crosses the
+JVM→Python boundary once; inside, rows stream through
+``extractor.extract_page`` (the same function the pytest oracle calls —
+byte-identity by construction, SURVEY.md §5.2).
+
+Per-partition lineage/metrics (O-30): on partition completion the worker
+writes one small JSON file keyed by partition id (atomic tmp+rename, so
+task retries are idempotent) into ``metrics_dir``; the driver-side
+``load_metrics`` reads them back as METRICS_SCHEMA rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator
+from pathlib import Path
+
+import pandas as pd
+
+from readembedability_spark.schemas import EXTRACTED_SCHEMA
+
+_OUT_COLS = [f.name for f in EXTRACTED_SCHEMA.fields]
+
+
+def make_extract_batches(run_id: str, metrics_dir: str | None):
+    """Build the mapInPandas function (closure keeps it picklable)."""
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # import inside the worker so the zip-shipped package resolves
+        from pyspark import TaskContext
+
+        from readembedability_spark.extractor import extract_page
+
+        t0 = time.monotonic()
+        n_rows = n_ok = n_error = bytes_in = 0
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            tss = pdf["warc_ts"].tolist()
+            htmls = pdf["html"].tolist()
+            salts = pdf["salt"].tolist() if "salt" in pdf.columns else [0] * len(urls)
+            out_rows = []
+            for url, ts, html, salt in zip(urls, tss, htmls, salts):
+                if html is not None:
+                    bytes_in += len(html)
+                row = extract_page(url, html)
+                row["warc_ts"] = ts
+                row["salt"] = int(salt)
+                n_rows += 1
+                if row["status"] == "ok":
+                    n_ok += 1
+                elif row["status"] == "parse_error":
+                    n_error += 1
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=_OUT_COLS)
+        if metrics_dir:
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else -1
+            _write_metrics(
+                metrics_dir,
+                {
+                    "run_id": run_id,
+                    "partition_id": pid,
+                    "n_rows": n_rows,
+                    "n_ok": n_ok,
+                    "n_error": n_error,
+                    "bytes_in": bytes_in,
+                    "wall_ms": int((time.monotonic() - t0) * 1000),
+                },
+            )
+
+    return extract_batches
+
+
+def _write_metrics(metrics_dir: str, record: dict) -> None:
+    d = Path(metrics_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    final = d / f"part-{record['partition_id']:05d}.json"
+    tmp = d / f".part-{record['partition_id']:05d}.{os.getpid()}.tmp"
+    tmp.write_text(json.dumps(record), encoding="utf-8")
+    os.replace(tmp, final)  # atomic; last retry wins
+
+
+def extract_stage(pages_df, run_id: str = "run", metrics_dir: str | None = None):
+    """pages(+salt) DataFrame → extracted DataFrame (EXTRACTED_SCHEMA)."""
+    from pyspark.sql import functions as F
+
+    cols = set(pages_df.columns)
+    if "salt" not in cols:
+        from readembedability_spark.functions import salt_col
+
+        pages_df = pages_df.withColumn("salt", salt_col("url"))
+    # column-prune the Python boundary: only what the extractor needs
+    slim = pages_df.select("url", "warc_ts", "html", "salt")
+    return slim.mapInPandas(
+        make_extract_batches(run_id, metrics_dir), schema=EXTRACTED_SCHEMA
+    )
+
+
+def load_metrics(spark, metrics_dir: str):
+    """Per-partition metrics JSON files → DataFrame (METRICS_SCHEMA)."""
+    from readembedability_spark.schemas import METRICS_SCHEMA
+
+    files = sorted(Path(metrics_dir).glob("part-*.json"))
+    rows = [json.loads(p.read_text(encoding="utf-8")) for p in files]
+    return spark.createDataFrame(rows, schema=METRICS_SCHEMA) if rows else (
+        spark.createDataFrame([], schema=METRICS_SCHEMA)
+    )
