@@ -1,0 +1,565 @@
+"""Driver-harness query registry (SURVEY.md §2.B → __spark_entry__).
+
+Each entry pairs a Spark DataFrame callable ``(spark, sf_dir) -> DF``
+with its ANSI-SQL DuckDB oracle over the same parquet tables. Column
+names/aliases are IDENTICAL on both sides (the driver's compare sorts
+columns by name and value-hashes). Doubles are rounded in-query on both
+sides so cross-engine float formatting can't flip the hash.
+
+Queries marked ``sql=None`` are non-SQL-expressible (the extraction
+mapInPandas stage itself) → driver records rows-only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def q(name: str, sql: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(spark=fn, sql=sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# O-1/O-6: scan + pushed filters / projection
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_scan_documents",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE n_chars > 300 AND lang = 'en'
+    """,
+)
+def q_scan_documents(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("n_chars") > 300) & (F.col("lang") == "en"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@q(
+    "q_filter_lang",
+    """
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents WHERE lang IN ('en','de','fr') GROUP BY lang
+    """,
+)
+def q_filter_lang(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "de", "fr"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-5: column derivations (host parse on synthesized urls)
+# ---------------------------------------------------------------------------
+
+_URL_EXPR_SQL = "'https://host' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com/orders/' || CAST(o_orderkey AS VARCHAR)"
+
+
+@q(
+    "q_project_host",
+    f"""
+    WITH urls AS (SELECT {_URL_EXPR_SQL} AS url FROM orders)
+    SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           COUNT(*) AS n
+    FROM urls GROUP BY host
+    """,
+)
+def q_project_host(spark, sf_dir):
+    urls = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example.com/orders/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url")
+    )
+    return urls.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+    ).groupBy("host").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# O-7: dedup via window (latest event per user)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_dedup_url",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q_dedup_url(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-12: shuffle equi-joins; O-9: broadcast join
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_join_orders_lineitem",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_orders_lineitem(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "q_join_broadcast",
+    """
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-13: range/theta join (events into nation-derived time windows)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_join_range",
+    """
+    WITH win AS (
+      SELECT n_nationkey AS win_id,
+             TIMESTAMP '2024-01-01' + INTERVAL (n_nationkey) DAY AS lo,
+             TIMESTAMP '2024-01-01' + INTERVAL (n_nationkey + 1) DAY AS hi
+      FROM nation)
+    SELECT win_id, COUNT(*) AS n_events
+    FROM events JOIN win ON ts >= lo AND ts < hi
+    GROUP BY win_id
+    """,
+)
+def q_join_range(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    win = nation.select(
+        F.col("n_nationkey").alias("win_id"),
+        F.expr(
+            "timestamp'2024-01-01' + make_interval(0,0,0,n_nationkey)"
+        ).alias("lo"),
+        F.expr(
+            "timestamp'2024-01-01' + make_interval(0,0,0,n_nationkey+1)"
+        ).alias("hi"),
+    )
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.join(
+            F.broadcast(win),
+            (events.ts >= win.lo) & (events.ts < win.hi),
+        )
+        .groupBy("win_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-14/O-15: hash aggregation, exact distinct
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_agg_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_events(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+
+
+@q(
+    "q_count_distinct",
+    """
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(*) AS n_events
+    FROM events
+    """,
+)
+def q_count_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-16: rollup / grouping sets
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_rollup_status",
+    """
+    SELECT COALESCE(lang, '(all)') AS lang_g,
+           COALESCE(source, '(all)') AS source_g,
+           COUNT(*) AS n
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q_rollup_status(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .rollup("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang_g"),
+            F.coalesce("source", F.lit("(all)")).alias("source_g"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-17: window ranking + running frames
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_window_topk",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) WHERE rn <= 3
+    """,
+)
+def q_window_topk(spark, sf_dir):
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@q(
+    "q_window_running",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_value
+    FROM events WHERE user_id < 10
+    """,
+)
+def q_window_running(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-18: top-k sort
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_topk_orders",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-19: set operations
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_union_runs",
+    """
+    SELECT doc_id, lang FROM documents WHERE lang = 'en'
+    UNION ALL
+    SELECT doc_id, lang FROM documents WHERE n_chars > 400
+    """,
+)
+def q_union_runs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    b = docs.filter(F.col("n_chars") > 400).select("doc_id", "lang")
+    return a.unionByName(b)
+
+
+@q(
+    "q_except_delta",
+    """
+    SELECT doc_id FROM documents
+    EXCEPT ALL
+    SELECT doc_id FROM documents WHERE lang = 'en'
+    """,
+)
+def q_except_delta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id").exceptAll(
+        docs.filter(F.col("lang") == "en").select("doc_id")
+    )
+
+
+@q(
+    "q_intersect",
+    """
+    SELECT doc_id FROM documents WHERE n_chars > 200
+    INTERSECT
+    SELECT doc_id FROM documents WHERE lang IN ('en','de')
+    """,
+)
+def q_intersect(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("n_chars") > 200)
+        .select("doc_id")
+        .intersect(docs.filter(F.col("lang").isin("en", "de")).select("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-23: explode (UDTF-like)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_explode_terms",
+    """
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE length(term) >= 4
+    GROUP BY term HAVING COUNT(*) >= 50
+    """,
+)
+def q_explode_terms(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") >= 4)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-25/O-27: date + json scalar functions
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_date_trunc",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY day
+    """,
+)
+def q_date_trunc(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@q(
+    "q_json_props",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.get_json_object("props", "$.k").cast("bigint")
+            ).alias("k_sum"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-10/O-11: anti/semi joins (resume pattern on harness tables)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_resume_anti",
+    """
+    SELECT user_id, COUNT(*) AS n_pending
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM nation WHERE n_nationkey = e.user_id % 25
+        AND n_regionkey = 0)
+    GROUP BY user_id
+    """,
+)
+def q_resume_anti(spark, sf_dir):
+    events = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 25)
+    )
+    done = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("bucket"))
+    )
+    return (
+        events.join(F.broadcast(done), on="bucket", how="left_anti")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pending"))
+    )
+
+
+@q(
+    "q_resume_semi",
+    """
+    SELECT user_id, COUNT(*) AS n_done
+    FROM events e
+    WHERE EXISTS (
+      SELECT 1 FROM nation WHERE n_nationkey = e.user_id % 25
+        AND n_regionkey = 0)
+    GROUP BY user_id
+    """,
+)
+def q_resume_semi(spark, sf_dir):
+    events = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 25)
+    )
+    done = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("bucket"))
+    )
+    return (
+        events.join(F.broadcast(done), on="bucket", how="left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_done"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-21: scalar pandas UDF parity (host parse via Arrow batches)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_udf_host",
+    f"""
+    WITH urls AS (SELECT {_URL_EXPR_SQL} AS url FROM orders)
+    SELECT regexp_extract(url, '^https?://([^/:]+)', 1) AS host,
+           COUNT(*) AS n
+    FROM urls GROUP BY host
+    """,
+)
+def q_udf_host(spark, sf_dir):
+    from readembedability_spark.functions.pandas_udfs import host_of
+
+    urls = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example.com/orders/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url")
+    )
+    return urls.select(host_of("url").alias("host")).groupBy("host").agg(
+        F.count("*").alias("n")
+    )
