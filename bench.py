@@ -1,0 +1,98 @@
+"""Per-round benchmark (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: wall seconds over the query set, plus an extraction
+throughput figure (pages/sec through the full salted mapInPandas
+pipeline over pages synthesized from the documents table).
+
+The two-parallelism scaling protocol (BASELINE.md) lives in
+bench/scaling.py — it needs two SparkSessions and a bigger corpus, so
+it runs out-of-band and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import readembedability_spark.textops  # noqa: E402,F401
+from readembedability_spark.flagship import flagship_extract  # noqa: E402
+from readembedability_spark.queries import REGISTRY  # noqa: E402
+
+HEADLINE = [
+    "q_join_orders_lineitem",
+    "q_dedup_url",
+    "q_window_running",
+    "q_agg_events",
+    "q_explode_terms",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_ann_cosine",
+    "q_ann_lsh",
+    "q_langid",
+    "q_quality_score",
+    "q_token_count",
+    "q_dedup_exact",
+    "q_multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("readembedability-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # extraction throughput: full pipeline, count() forces materialization
+    t0 = time.monotonic()
+    n_pages = flagship_extract(spark, sf_dir).count()
+    t_extract = time.monotonic() - t0
+    timings["q_extract_flagship"] = round(t_extract, 3)
+
+    for name in HEADLINE:
+        qd = REGISTRY[name]
+        t0 = time.monotonic()
+        qd.spark(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pages_per_sec": round(n_pages / t_extract, 1) if t_extract else None,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

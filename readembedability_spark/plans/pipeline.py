@@ -64,19 +64,34 @@ def _metrics_dir(cfg: RunConfig) -> str:
 
 def run_extract(spark: SparkSession, cfg: RunConfig) -> dict:
     """Execute the plan; returns summary counts. Idempotent under resume:
-    a second invocation with the same run_id re-processes nothing."""
+    a second invocation with the same run_id re-processes nothing.
+
+    Write layout: flat parquet, one file per task — salt/url_bucket stay
+    as COLUMNS (cheap row-level pruning on read). Directory-partitioning
+    by salt is an Iceberg-only concern (catalog.py): with a local
+    FileOutputCommitter it would fan every task into num_salts tiny
+    files, which measurably serializes the job on file IO.
+    """
     extracted = build_extract_df(spark, cfg)
     out_path = str(Path(cfg.out_dir) / "extracted")
-    extracted.write.mode("append").partitionBy("salt").parquet(out_path)
-    # checkpoint AFTER the output commit (crash before this line → re-run)
-    committed = spark.read.parquet(out_path)
+    extracted.write.mode("append").parquet(out_path)
+    # checkpoint AFTER the output commit (crash before this line → re-run).
+    # The re-scan reads only the url column (column-pruned, tiny).
     if cfg.resume:
         mark_buckets_done(
-            spark.read.parquet(out_path), _ckpt_dir(cfg), cfg.run_id
+            spark.read.parquet(out_path).select("url"), _ckpt_dir(cfg), cfg.run_id
         )
-    n = committed.count()
     metrics = load_metrics(spark, _metrics_dir(cfg))
     metrics_path = str(Path(cfg.out_dir) / "metrics")
-    if metrics.count() > 0:
-        metrics.write.mode("append").parquet(metrics_path)
-    return {"rows_out": n, "out_path": out_path}
+    metrics.write.mode("append").parquet(metrics_path)
+    processed = metrics.groupBy().sum("n_rows").collect()
+    n_processed = (
+        processed[0][0] if processed and processed[0][0] is not None else 0
+    )
+    # cumulative output count is metadata-only (parquet footer row counts)
+    n = spark.read.parquet(out_path).count()
+    return {
+        "rows_out": n,
+        "rows_processed": n_processed,
+        "out_path": out_path,
+    }

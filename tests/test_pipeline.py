@@ -105,7 +105,7 @@ def test_partial_run_then_resume_completes(spark, corpus):
         part = dd(pages.filter(F.col("url_bucket") < 128))
         extracted_part = extract_stage(salt_repartition(part, 4))
         out_path = str(Path(out) / "extracted")
-        extracted_part.write.mode("append").partitionBy("salt").parquet(out_path)
+        extracted_part.write.mode("append").parquet(out_path)
         mark_buckets_done(
             spark.read.parquet(out_path), str(Path(out) / "_checkpoint"), "pp"
         )

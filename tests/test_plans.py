@@ -1,0 +1,91 @@
+"""Physical-plan assertions (SURVEY.md §4): pushdown, pruning,
+broadcast strategy, single Python boundary. These are the 100TB-scale
+guarantees — a scan that reads all columns or a join that shuffles a
+25-row dim would be wrong at 1000 executors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from readembedability_spark.operators.extract import extract_stage
+from readembedability_spark.operators.resume import resume_filter, with_bucket
+from readembedability_spark.sources.pages import prefilter, read_pages
+from readembedability_spark.sources.synth import generate_pages
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("plans")
+    return str(generate_pages(d / "pages.parquet", 100))
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_prefilter_pushed_to_scan(spark, pages_path):
+    df = prefilter(read_pages(spark, pages_path))
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(html)" in plan
+
+
+def test_column_pruning_excludes_text(spark, pages_path):
+    """The extract stage must not read the (unused) text column."""
+    df = extract_stage(prefilter(read_pages(spark, pages_path)))
+    plan = _plan(df)
+    scan_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert scan_schema, plan
+    assert "text" not in scan_schema[0]
+    assert "html" in scan_schema[0]
+
+
+def test_resume_antijoin_is_broadcast(spark, pages_path):
+    done = spark.createDataFrame([(1,)], "url_bucket int")
+    df = resume_filter(with_bucket(read_pages(spark, pages_path)), done)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_single_python_boundary(spark, pages_path):
+    """Exactly one MapInPandas / ArrowEval node in the whole pipeline."""
+    from readembedability_spark.operators.dedup import dedup_latest
+    from readembedability_spark.operators.salt import salt_repartition
+
+    pages = salt_repartition(
+        dedup_latest(prefilter(read_pages(spark, pages_path))), 4
+    )
+    import re
+
+    df = extract_stage(pages)
+    plan = _plan(df)
+    # exactly one MapInPandas node in the detail section
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_broadcast_join_in_providers_pattern(spark):
+    """O-9: a small static dim joined to a big fact must broadcast."""
+    from readembedability_spark.extractor.oembed import OEMBED_PROVIDERS
+
+    providers = spark.createDataFrame(
+        [(h, n) for h, n, _ in OEMBED_PROVIDERS], "host string, provider string"
+    )
+    big = spark.range(10000).select(
+        F.concat(F.lit("host"), F.col("id")).alias("host")
+    )
+    joined = big.join(F.broadcast(providers), "host", "left")
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_whole_stage_codegen_on_relational_path(spark, pages_path):
+    df = prefilter(read_pages(spark, pages_path)).select(
+        F.length("html").alias("n")
+    )
+    assert "codegen id" in _plan(df)  # scan/filter/project fused
