@@ -214,6 +214,25 @@ def parse_html(text: str) -> Element:
     return builder.root
 
 
+def free_tree(root: Element) -> None:
+    """Break parent/child reference cycles so the whole tree dies by
+    refcount, without cyclic-GC involvement.
+
+    Element.parent makes every tree a cycle; at mapInPandas throughput
+    (~500k DOM nodes per Arrow batch) leaving those to the cyclic
+    collector forces repeated full-heap gen2 scans in every worker —
+    measured as multi-second jitter per partition. Called by
+    extract_page after each page.
+    """
+    stack = [root]
+    while stack:
+        el = stack.pop()
+        children = el.children
+        el.parent = None
+        el.children = []
+        stack.extend(c for c in children if isinstance(c, Element))
+
+
 def find_first(root: Element, *tags: str) -> Element | None:
     wanted = frozenset(tags)
     for el in root.iter():

@@ -17,7 +17,7 @@ from readembedability_spark.extractor import decode
 from readembedability_spark.extractor.authors import extract_authors
 from readembedability_spark.extractor.cleanup import clean
 from readembedability_spark.extractor.dates import extract_published
-from readembedability_spark.extractor.dom import parse_html
+from readembedability_spark.extractor.dom import free_tree, parse_html
 from readembedability_spark.extractor.images import extract_image
 from readembedability_spark.extractor.jsonld import parse_jsonld
 from readembedability_spark.extractor.keywords import extract_keywords, extract_summary
@@ -85,6 +85,13 @@ def extract_page(url: str, html: bytes | None) -> dict[str, Any]:
 def _extract_html(url: str, html: bytes) -> dict[str, Any]:
     text = decode.decode_html(html)  # A-2
     root = parse_html(text)  # A-3
+    try:
+        return _extract_from_dom(url, root)
+    finally:
+        free_tree(root)  # break parent cycles → no cyclic-GC pressure
+
+
+def _extract_from_dom(url: str, root) -> dict[str, Any]:
 
     # head-level facts on the RAW dom (cleanup would strip meta/link)
     pm = collect_meta(root)

@@ -34,9 +34,17 @@ def make_extract_batches(run_id: str, metrics_dir: str | None):
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # import inside the worker so the zip-shipped package resolves
+        import gc
+
         from pyspark import TaskContext
 
         from readembedability_spark.extractor import extract_page
+
+        # long-lived worker hygiene: the extractor breaks its own DOM
+        # cycles (dom.free_tree), so survivors of the first collection
+        # are module state — freeze them out of future gen2 scans.
+        gc.collect()
+        gc.freeze()
 
         t0 = time.monotonic()
         n_rows = n_ok = n_error = bytes_in = 0
@@ -45,7 +53,7 @@ def make_extract_batches(run_id: str, metrics_dir: str | None):
             tss = pdf["warc_ts"].tolist()
             htmls = pdf["html"].tolist()
             salts = pdf["salt"].tolist() if "salt" in pdf.columns else [0] * len(urls)
-            out_rows = []
+            cols: dict[str, list] = {c: [] for c in _OUT_COLS}
             for url, ts, html, salt in zip(urls, tss, htmls, salts):
                 if html is not None:
                     bytes_in += len(html)
@@ -57,8 +65,9 @@ def make_extract_batches(run_id: str, metrics_dir: str | None):
                     n_ok += 1
                 elif row["status"] == "parse_error":
                     n_error += 1
-                out_rows.append(row)
-            yield pd.DataFrame(out_rows, columns=_OUT_COLS)
+                for c in _OUT_COLS:
+                    cols[c].append(row[c])
+            yield pd.DataFrame(cols, columns=_OUT_COLS)
         if metrics_dir:
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else -1

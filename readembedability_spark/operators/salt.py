@@ -1,13 +1,18 @@
 """O-8: explicit salted repartition by url-hash (BASELINE.json:6
 "explicit salting/repartitioning by url-hash to kill host-level skew").
 
-Pages from one hot host (Zipf web reality) must not land in one task.
-``salt = pmod(xxhash64(url), num_salts)`` is uniform regardless of host,
-so ``repartition(parallelism, salt, url)`` spreads any host evenly; the
-salt is retained in the output for lineage (EXTRACTED_SCHEMA.salt).
+Pages from one hot host (Zipf web reality) must not land in one task:
+repartitioning on the url HASH is uniform regardless of host, so any
+hot host spreads evenly across all partitions. The ``salt`` column
+(``pmod(xxhash64(url), num_salts)``) is computed after the exchange and
+retained in the output for lineage + Iceberg partition layout.
 
-Scale note: repartitioning on (salt, url) rather than salt alone keeps
-the hash domain wide when parallelism ≫ num_salts.
+Scale-critical ordering: this is THE heavy exchange of the pipeline
+(the html payload moves once). Because the later dedup window also
+clusters by url, hashpartitioning(url) satisfies its distribution
+requirement and Catalyst inserts NO second exchange — the 100 TB
+payload is shuffled exactly once end-to-end (verified by
+tests/test_plans.py::test_single_heavy_exchange).
 """
 
 from __future__ import annotations
@@ -20,5 +25,6 @@ from readembedability_spark.functions import salt_col
 def salt_repartition(
     pages: DataFrame, parallelism: int, num_salts: int = 64
 ) -> DataFrame:
-    out = pages.withColumn("salt", salt_col("url", num_salts))
-    return out.repartition(parallelism, "salt", "url")
+    return pages.repartition(parallelism, "url").withColumn(
+        "salt", salt_col("url", num_salts)
+    )

@@ -48,9 +48,11 @@ def build_extract_df(spark: SparkSession, cfg: RunConfig) -> DataFrame:
     if cfg.resume:
         done = load_done_buckets(spark, _ckpt_dir(cfg), cfg.run_id)
         pages = resume_filter(pages, done)
+    # salted url-hash repartition FIRST: the dedup window clusters by url
+    # too, so the heavy html payload crosses exactly one exchange.
+    pages = salt_repartition(pages, cfg.parallelism, cfg.num_salts)
     if cfg.dedup:
         pages = dedup_latest(pages)
-    pages = salt_repartition(pages, cfg.parallelism, cfg.num_salts)
     return extract_stage(pages, run_id=cfg.run_id, metrics_dir=_metrics_dir(cfg))
 
 

@@ -1,0 +1,85 @@
+"""Streaming ingest of a pages table: file-source readStream →
+watermarked url dedup → the same Arrow extract stage → parquet sink,
+plus a tumbling-window metrics stream.
+
+Design (maps 1:1 onto the batch plan, SURVEY.md §3.2):
+
+- source: ``readStream.schema(PAGES_SCHEMA).parquet(dir)`` — each new
+  file dropped into the directory is a micro-batch (on a cluster this
+  would be a WARC-landing bucket or a Kafka topic of crawl records);
+- ``withWatermark('warc_ts', …)`` + ``dropDuplicatesWithinWatermark``
+  on url — bounded-state streaming equivalent of the batch O-7 dedup;
+- the identical ``extract_stage`` mapInPandas runs per micro-batch
+  (mapInPandas composes with streaming since it is stateless);
+- metrics: tumbling ``F.window(warc_ts, …)`` counts by status.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readembedability_spark.operators.extract import extract_stage
+from readembedability_spark.schemas import PAGES_SCHEMA
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_extract(
+    pages_stream: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked dedup → extract; returns the streaming extracted DF."""
+    deduped = pages_stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])
+    return extract_stage(deduped)
+
+
+def streaming_metrics(
+    pages_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window ingest metrics (rows + bytes per window)."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes_in"),
+        )
+        .select("win.start", "win.end", "n_rows", "bytes_in")
+    )
+
+
+def start_streaming_run(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Wire source → extract → parquet sink with exactly-once checkpointing.
+
+    ``trigger_once`` processes all available input then stops (the batch-
+    equivalent mode used in tests and backfills).
+    """
+    stream = streaming_extract(read_pages_stream(spark, in_dir))
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

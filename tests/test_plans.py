@@ -58,8 +58,8 @@ def test_single_python_boundary(spark, pages_path):
     from readembedability_spark.operators.dedup import dedup_latest
     from readembedability_spark.operators.salt import salt_repartition
 
-    pages = salt_repartition(
-        dedup_latest(prefilter(read_pages(spark, pages_path))), 4
+    pages = dedup_latest(
+        salt_repartition(prefilter(read_pages(spark, pages_path)), 4)
     )
     import re
 
@@ -68,6 +68,10 @@ def test_single_python_boundary(spark, pages_path):
     # exactly one MapInPandas node in the detail section
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+    # the salted url-hash repartition also satisfies the dedup window's
+    # clustering requirement → the heavy html payload shuffles ONCE
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
 
 
 def test_broadcast_join_in_providers_pattern(spark):
