@@ -563,3 +563,142 @@ def q_udf_host(spark, sf_dir):
     return urls.select(host_of("url").alias("host")).groupBy("host").agg(
         F.count("*").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q1-style wide aggregation (pricing summary over lineitem)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-16 cube; O-17 lag/lead analytic
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_cube_events",
+    """
+    SELECT COALESCE(event_type, '(all)') AS type_g,
+           COALESCE(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR),
+                    '(all)') AS day_g,
+           COUNT(*) AS n
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-04'
+    GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
+    """,
+)
+def q_cube_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04").cast("timestamp")
+    )
+    return (
+        ev.cube(
+            F.col("event_type"), F.to_date("ts").alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("type_g"),
+            F.coalesce(F.col("day").cast("string"), F.lit("(all)")).alias("day_g"),
+            "n",
+        )
+    )
+
+
+@q(
+    "q_window_lag",
+    """
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value, 1, 0.0) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+    FROM events WHERE user_id < 5
+    """,
+)
+def q_window_lag(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.col("value") - F.lag("value", 1, 0.0).over(w), 4
+            ).alias("delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-22 grouped-map UDAF (applyInPandas); O-15 approx distinct (rows-only)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_grouped_pandas_stats",
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+           ROUND(MAX(value) - MIN(value), 4) AS value_range
+    FROM events GROUP BY event_type
+    """,
+)
+def q_grouped_pandas_stats(spark, sf_dir):
+    """Grouped-map UDAF via applyInPandas (O-22): per-group stats
+    computed in pandas, oracle-checked against plain SQL aggregates."""
+    import pandas as pd
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "total": [round(float(v.sum()), 2)],
+                "value_range": [round(float(v.max() - v.min()), 4)],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .applyInPandas(
+            stats, schema="event_type string, n long, total double, value_range double"
+        )
+    )
+
+
+@q("q_approx_distinct", None)
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ approximate distinct (O-15) — algorithm-specific estimates
+    differ across engines by design → rows-only driver check."""
+    return _t(spark, sf_dir, "events").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+    )

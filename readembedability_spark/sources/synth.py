@@ -111,12 +111,43 @@ def generate_pages(
     out_path: str | Path,
     n_pages: int,
     seed: int = 42,
-    chunk_rows: int = 5000,
+    chunk_rows: int = 4096,
+    rows_per_file: int = 8192,
 ) -> Path:
-    """Write a deterministic pages parquet at ``out_path``; returns path."""
+    """Write a deterministic pages parquet at ``out_path``.
+
+    Large corpora are written as a DIRECTORY of part files so Spark's
+    scan parallelizes (a single monolithic file splits into only
+    size/maxPartitionBytes tasks); small ones stay a single file.
+    """
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    writer = pq.ParquetWriter(out_path, _ARROW_SCHEMA, compression="zstd")
+    multi = n_pages > rows_per_file
+    if multi:
+        out_path.mkdir(parents=True, exist_ok=True)
+
+    writer: pq.ParquetWriter | None = None
+    file_idx = 0
+    rows_in_file = 0
+
+    def open_writer() -> pq.ParquetWriter:
+        target = (
+            out_path / f"part-{file_idx:05d}.parquet" if multi else out_path
+        )
+        return pq.ParquetWriter(target, _ARROW_SCHEMA, compression="zstd")
+
+    def flush(buf: list[tuple]) -> None:
+        nonlocal writer, file_idx, rows_in_file
+        if writer is None:
+            writer = open_writer()
+        writer.write_table(_to_table(buf))
+        rows_in_file += len(buf)
+        if multi and rows_in_file >= rows_per_file:
+            writer.close()
+            writer = None
+            file_idx += 1
+            rows_in_file = 0
+
     try:
         buf: list[tuple] = []
         for i in range(n_pages):
@@ -140,12 +171,13 @@ def generate_pages(
             if rng.random() < 0.03 and html is not None:
                 buf.append((url, ts + timedelta(hours=7), html, text, lang))
             if len(buf) >= chunk_rows:
-                writer.write_table(_to_table(buf))
+                flush(buf)
                 buf = []
         if buf:
-            writer.write_table(_to_table(buf))
+            flush(buf)
     finally:
-        writer.close()
+        if writer is not None:
+            writer.close()
     return out_path
 
 

@@ -168,18 +168,31 @@ def q_minhash_lsh(spark, sf_dir):
             ).alias("band_sig")
         )
     )
-    x = bands.alias("x")
-    y = bands.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_sig") == F.col("y.band_sig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+    # pair generation via bucket groupBy instead of a self-join: one pass
+    # over the band table (a self-join would recompute the whole minhash
+    # pipeline for each side), and the bucket is the shuffle key — the
+    # scale-out shape for LSH candidate generation.
+    buckets = bands.groupBy("band", "band_sig").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
+    pairs = buckets.filter(F.size("ids") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"),
+                            i + F.lit(2),
+                            F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
 
 
 _N_SIMHASH_BITS = 16
