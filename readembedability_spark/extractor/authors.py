@@ -51,19 +51,25 @@ def normalize_authors(raw_values: list[str]) -> list[str]:
     return out
 
 
-def find_byline_authors(root: Element) -> list[str]:
-    """Byline heuristics: first element whose class/id matches the byline
-    pattern and whose text looks like a short name line."""
-    for el in root.iter():
-        ident = el.classes_and_id()
-        if not ident or not _BYLINE_RE.search(ident):
-            continue
+def byline_authors_from(candidates: list[Element]) -> list[str]:
+    """Byline heuristics: first candidate (document order, class/id
+    matched during the single collect_meta pass) whose text looks like a
+    short name line."""
+    for el in candidates:
         text = " ".join(el.text_content().split())
         if 0 < len(text) <= 120:
             names = normalize_authors([text])
             if names:
                 return names
     return []
+
+
+def find_byline_authors(root: Element) -> list[str]:
+    """Tree-scanning convenience wrapper (tests / standalone use)."""
+    candidates = [
+        el for el in root.iter() if _BYLINE_RE.search(el.classes_and_id() or "")
+    ]
+    return byline_authors_from(candidates)
 
 
 def find_rel_author(root: Element) -> list[str]:
@@ -101,10 +107,10 @@ def extract_authors(
         normalized = normalize_authors(jsonld_authors)
         if normalized:
             out.append((normalized, 0.85))
-    rel = find_rel_author(root)
+    rel = normalize_authors(pm.rel_author_texts)
     if rel:
         out.append((rel, 0.7))
-    byline = find_byline_authors(root)
+    byline = byline_authors_from(pm.byline_candidates)
     if byline:
         out.append((byline, 0.6))
     return out

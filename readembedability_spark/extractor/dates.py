@@ -97,7 +97,7 @@ def extract_published(
     dt = parse_date(jsonld_date)
     if dt is not None:
         out.append((dt, 0.85))
-    dt = parse_date(find_time_datetime(root))
+    dt = parse_date(pm.time_datetime)
     if dt is not None:
         out.append((dt, 0.7))
     dt = date_from_url(url)

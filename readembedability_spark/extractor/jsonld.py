@@ -80,14 +80,23 @@ def _iter_nodes(doc):
 
 
 def parse_jsonld(root: Element) -> JsonLd:
-    result = JsonLd()
+    """Convenience wrapper: scan the tree for ld+json scripts."""
+    texts = []
     for el in root.iter():
-        if el.tag != "script":
-            continue
-        stype = (el.attrs.get("type") or "").strip().lower()
-        if stype != "application/ld+json":
-            continue
-        raw = el.text_content().strip()
+        if (
+            el.tag == "script"
+            and (el.attrs.get("type") or "").strip().lower()
+            == "application/ld+json"
+        ):
+            texts.append(el.text_content())
+    return parse_jsonld_texts(texts)
+
+
+def parse_jsonld_texts(texts: list[str]) -> JsonLd:
+    """Parse pre-collected ld+json script bodies (single-pass facts)."""
+    result = JsonLd()
+    for raw in texts:
+        raw = raw.strip()
         if not raw:
             continue
         try:

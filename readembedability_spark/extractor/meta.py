@@ -17,9 +17,29 @@ _TITLE_DELIMS = (" | ", " - ", " – ", " — ", " :: ", " » ")
 
 
 class PageMeta:
-    """All head-level facts from one DOM pass."""
+    """All per-page DOM facts gathered in ONE tree pass (hot path: every
+    extra full traversal costs ~0.05 ms/page at Arrow-batch throughput).
 
-    __slots__ = ("names", "properties", "links", "title_tag", "h1")
+    Beyond head metadata this also carries the facts other extractors
+    would otherwise re-walk the tree for: JSON-LD script bodies, the
+    oEmbed discovery link, iframe attributes, the first
+    ``<time datetime>``, ``rel=author`` anchor texts, and byline
+    candidate elements (document order preserved everywhere).
+    """
+
+    __slots__ = (
+        "names",
+        "properties",
+        "links",
+        "title_tag",
+        "h1",
+        "jsonld_texts",
+        "discovery_link",
+        "iframes",
+        "time_datetime",
+        "rel_author_texts",
+        "byline_candidates",
+    )
 
     def __init__(self) -> None:
         self.names: dict[str, str] = {}  # <meta name=...>
@@ -27,6 +47,12 @@ class PageMeta:
         self.links: dict[str, str] = {}  # <link rel=...> href (first wins)
         self.title_tag: str | None = None
         self.h1: str | None = None
+        self.jsonld_texts: list[str] = []
+        self.discovery_link: str | None = None
+        self.iframes: list[dict[str, str]] = []
+        self.time_datetime: str | None = None
+        self.rel_author_texts: list[str] = []
+        self.byline_candidates: list = []  # Elements, doc order
 
     # convenience accessors ------------------------------------------------
 
@@ -37,6 +63,11 @@ class PageMeta:
         return self.names.get(f"twitter:{key}") or self.properties.get(
             f"twitter:{key}"
         )
+
+
+_BYLINE_IDENT_RE = re.compile(
+    r"byline|author|writer|submitted|contributor", re.IGNORECASE
+)
 
 
 def collect_meta(root: Element) -> PageMeta:
@@ -60,11 +91,37 @@ def collect_meta(root: Element) -> PageMeta:
             rel = el.attrs.get("rel")
             href = el.attrs.get("href")
             if rel and href:
-                pm.links.setdefault(rel.strip().lower(), href)
+                rel_l = rel.strip().lower()
+                pm.links.setdefault(rel_l, href)
+                if (
+                    pm.discovery_link is None
+                    and "alternate" in rel_l.split()
+                    and (el.attrs.get("type") or "").strip().lower()
+                    in ("application/json+oembed", "text/xml+oembed")
+                ):
+                    pm.discovery_link = href.strip()
         elif tag == "title" and pm.title_tag is None:
             pm.title_tag = el.text_content()
         elif tag == "h1" and pm.h1 is None:
             pm.h1 = el.text_content()
+        elif tag == "script":
+            if (el.attrs.get("type") or "").strip().lower() == "application/ld+json":
+                pm.jsonld_texts.append(el.text_content())
+        elif tag == "iframe":
+            pm.iframes.append(el.attrs)
+        elif tag == "time":
+            dt = el.attrs.get("datetime")
+            if dt and pm.time_datetime is None:
+                pm.time_datetime = dt
+        elif tag == "a":
+            rel = (el.attrs.get("rel") or "").lower()
+            if "author" in rel.split():
+                text = " ".join(el.text_content().split())
+                if text:
+                    pm.rel_author_texts.append(text)
+        ident = el.classes_and_id()
+        if ident and _BYLINE_IDENT_RE.search(ident):
+            pm.byline_candidates.append(el)
     return pm
 
 

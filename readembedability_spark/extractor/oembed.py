@@ -74,16 +74,14 @@ def find_discovery_link(root: Element) -> str | None:
     return None
 
 
-def _dominant_iframe(root: Element) -> bool:
-    for el in root.iter():
-        if el.tag != "iframe":
-            continue
-        src = (el.attrs.get("src") or "").lower()
+def _dominant_iframe(iframes: list[dict]) -> bool:
+    for attrs in iframes:
+        src = (attrs.get("src") or "").lower()
         if any(marker in src for marker in _VIDEO_HOST_MARKERS):
             return True
         try:
-            w = int((el.attrs.get("width") or "0").rstrip("%"))
-            h = int((el.attrs.get("height") or "0").rstrip("%"))
+            w = int((attrs.get("width") or "0").rstrip("%"))
+            h = int((attrs.get("height") or "0").rstrip("%"))
         except ValueError:
             continue
         if w >= 400 and h >= 240:
@@ -94,14 +92,15 @@ def _dominant_iframe(root: Element) -> bool:
 def detect_embed(pm: PageMeta, root: Element, url: str) -> tuple[bool, str | None]:
     """A-16/A-17 → (embed, oembed_endpoint_or_None).
 
-    Runs on the RAW dom (before cleanup strips iframes).
+    Uses facts gathered by collect_meta on the RAW dom (before cleanup
+    strips iframes).
     """
-    endpoint = find_discovery_link(root)
+    endpoint = pm.discovery_link
     og_type = (pm.og("type") or "").lower()
     is_media_type = og_type.startswith(("video", "music", "audio"))
     host = (urlparse(url).hostname or "").lower()
     provider = provider_for_host(host)
     if provider is not None and endpoint is None:
         endpoint = provider[1]
-    embed = bool(endpoint) or is_media_type or _dominant_iframe(root)
+    embed = bool(endpoint) or is_media_type or _dominant_iframe(pm.iframes)
     return embed, endpoint

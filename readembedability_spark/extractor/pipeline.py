@@ -19,7 +19,7 @@ from readembedability_spark.extractor.cleanup import clean
 from readembedability_spark.extractor.dates import extract_published
 from readembedability_spark.extractor.dom import free_tree, parse_html
 from readembedability_spark.extractor.images import extract_image
-from readembedability_spark.extractor.jsonld import parse_jsonld
+from readembedability_spark.extractor.jsonld import parse_jsonld_texts
 from readembedability_spark.extractor.keywords import extract_keywords, extract_summary
 from readembedability_spark.extractor.meta import (
     collect_meta,
@@ -93,9 +93,9 @@ def _extract_html(url: str, html: bytes) -> dict[str, Any]:
 
 def _extract_from_dom(url: str, root) -> dict[str, Any]:
 
-    # head-level facts on the RAW dom (cleanup would strip meta/link)
+    # all DOM facts in ONE pass on the RAW dom (cleanup strips meta/link)
     pm = collect_meta(root)
-    ld = parse_jsonld(root)  # A-15
+    ld = parse_jsonld_texts(pm.jsonld_texts)  # A-15
     embed, _endpoint = detect_embed(pm, root, url)  # A-16/A-17
     canonical = extract_canonical(pm, url)  # A-12
 
