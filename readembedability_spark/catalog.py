@@ -46,10 +46,16 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
 
 
 def write_extracted(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
-    """Write the extracted table partitioned by salt (O-3)."""
+    """Write the extracted table (O-3).
+
+    Iceberg: partitioned by salt (bounded files per commit; resume
+    pruning aligned with layout). Local parquet: flat files — directory
+    partitioning with a local committer fans each task into num_salts
+    tiny files and serializes the job on file IO (salt stays a column).
+    """
     if "/" not in ref and "." in ref:
         spark = df.sparkSession
         if iceberg_available(spark):
             df.writeTo(ref).partitionedBy("salt").createOrReplace()
             return
-    df.write.mode(mode).partitionBy("salt").parquet(ref)
+    df.write.mode(mode).parquet(ref)

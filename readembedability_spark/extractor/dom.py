@@ -123,11 +123,20 @@ class Element:
         return f"<Element {self.tag} children={len(self.children)}>"
 
 
+#: Structural runaway guard (SURVEY.md §4 straggler handling): pages
+#: yielding more than this many DOM nodes stop accreting content —
+#: bounds worst-case parse/score time deterministically (no wall-clock
+#: interrupts, so the byte-identity invariant is preserved: the same
+#: page always truncates at the same node).
+MAX_NODES = 300_000
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Element("#document")
         self.stack: list[Element] = [self.root]
+        self.n_nodes = 0
 
     # -- implicit-close machinery -----------------------------------------
 
@@ -159,6 +168,9 @@ class _TreeBuilder(HTMLParser):
     # -- HTMLParser callbacks ---------------------------------------------
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        if self.n_nodes >= MAX_NODES:
+            return
+        self.n_nodes += 1
         self._close_implicit(tag)
         # first occurrence of an attribute wins; None value -> ""
         adict: dict[str, str] = {}
@@ -173,6 +185,9 @@ class _TreeBuilder(HTMLParser):
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         # <tag/> — treat as immediately-closed (never pushes)
+        if self.n_nodes >= MAX_NODES:
+            return
+        self.n_nodes += 1
         self._close_implicit(tag)
         adict: dict[str, str] = {}
         for k, v in attrs:
@@ -191,7 +206,8 @@ class _TreeBuilder(HTMLParser):
         # stray end tag: ignore
 
     def handle_data(self, data: str) -> None:
-        if data:
+        if data and self.n_nodes < MAX_NODES:
+            self.n_nodes += 1
             self.stack[-1].children.append(data)
 
     # comments, declarations, PIs are dropped deliberately

@@ -36,9 +36,10 @@ def load_done_buckets(
 ) -> DataFrame:
     """Completed buckets for run_id (empty DF if no checkpoint yet)."""
     path = Path(checkpoint_dir)
-    if not path.exists() or not any(path.glob("*.parquet")) and not any(
-        path.glob("*/*.parquet")
-    ):
+    has_files = path.exists() and (
+        any(path.glob("*.parquet")) or any(path.glob("*/*.parquet"))
+    )
+    if not has_files:
         return spark.createDataFrame([], schema=CHECKPOINT_SCHEMA)
     df = spark.read.schema(CHECKPOINT_SCHEMA).parquet(str(path))
     return df.filter(F.col("run_id") == run_id)

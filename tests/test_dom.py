@@ -107,3 +107,15 @@ def test_document_order_iteration():
     root = parse_html("<div><a>1</a><b><c>2</c></b><d>3</d></div>")
     order = [el.tag for el in find_first(root, "div").iter()]
     assert order == ["div", "a", "b", "c", "d"]
+
+
+def test_node_cap_bounds_runaway_pages():
+    from readembedability_spark.extractor import dom
+
+    html = "<div>" + "<p>x</p>" * (dom.MAX_NODES // 2 + 100)
+    root = parse_html(html)
+    n = sum(1 for _ in root.iter())
+    assert n <= dom.MAX_NODES + 2
+    # determinism: same input truncates at the same node
+    root2 = parse_html(html)
+    assert sum(1 for _ in root2.iter()) == n
