@@ -603,3 +603,71 @@ def decode_image_stub(payload: bytes) -> dict:
     raise NotImplementedError(
         "image decode requires an imaging library not present in this sandbox"
     )
+
+
+# ---------------------------------------------------------------------------
+# O-9: oEmbed providers broadcast join (the A-16 registry as a dim table)
+# ---------------------------------------------------------------------------
+
+def _providers_values_sql() -> str:
+    from readembedability_spark.extractor.oembed import OEMBED_PROVIDERS
+
+    return ", ".join(
+        f"('{host}', '{name}')" for host, name, _ in OEMBED_PROVIDERS
+    )
+
+
+@q(
+    "q_join_oembed_providers",
+    f"""
+    WITH urls AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN 'youtube.com'
+                  WHEN event_id % 7 = 1 THEN 'vimeo.com'
+                  WHEN event_id % 7 = 2 THEN 'host' || CAST(event_id % 50 AS VARCHAR) || '.example.com'
+                  WHEN event_id % 7 = 3 THEN 'soundcloud.com'
+                  ELSE 'site' || CAST(event_id % 25 AS VARCHAR) || '.example.org'
+             END AS host
+      FROM events),
+    providers(host, provider) AS (VALUES {{PROVIDERS}})
+    SELECT COALESCE(p.provider, '(none)') AS provider, COUNT(*) AS n
+    FROM urls u LEFT JOIN providers p ON u.host = p.host
+    GROUP BY provider
+    """.replace("{PROVIDERS}", _providers_values_sql()),
+)
+def q_join_oembed_providers(spark, sf_dir):
+    """O-9: big fact (synthesized hosts) LEFT-broadcast-joined to the
+    static oEmbed providers registry (extractor/oembed.py) — the exact
+    shape of the pipeline's provider lookup at 10^12 rows."""
+    from readembedability_spark.extractor.oembed import OEMBED_PROVIDERS
+
+    providers = spark.createDataFrame(
+        [(h, n) for h, n, _ in OEMBED_PROVIDERS], "host string, provider string"
+    )
+    ev = _t(spark, sf_dir, "events")
+    host = (
+        F.when(F.col("event_id") % 7 == 0, F.lit("youtube.com"))
+        .when(F.col("event_id") % 7 == 1, F.lit("vimeo.com"))
+        .when(
+            F.col("event_id") % 7 == 2,
+            F.concat(
+                F.lit("host"),
+                (F.col("event_id") % 50).cast("string"),
+                F.lit(".example.com"),
+            ),
+        )
+        .when(F.col("event_id") % 7 == 3, F.lit("soundcloud.com"))
+        .otherwise(
+            F.concat(
+                F.lit("site"),
+                (F.col("event_id") % 25).cast("string"),
+                F.lit(".example.org"),
+            )
+        )
+    )
+    urls = ev.select("event_id", host.alias("host"))
+    return (
+        urls.join(F.broadcast(providers), "host", "left")
+        .groupBy(F.coalesce("provider", F.lit("(none)")).alias("provider"))
+        .agg(F.count("*").alias("n"))
+    )
