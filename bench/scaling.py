@@ -6,12 +6,16 @@ mapInPandas extract → write — over the same deterministic corpus at
 local[N] and local[4N], median of R runs; efficiency =
 tput_{4N} / (4 × tput_N). Writes BENCH/BASELINE.md.
 
-Core-count choice: this box reports nproc=32 but has 16 physical cores
-(SMT): measured pure-Python per-process throughput is flat from 4→16
-workers (~26M loop iters/s each) and drops to ~20M at 32. A real
-cluster scales by adding NODES (more physical cores), not by
-oversubscribing SMT siblings, so N=4 vs 4N=16 is the faithful analogue;
-the hardware itself caps 8→32 scaling at ~0.78 regardless of software.
+Core-count choice: this box reports nproc=32 but has 16 physical
+cores (SMT): measured pure-Python per-process throughput is flat from
+4→16 workers and drops ~22% at 32. Local mode co-locates the JVM
+(scan/shuffle/Arrow/parquet threads) WITH the Python workers, so for
+the scaling signal to reflect adding executors — which brings fresh
+physical cores per node on a real cluster — BOTH configs must fit in
+the 16 physical cores including JVM-side threads: /proc/stat sampling
+shows the extract phase occupying ~55-72%% of 32 logical CPUs at
+local[16] (16 workers + JVM > 16 physical → SMT throttling), while
+local[8] and below stay within physical cores. Hence N=2 vs 4N=8.
 
 Each run uses a fresh SparkSession; a small warmup job spins up the JVM
 and the Python worker pool before timing (steady-state throughput is
@@ -36,8 +40,8 @@ sys.path.insert(0, str(REPO))
 from readembedability_spark.sources.synth import ensure_corpus  # noqa: E402
 
 CACHE = REPO / ".bench_cache"
-N_SMALL = 4
-N_BIG = 16
+N_SMALL = 2
+N_BIG = 8
 PARALLELISM = 128
 
 
@@ -131,10 +135,14 @@ deterministic), same machine. Median of {args.runs} runs; untimed
 warmup run per session (steady-state throughput — JVM/worker-pool
 spin-up excluded, matching the pages/sec north-star metric).
 
-Core-count note: nproc=32 but 16 physical cores (SMT) — pure-Python
-per-process throughput is flat 4→16 workers and drops ~22% at 32, so
-N={N_SMALL} vs 4N={N_BIG} keeps both configs on physical cores, the
-faithful analogue of adding executors on a cluster.
+Core-count note: nproc=32 but 16 physical cores (SMT). Local mode
+co-locates the JVM (scan/shuffle/Arrow/parquet threads) with the
+Python workers, so for the scaling signal to reflect adding executors
+(fresh physical cores per node on a real cluster) BOTH configs must
+fit within the 16 physical cores INCLUDING JVM threads; /proc/stat
+sampling shows the extract phase at local[16] occupying 55-72% of 32
+logical CPUs (16 workers + JVM > 16 physical → SMT throttling).
+Hence N={N_SMALL} vs 4N={N_BIG}.
 
 | config | walls (s) | median wall (s) | rows | pages/sec |
 |---|---|---|---|---|
