@@ -103,28 +103,39 @@ def main() -> None:
     warmup = ensure_corpus(CACHE, 2000)
     print(f"corpus: {corpus}", file=sys.stderr)
 
+    # Interleaved pairs: this box is a microVM with noisy host
+    # neighbors (identical runs vary ±40% across minutes), so each
+    # efficiency sample comes from an ADJACENT (N, 4N) pair — host
+    # speed drift hits both sides of a pair roughly equally and
+    # cancels in the ratio. Report the median pair efficiency.
+    walls: dict[int, list[float]] = {N_SMALL: [], N_BIG: []}
+    rows = 0
+    pair_effs = []
+    for r in range(args.runs):
+        w_n, rows = one_run(N_SMALL, str(corpus), str(warmup))
+        walls[N_SMALL].append(w_n)
+        print(f"pair {r + 1}: local[{N_SMALL}] {w_n:.2f}s", file=sys.stderr)
+        w_4n, rows = one_run(N_BIG, str(corpus), str(warmup))
+        walls[N_BIG].append(w_4n)
+        eff_r = (rows / w_4n) / (4 * (rows / w_n))
+        pair_effs.append(eff_r)
+        print(
+            f"pair {r + 1}: local[{N_BIG}] {w_4n:.2f}s → eff {eff_r:.3f}",
+            file=sys.stderr,
+        )
+
     results = {}
     for cores in (N_SMALL, N_BIG):
-        walls = []
-        rows = 0
-        for r in range(args.runs):
-            wall, rows = one_run(cores, str(corpus), str(warmup))
-            walls.append(wall)
-            print(
-                f"local[{cores}] run {r + 1}: {wall:.2f}s ({rows} rows)",
-                file=sys.stderr,
-            )
-        med = statistics.median(walls)
+        med = statistics.median(walls[cores])
         results[cores] = {
-            "walls": [round(w, 2) for w in walls],
+            "walls": [round(w, 2) for w in walls[cores]],
             "median_wall": round(med, 2),
             "rows": rows,
             "pages_per_sec": round(rows / med, 1),
         }
-
     t_n = results[N_SMALL]["pages_per_sec"]
     t_4n = results[N_BIG]["pages_per_sec"]
-    eff = t_4n / (4 * t_n)
+    eff = statistics.median(pair_effs)
 
     md = f"""# BENCH — scaling protocol results (BASELINE.md §Protocol)
 
@@ -144,14 +155,21 @@ sampling shows the extract phase at local[16] occupying 55-72% of 32
 logical CPUs (16 workers + JVM > 16 physical → SMT throttling).
 Hence N={N_SMALL} vs 4N={N_BIG}.
 
-| config | walls (s) | median wall (s) | rows | pages/sec |
+Runs are interleaved in (N, 4N) pairs because this sandbox is a
+microVM with noisy host neighbors (identical runs vary up to ±40%
+across minutes); per-pair efficiency cancels host-speed drift, and the
+reported figure is the median over pairs.
+
+| config | walls (s) | median wall (s) | rows | pages/sec (median) |
 |---|---|---|---|---|
 | local[{N_SMALL}]  | {results[N_SMALL]['walls']} | {results[N_SMALL]['median_wall']} | {results[N_SMALL]['rows']} | {t_n} |
 | local[{N_BIG}] | {results[N_BIG]['walls']} | {results[N_BIG]['median_wall']} | {results[N_BIG]['rows']} | {t_4n} |
 
-**Scaling efficiency** = tput_{N_BIG} / (4 × tput_{N_SMALL}) =
-{t_4n} / (4 × {t_n}) = **{eff:.3f}** (acceptance ≥ 0.8 per
-BASELINE.json:2).
+Per-pair efficiency samples: {[round(e, 3) for e in pair_effs]}
+
+**Scaling efficiency** (median of per-pair
+tput_{N_BIG} / (4 × tput_{N_SMALL})) = **{eff:.3f}**
+(acceptance ≥ 0.8 per BASELINE.json:2).
 """
     out_path = REPO / "BENCH" / "BASELINE.md"
     out_path.parent.mkdir(exist_ok=True)
