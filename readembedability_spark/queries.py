@@ -64,7 +64,7 @@ def q_scan_documents(spark, sf_dir):
 @q(
     "q_filter_lang",
     """
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents WHERE lang IN ('en','de','fr') GROUP BY lang
     """,
 )
@@ -460,7 +460,7 @@ def q_date_trunc(spark, sf_dir):
     "q_json_props",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,

@@ -491,7 +491,7 @@ def q_quality_score(spark, sf_dir):
     )
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(alpha, 4).alias("alpha_ratio"),
         F.round(
             F.least(F.lit(1.0), n_tokens / 100.0) * 0.5 + alpha * 0.5, 4
@@ -515,10 +515,14 @@ def q_token_count(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("ws_tokens"),
         F.regexp_count(
             F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
-        ).alias("bpe_ish_tokens"),
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
     )
 
 
@@ -540,7 +544,7 @@ def q_fingerprint(spark, sf_dir):
         "doc_id",
         fp.alias("fp"),
         F.substring(fp, 1, 8).alias("fp_prefix"),
-        F.length("text").alias("n_chars_fp"),
+        F.length("text").cast("long").alias("n_chars_fp"),
     )
 
 
