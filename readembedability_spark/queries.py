@@ -702,3 +702,130 @@ def q_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O-14 extended: exact interpolated percentiles / median
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-16 extended: pivot (wide aggregation)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "q_pivot_events",
+    """
+    SELECT user_id % 10 AS cohort,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY cohort
+    """,
+)
+def q_pivot_events(spark, sf_dir):
+    """Pivot on event_type (explicit value list so the plan is a single
+    pass — no distinct-scan job — and the schema is stable)."""
+    out = (
+        _t(spark, sf_dir, "events")
+        .withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot yields NULL for empty cells; oracle COUNT FILTER yields 0
+    return out.select(
+        "cohort",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-27 extended: array functions over embeddings
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum_val
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    arr = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(arr, 1), 4).alias("first_val"),
+        F.round(F.array_max(arr), 4).alias("max_val"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("sum_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids per label (the reduce step of k-means / class
+# prototypes for a training-data pipeline)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_embed_centroid",
+    """
+    SELECT label, d, ROUND(AVG(x), 4) AS centroid_val
+    FROM (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings)
+    WHERE d <= 8
+    GROUP BY label, d
+    """,
+)
+def q_embed_centroid(spark, sf_dir):
+    """Per-label centroid (first 8 dims): posexplode → partial+final avg
+    per (label, dim) — the distributed mean-vector reduce that underlies
+    k-means/IVF training at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnsRenamed({"pos": "d0", "col": "x"})
+    return (
+        dims.withColumn("d", (F.col("d0") + 1).cast("long"))
+        .filter(F.col("d") <= 8)
+        .groupBy("label", "d")
+        .agg(F.round(F.avg("x"), 4).alias("centroid_val"))
+    )
