@@ -83,3 +83,46 @@ def start_streaming_run(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_host_sessions(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (O-28 extended):
+    per-host running crawl totals via ``applyInPandasWithState``.
+
+    State per host = (n_pages, total_bytes); each micro-batch folds its
+    rows into the state and emits the updated totals — the streaming
+    analogue of a running per-host ingest ledger. GroupStateTimeout is
+    off (crawl ledgers are long-lived); at 10^12 scale the key space is
+    ~10^8 hosts, well within state-store reach when backed by RocksDB.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from readembedability_spark.functions import host_col
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        total = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["n_bytes"].sum())
+        if state.exists:
+            (prev_n, prev_bytes) = state.get
+            n += prev_n
+            total += prev_bytes
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"host": [key[0]], "n_pages": [n], "total_bytes": [total]}
+        )
+
+    keyed = pages_stream.select(
+        host_col("url").alias("host"),
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType="host string, n_pages long, total_bytes long",
+        stateStructType="n_pages long, total_bytes long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -59,3 +59,48 @@ def test_streaming_metrics_windows(spark, stream_dirs):
     rows = spark.sql("select * from metrics_tbl").collect()
     assert rows
     assert sum(r["n_rows"] for r in rows) >= 100  # both batches counted
+
+
+def test_streaming_stateful_host_sessions(spark, stream_dirs):
+    """applyInPandasWithState: running per-host totals must equal the
+    batch groupBy over the same files, and state must carry across
+    restarts of the same checkpointed query."""
+    from pyspark.sql import functions as F
+
+    from readembedability_spark.functions import host_col
+    from readembedability_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_host_sessions,
+    )
+
+    in_dir, out_dir, _ = stream_dirs
+    sessions = streaming_host_sessions(
+        read_pages_stream(spark, str(in_dir), max_files_per_trigger=1)
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("host_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per host wins (update mode emits per micro-batch)
+    got = (
+        spark.sql("select * from host_sessions")
+        .groupBy("host")
+        .agg(F.max("n_pages").alias("n_pages"), F.max("total_bytes").alias("tb"))
+    )
+    expected = (
+        spark.read.parquet(str(in_dir))
+        .select(
+            host_col("url").alias("host"),
+            F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("nb"),
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n_pages"), F.sum("nb").alias("tb"))
+    )
+    diff = got.join(expected, "host") \
+        .filter((got.n_pages != expected.n_pages) | (got.tb != expected.tb))
+    assert got.count() == expected.count()
+    assert diff.count() == 0
