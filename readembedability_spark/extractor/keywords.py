@@ -38,23 +38,26 @@ def keywords_from_meta(raw: str) -> list[str]:
 
 
 def keywords_from_text(text: str) -> list[str]:
-    tokens = [t.lower() for t in _TOKEN_RE.findall(text)]
-    content_idx = [
-        (i, t)
-        for i, t in enumerate(tokens)
-        if len(t) >= _MIN_TOKEN_LEN and t not in STOPWORDS and not t.isdigit()
-    ]
+    """Single pass over the token stream: unigram + adjacent-bigram
+    counts and first positions in one loop (hot path — called for every
+    page without meta keywords)."""
     counts: dict[str, int] = {}
     first_pos: dict[str, int] = {}
-    for i, t in content_idx:
+    prev_i = -2
+    prev_t = ""
+    for i, raw in enumerate(_TOKEN_RE.findall(text)):
+        t = raw.lower()
+        if len(t) < _MIN_TOKEN_LEN or t in STOPWORDS or t.isdigit():
+            continue
         counts[t] = counts.get(t, 0) + 1
-        first_pos.setdefault(t, i)
-    # bigrams over adjacent content tokens (adjacent in the original stream)
-    for (i1, t1), (i2, t2) in zip(content_idx, content_idx[1:]):
-        if i2 == i1 + 1:
-            bg = f"{t1} {t2}"
+        if t not in first_pos:
+            first_pos[t] = i
+        if prev_i == i - 1:
+            bg = f"{prev_t} {t}"
             counts[bg] = counts.get(bg, 0) + 1
-            first_pos.setdefault(bg, i1)
+            if bg not in first_pos:
+                first_pos[bg] = prev_i
+        prev_i, prev_t = i, t
     # a bigram must repeat to count; unigrams need freq >= 2 on long texts
     items = [
         (term, n)
