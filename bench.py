@@ -64,6 +64,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # untimed warmup: JIT + python worker pool spin-up (steady-state
+    # throughput is the metric; cf. bench/scaling.py)
+    flagship_extract(spark, f"{Path(sf_dir).parent}/sf0.001").count()
+
     # extraction throughput: full pipeline, count() forces materialization
     t0 = time.monotonic()
     n_pages = flagship_extract(spark, sf_dir).count()

@@ -49,7 +49,8 @@ def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pages(from documents) → salt → mapInPandas extract → key fields."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     pages = pages_from_documents(spark, sf_dir)
-    pages = salt_repartition(pages, parallelism=8)
+    parallelism = max(spark.sparkContext.defaultParallelism * 2, 16)
+    pages = salt_repartition(pages, parallelism)
     extracted = extract_stage(pages)
     return extracted.select("url", "title", "content_text", "status")
 

@@ -709,3 +709,83 @@ def q_join_oembed_providers(spark, sf_dir):
         .groupBy(F.coalesce("provider", F.lit("(none)")).alias("provider"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@q(
+    "q_dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT a, b, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by 3-gram-shingle Jaccard (inverted-index join on
+    the shingle — the exact-verify stage run after MinHash-LSH candidate
+    generation at scale)."""
+    shingles = _shingles_df(spark, sf_dir)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa_ = shingles.alias("sa_")
+    sb_ = shingles.alias("sb_")
+    inter = (
+        sa_.join(
+            sb_,
+            (F.col("sa_.sh") == F.col("sb_.sh"))
+            & (F.col("sa_.doc_id") < F.col("sb_.doc_id")),
+        )
+        .groupBy(F.col("sa_.doc_id").alias("a"), F.col("sb_.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    jac = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
+    return (
+        inter.join(sza, "a")
+        .join(szb, "b")
+        .filter(jac >= 0.2)
+        .select("a", "b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@q(
+    "q_dedup_embedding",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.45
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.45 — the synthetic
+    vectors are near-orthogonal, max pairwise cosine ≈ 0.51). At scale
+    this runs per-LSH-bucket (q_ann_lsh) instead of all-pairs."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a") < F.col("b"))
+        .filter(F.round(sim, 6) >= 0.45)
+        .select("a", "b", F.round(sim, 4).alias("sim"))
+    )
