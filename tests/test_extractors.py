@@ -248,3 +248,32 @@ def test_pdf_text_uncompressed_and_flate(tmp_path):
         "Compressed stream text."
     )
     assert extract_pdf_text(b"not a pdf") == ""
+
+
+# --- pipeline statuses: oversize + gzip transport ------------------------
+
+def test_oversize_page_quarantined():
+    from readembedability_spark.extractor import extract_page
+    from readembedability_spark.extractor.pipeline import MAX_HTML_BYTES
+
+    blob = b"<html><body>" + b"<p>x</p>" * (MAX_HTML_BYTES // 8) + b"</body>"
+    assert len(blob) > MAX_HTML_BYTES
+    row = extract_page("https://e.com/huge", blob)
+    assert row["status"] == "oversize"
+    assert row["content_text"] is None
+
+
+def test_gzip_page_decodes():
+    import gzip
+
+    from readembedability_spark.extractor import extract_page
+
+    html = (
+        b"<html><head><title>Gz Page</title></head><body>"
+        b'<div class="content"><p>Compressed transport page, with commas, '
+        b"and enough text to extract successfully.</p></div></body></html>"
+    )
+    row = extract_page("https://e.com/gz", gzip.compress(html))
+    assert row["status"] == "ok"
+    assert row["title"] == "Gz Page"
+    assert "Compressed transport page" in row["content_text"]
