@@ -65,3 +65,35 @@ def test_determinism_two_runs_identical(spark, fixture_pages):
     df1 = extract_stage(fixture_pages).orderBy("url").collect()
     df2 = extract_stage(fixture_pages).orderBy("url").collect()
     assert df1 == df2
+
+
+def test_byte_identity_at_corpus_scale(spark, tmp_path):
+    """Spark path ≡ oracle over 3000 varied synthetic pages (beyond the
+    25 fixtures): per-url content_text must hash identically."""
+    import hashlib
+
+    from readembedability_spark.sources.pages import read_pages
+    from readembedability_spark.sources.synth import generate_pages
+
+    path = generate_pages(tmp_path / "pages.parquet", 3000)
+    pages = read_pages(spark, str(path)).dropDuplicates(["url"])
+    got = {
+        r["url"]: hashlib.sha256(
+            (r["content_text"] or "").encode("utf-8")
+        ).hexdigest()
+        for r in extract_stage(pages.repartition(16, "url"))
+        .select("url", "content_text")
+        .collect()
+    }
+    # oracle: plain python loop over the same rows, driver-side
+    rows = pages.select("url", "html").collect()
+    assert len(got) == len(rows)
+    mismatch = 0
+    for r in rows:
+        oracle = extract_page(r["url"], bytes(r["html"]) if r["html"] is not None else None)
+        h = hashlib.sha256(
+            (oracle["content_text"] or "").encode("utf-8")
+        ).hexdigest()
+        if got[r["url"]] != h:
+            mismatch += 1
+    assert mismatch == 0
