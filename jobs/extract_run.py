@@ -47,6 +47,8 @@ def main() -> None:
         builder = builder.master(args.master)
     spark = (
         builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.speculation", "true")  # straggler re-launch (§4)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()

@@ -15,6 +15,7 @@ regex splitter).
 from __future__ import annotations
 
 import re
+from collections import defaultdict
 
 from readembedability_spark.extractor.stopwords import STOPWORDS
 
@@ -41,22 +42,22 @@ def keywords_from_text(text: str) -> list[str]:
     """Single pass over the token stream: unigram + adjacent-bigram
     counts and first positions in one loop (hot path — called for every
     page without meta keywords)."""
-    counts: dict[str, int] = {}
+    counts: dict[str, int] = defaultdict(int)
     first_pos: dict[str, int] = {}
+    setpos = first_pos.setdefault
+    stop = STOPWORDS
     prev_i = -2
     prev_t = ""
     for i, raw in enumerate(_TOKEN_RE.findall(text)):
         t = raw.lower()
-        if len(t) < _MIN_TOKEN_LEN or t in STOPWORDS or t.isdigit():
+        if len(t) < _MIN_TOKEN_LEN or t in stop or t.isdigit():
             continue
-        counts[t] = counts.get(t, 0) + 1
-        if t not in first_pos:
-            first_pos[t] = i
+        counts[t] += 1
+        setpos(t, i)
         if prev_i == i - 1:
             bg = f"{prev_t} {t}"
-            counts[bg] = counts.get(bg, 0) + 1
-            if bg not in first_pos:
-                first_pos[bg] = prev_i
+            counts[bg] += 1
+            setpos(bg, prev_i)
         prev_i, prev_t = i, t
     # a bigram must repeat to count; unigrams need freq >= 2 on long texts
     items = [
