@@ -93,6 +93,15 @@ def one_run(master_cores: int, pages_path: str, warmup_path: str) -> tuple[float
         spark.stop()
 
 
+def _cpu_probe(seconds: float = 1.0) -> float:
+    """Single-core busy-loop rate (M iters/sec) — host-speed index."""
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < seconds:
+        x += 1
+    return x / seconds / 1e6
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=96000)
@@ -104,25 +113,33 @@ def main() -> None:
     print(f"corpus: {corpus}", file=sys.stderr)
 
     # Interleaved pairs: this box is a microVM with noisy host
-    # neighbors (identical runs vary ±40% across minutes), so each
+    # neighbors (identical runs vary ±40-60% across minutes), so each
     # efficiency sample comes from an ADJACENT (N, 4N) pair — host
     # speed drift hits both sides of a pair roughly equally and
-    # cancels in the ratio. Report the median pair efficiency.
+    # cancels in the ratio. Pair order alternates (N,4N / 4N,N) so a
+    # monotone host-speed trend cannot bias all pairs the same way.
+    # A single-core CPU probe is logged around each run as a host-speed
+    # index (transparency only — walls are NOT normalized by it).
     walls: dict[int, list[float]] = {N_SMALL: [], N_BIG: []}
+    probes: list[float] = []
     rows = 0
     pair_effs = []
     for r in range(args.runs):
-        w_n, rows = one_run(N_SMALL, str(corpus), str(warmup))
-        walls[N_SMALL].append(w_n)
-        print(f"pair {r + 1}: local[{N_SMALL}] {w_n:.2f}s", file=sys.stderr)
-        w_4n, rows = one_run(N_BIG, str(corpus), str(warmup))
-        walls[N_BIG].append(w_4n)
-        eff_r = (rows / w_4n) / (4 * (rows / w_n))
+        order = (N_SMALL, N_BIG) if r % 2 == 0 else (N_BIG, N_SMALL)
+        pair_walls = {}
+        for cores in order:
+            probes.append(_cpu_probe())
+            w, rows = one_run(cores, str(corpus), str(warmup))
+            pair_walls[cores] = w
+            walls[cores].append(w)
+            print(
+                f"pair {r + 1}: local[{cores}] {w:.2f}s "
+                f"(probe {probes[-1]:.1f}M/s)",
+                file=sys.stderr,
+            )
+        eff_r = (rows / pair_walls[N_BIG]) / (4 * (rows / pair_walls[N_SMALL]))
         pair_effs.append(eff_r)
-        print(
-            f"pair {r + 1}: local[{N_BIG}] {w_4n:.2f}s → eff {eff_r:.3f}",
-            file=sys.stderr,
-        )
+        print(f"pair {r + 1}: eff {eff_r:.3f}", file=sys.stderr)
 
     results = {}
     for cores in (N_SMALL, N_BIG):
@@ -166,6 +183,8 @@ reported figure is the median over pairs.
 | local[{N_BIG}] | {results[N_BIG]['walls']} | {results[N_BIG]['median_wall']} | {results[N_BIG]['rows']} | {t_4n} |
 
 Per-pair efficiency samples: {[round(e, 3) for e in pair_effs]}
+Host-speed probe (M iters/s, 1 per run, chronological):
+{[round(p, 1) for p in probes]}
 
 **Scaling efficiency** (median of per-pair
 tput_{N_BIG} / (4 × tput_{N_SMALL})) = **{eff:.3f}**
