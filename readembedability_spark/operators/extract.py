@@ -98,8 +98,6 @@ def _write_metrics(metrics_dir: str, record: dict) -> None:
 
 def extract_stage(pages_df, run_id: str = "run", metrics_dir: str | None = None):
     """pages(+salt) DataFrame → extracted DataFrame (EXTRACTED_SCHEMA)."""
-    from pyspark.sql import functions as F
-
     cols = set(pages_df.columns)
     if "salt" not in cols:
         from readembedability_spark.functions import salt_col

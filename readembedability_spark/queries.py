@@ -829,3 +829,61 @@ def q_embed_centroid(spark, sf_dir):
         .groupBy("label", "d")
         .agg(F.round(F.avg("x"), 4).alias("centroid_val"))
     )
+
+
+# ---------------------------------------------------------------------------
+# O-17 extended: gap-based sessionization (lag + cumulative window sum)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag to mark session
+    starts, running sum to number sessions, then per-session counts —
+    one shuffle on user_id reused by both windows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.expr("timestampdiff(SECOND, prev_ts, ts)") > 1800),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("ns"),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = marked.select(
+        "user_id",
+        "event_id",
+        F.sum("ns").over(w_run).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )

@@ -4,10 +4,6 @@ checkpoint must prevent reprocessing."""
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-from pathlib import Path
-
 import pytest
 
 from readembedability_spark.sources.synth import generate_pages
