@@ -43,6 +43,12 @@ HEADLINE = [
     "q_token_count",
     "q_dedup_exact",
     "q_multimodal_meta",
+    "q_sessionize",
+    "q_percentiles",
+    "q_pivot_events",
+    "q_embed_centroid",
+    "q_dedup_ngram_jaccard",
+    "q_tpch_q1",
 ]
 
 
