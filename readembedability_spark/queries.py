@@ -694,13 +694,41 @@ def q_grouped_pandas_stats(spark, sf_dir):
     )
 
 
-@q("q_approx_distinct", None)
+@q(
+    "q_approx_distinct",
+    """
+    SELECT CAST(abs(approx_count_distinct(user_id)
+                    - count(DISTINCT user_id)) * 20
+                <= count(DISTINCT user_id) AS BOOLEAN) AS users_within_tol,
+           CAST(abs(approx_count_distinct(event_id)
+                    - count(DISTINCT event_id)) * 20
+                <= count(DISTINCT event_id) AS BOOLEAN) AS events_within_tol
+    FROM events
+    """,
+)
 def q_approx_distinct(spark, sf_dir):
-    """HLL++ approximate distinct (O-15) — algorithm-specific estimates
-    differ across engines by design → rows-only driver check."""
+    """HLL++ approximate distinct (O-15). The raw estimates are
+    algorithm-specific per engine, so the cross-engine contract is a
+    tolerance bound both engines can compute: |approx - exact| <= 5% * exact.
+    Both sides emit the boolean, which hashes identically when each engine's
+    sketch is within its advertised error."""
     return _t(spark, sf_dir, "events").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02)
+                - F.count_distinct("user_id")
+            )
+            * 20
+            <= F.count_distinct("user_id")
+        ).alias("users_within_tol"),
+        (
+            F.abs(
+                F.approx_count_distinct("event_id", 0.02)
+                - F.count_distinct("event_id")
+            )
+            * 20
+            <= F.count_distinct("event_id")
+        ).alias("events_within_tol"),
     )
 
 
@@ -847,9 +875,10 @@ def q_embed_centroid(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessions AS (
       SELECT user_id, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM marked)
     SELECT user_id, session_id, COUNT(*) AS n_events
     FROM sessions GROUP BY user_id, session_id
@@ -872,7 +901,10 @@ def q_sessionize(spark, sf_dir):
         "ts",
         F.when(
             F.col("prev_ts").isNull()
-            | (F.expr("timestampdiff(SECOND, prev_ts, ts)") > 1800),
+            | (
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                > 1800 * 1_000_000
+            ),
             F.lit(1),
         )
         .otherwise(F.lit(0))
