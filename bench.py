@@ -35,9 +35,13 @@ HEADLINE = [
     "q_agg_events",
     "q_explode_terms",
     "q_minhash_lsh",
+    "q_dedup_lsh_verified",
     "q_simhash",
+    "q_simhash_pairs",
     "q_ann_cosine",
     "q_ann_lsh",
+    "q_ann_bucketed",
+    "q_dedup_embedding_bucketed",
     "q_langid",
     "q_quality_score",
     "q_token_count",
