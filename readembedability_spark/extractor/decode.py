@@ -8,8 +8,14 @@ first 2 KB → utf-8 with ``errors='replace'`` fallback.
 from __future__ import annotations
 
 import codecs
-import gzip
 import re
+import zlib
+
+
+class OversizeDecompressed(Exception):
+    """A gzip payload expanded past the caller's cap (zip-bomb guard):
+    a ~150 KB gzip blob can inflate to 150 MB and drive ~1 GB worker
+    RSS if decompressed unbounded."""
 
 KIND_HTML = "html"
 KIND_PDF = "pdf"
@@ -45,8 +51,14 @@ def sniff_kind(blob: bytes | None) -> str:
     if blob is None or len(blob) == 0:
         return KIND_EMPTY
     if blob[:2] == b"\x1f\x8b":
+        # sniff only the decompressed head: gzip.decompress of a sliced
+        # stream raises EOFError for any payload >slice (silently
+        # dropping valid large pages), and a full decompress is a
+        # zip-bomb vector. decompressobj needs neither a complete
+        # stream nor unbounded output.
         try:
-            blob = gzip.decompress(blob[: 1 << 20])
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            blob = d.decompress(blob[:65536], 8192)
         except Exception:
             return KIND_OTHER
         if not blob:
@@ -69,13 +81,36 @@ def sniff_kind(blob: bytes | None) -> str:
     return KIND_OTHER
 
 
-def gunzip_if_needed(blob: bytes) -> bytes:
-    if blob[:2] == b"\x1f\x8b":
-        try:
-            return gzip.decompress(blob)
-        except Exception:
-            return blob
-    return blob
+def gunzip_if_needed(blob: bytes, limit: int | None = None) -> bytes:
+    """Incremental gzip decompression with an output cap.
+
+    Raises :class:`OversizeDecompressed` the moment output exceeds
+    ``limit`` (never materializing the full payload), so callers can
+    quarantine zip bombs as status='oversize' before parsing. Corrupt
+    streams fall back to the raw bytes; truncated streams yield the
+    decompressible prefix."""
+    if blob[:2] != b"\x1f\x8b":
+        return blob
+    try:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = bytearray()
+        tail = blob
+        while True:
+            chunk = d.decompress(tail, 1 << 20)
+            tail = d.unconsumed_tail
+            if chunk:
+                out += chunk
+                if limit is not None and len(out) > limit:
+                    raise OversizeDecompressed(len(out))
+            elif not tail:
+                break
+            if d.eof:
+                break
+        return bytes(out)
+    except OversizeDecompressed:
+        raise
+    except Exception:
+        return blob
 
 
 def _normalize_encoding(name: str) -> str | None:
@@ -101,9 +136,10 @@ def detect_charset(blob: bytes) -> str:
     return "utf-8"
 
 
-def decode_html(blob: bytes) -> str:
-    """bytes → str, never raises (errors='replace')."""
-    blob = gunzip_if_needed(blob)
+def decode_html(blob: bytes, limit: int | None = None) -> str:
+    """bytes → str, never raises (errors='replace') — except
+    :class:`OversizeDecompressed` when a gzip payload exceeds `limit`."""
+    blob = gunzip_if_needed(blob, limit)
     enc = detect_charset(blob)
     try:
         return blob.decode(enc, errors="replace")

@@ -66,12 +66,22 @@ def _unescape_literal(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_stream(raw: bytes, header_window: bytes) -> bytes:
+def _decode_stream(raw: bytes, header_window: bytes, cap: int = 8 << 20) -> bytes:
     if _FLATE_HINT.search(header_window):
-        try:
-            return zlib.decompress(raw)
-        except zlib.error:
-            return b""
+        # capped inflate: a bombed FlateDecode stream is skipped, not
+        # materialized (unbounded zlib.decompress was an OOM vector).
+        # _STREAM_RE's optional EOL strip can clip a trailing \r (or
+        # \r\n) that is really compressed data whose last byte is 0x0D —
+        # retry with the clipped candidates re-appended.
+        for candidate in (raw, raw + b"\r", raw + b"\r\n", raw + b"\n"):
+            try:
+                d = zlib.decompressobj()
+                out = d.decompress(candidate, cap)
+                if d.eof:
+                    return out
+            except zlib.error:
+                continue
+        return b""
     return raw
 
 

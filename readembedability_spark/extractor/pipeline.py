@@ -65,7 +65,11 @@ def extract_page(url: str, html: bytes | None) -> dict[str, Any]:
         return _empty_row(url, "empty")
     if kind == decode.KIND_PDF:
         row = _empty_row(url, "pdf")
-        text = extract_pdf_text(decode.gunzip_if_needed(html))
+        try:
+            payload = decode.gunzip_if_needed(html, limit=MAX_HTML_BYTES)
+        except decode.OversizeDecompressed:
+            return _empty_row(url, "oversize")
+        text = extract_pdf_text(payload)
         if text:
             row["content_text"] = text
             row["summary"] = extract_summary(None, text)
@@ -78,12 +82,16 @@ def extract_page(url: str, html: bytes | None) -> dict[str, Any]:
 
     try:
         return _extract_html(url, html)
+    except decode.OversizeDecompressed:
+        # gzip payload expanded past MAX_HTML_BYTES — quarantine like any
+        # other oversize page instead of parsing a decompression bomb
+        return _empty_row(url, "oversize")
     except Exception:
         return _empty_row(url, "parse_error")
 
 
 def _extract_html(url: str, html: bytes) -> dict[str, Any]:
-    text = decode.decode_html(html)  # A-2
+    text = decode.decode_html(html, limit=MAX_HTML_BYTES)  # A-2
     root = parse_html(text)  # A-3
     try:
         return _extract_from_dom(url, root)

@@ -44,12 +44,26 @@ def absolutize(url: str | None, base: str) -> str | None:
     if not url:
         return url
     url = url.strip()
-    if url.startswith(("data:", "javascript:", "#", "mailto:")):
+    if url.startswith(("data:", "#", "mailto:")):
         return url
     try:
         return urljoin(base, url)
     except ValueError:
         return url
+
+
+#: schemes never allowed to survive into content_html (XSS hazard for
+#: any downstream renderer); data: is allowed for images only.
+_SCRIPTISH = ("javascript:", "vbscript:")
+
+
+def _is_unsafe_url(val: str, attr: str, tag: str) -> bool:
+    low = "".join(val.split()).lower()  # defeat "java\tscript:" tricks
+    if low.startswith(_SCRIPTISH):
+        return True
+    if low.startswith("data:") and not (tag == "img" and attr == "src"):
+        return True
+    return False
 
 
 def _serialize(el: Element, base: str, out: list[str]) -> None:
@@ -70,6 +84,8 @@ def _serialize(el: Element, base: str, out: list[str]) -> None:
             if val is None:
                 continue
             if name in _URL_ATTRS:
+                if _is_unsafe_url(val, name, child.tag):
+                    continue  # drop the attribute, keep the element
                 val = absolutize(val, base) or ""
             attrs.append(f' {name}="{_esc_attr(val)}"')
         attr_s = "".join(attrs)

@@ -16,8 +16,13 @@ from pyspark.sql import functions as F
 
 
 def dedup_latest(pages: DataFrame) -> DataFrame:
+    # final xxhash64 tie-break gives a total order: rows with equal
+    # warc_ts AND equal html length would otherwise pick an arbitrary
+    # winner, making re-runs non-byte-stable for such duplicates
     w = Window.partitionBy("url").orderBy(
-        F.desc("warc_ts"), F.desc(F.coalesce(F.length("html"), F.lit(-1)))
+        F.desc("warc_ts"),
+        F.desc(F.coalesce(F.length("html"), F.lit(-1))),
+        F.desc(F.xxhash64(F.coalesce("html", F.lit(b"")))),
     )
     return (
         pages.withColumn("_rn", F.row_number().over(w))

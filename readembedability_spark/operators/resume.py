@@ -60,10 +60,13 @@ def completed_only(pages: DataFrame, done: DataFrame) -> DataFrame:
 def mark_buckets_done(
     extracted: DataFrame, checkpoint_dir: str, run_id: str, n_buckets: int = N_BUCKETS
 ) -> None:
-    """Append completed buckets derived from the committed output (O-29).
+    """Append completed buckets derived from a DataFrame of urls (O-29).
 
     Called only after the output write succeeds, so a crash mid-run
     leaves the checkpoint without the failed buckets → they re-run.
+    NOTE: pass only THIS batch's rows — marking from the accumulated
+    output table costs O(total table) per incremental run; run_extract
+    uses :func:`mark_bucket_list_done` with the pre-write bucket set.
     """
     marks = (
         extracted.select(bucket_col("url", n_buckets).alias("url_bucket"))
@@ -75,4 +78,16 @@ def mark_buckets_done(
             F.lit(0).cast("long").alias("n_rows"),
         )
     )
+    marks.write.mode("append").parquet(checkpoint_dir)
+
+
+def mark_bucket_list_done(
+    spark: SparkSession, buckets: list, checkpoint_dir: str, run_id: str
+) -> None:
+    """Append an explicit completed-bucket list (≤ N_BUCKETS rows) —
+    the O(1)-sized checkpoint write used by incremental runs."""
+    if not buckets:
+        return
+    rows = [(run_id, int(b), "done", 0) for b in sorted(set(buckets))]
+    marks = spark.createDataFrame(rows, schema=CHECKPOINT_SCHEMA)
     marks.write.mode("append").parquet(checkpoint_dir)

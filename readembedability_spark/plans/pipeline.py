@@ -20,7 +20,7 @@ from readembedability_spark.operators.dedup import dedup_latest
 from readembedability_spark.operators.extract import extract_stage, load_metrics
 from readembedability_spark.operators.resume import (
     load_done_buckets,
-    mark_buckets_done,
+    mark_bucket_list_done,
     resume_filter,
     with_bucket,
 )
@@ -56,6 +56,17 @@ def build_extract_df(spark: SparkSession, cfg: RunConfig) -> DataFrame:
     return extract_stage(pages, run_id=cfg.run_id, metrics_dir=_metrics_dir(cfg))
 
 
+def _pending_buckets(spark: SparkSession, cfg: RunConfig) -> list:
+    """Bucket ids this run will process: url-column-only scan of the
+    input (parquet prunes every other column) anti-joined against the
+    done set. ≤ N_BUCKETS values — collected to the driver so the
+    checkpoint write is O(1) regardless of accumulated output size."""
+    pages = with_bucket(read_pages(spark, cfg.pages_path).select("url"))
+    done = load_done_buckets(spark, _ckpt_dir(cfg), cfg.run_id)
+    pending = resume_filter(pages, done).select("url_bucket").distinct()
+    return [r["url_bucket"] for r in pending.collect()]
+
+
 def _ckpt_dir(cfg: RunConfig) -> str:
     return str(Path(cfg.out_dir) / "_checkpoint")
 
@@ -76,13 +87,15 @@ def run_extract(spark: SparkSession, cfg: RunConfig) -> dict:
     """
     extracted = build_extract_df(spark, cfg)
     out_path = str(Path(cfg.out_dir) / "extracted")
+    # this batch's bucket set is known PRE-write from the (url-column-
+    # only) input scan minus already-done buckets — never by re-scanning
+    # the accumulated output, which costs O(total table) per incremental
+    # run at 10^12 rows and would mark prior runs' buckets as this run's
+    pending = _pending_buckets(spark, cfg) if cfg.resume else []
     extracted.write.mode("append").parquet(out_path)
-    # checkpoint AFTER the output commit (crash before this line → re-run).
-    # The re-scan reads only the url column (column-pruned, tiny).
+    # checkpoint AFTER the output commit (crash before this line → re-run)
     if cfg.resume:
-        mark_buckets_done(
-            spark.read.parquet(out_path).select("url"), _ckpt_dir(cfg), cfg.run_id
-        )
+        mark_bucket_list_done(spark, pending, _ckpt_dir(cfg), cfg.run_id)
     metrics = load_metrics(spark, _metrics_dir(cfg))
     metrics_path = str(Path(cfg.out_dir) / "metrics")
     metrics.write.mode("append").parquet(metrics_path)

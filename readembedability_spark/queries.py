@@ -919,3 +919,121 @@ def q_sessionize(spark, sf_dir):
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# O-4/O-30 + A-5..A-8 widened: oracle-checked extraction archetypes
+# ---------------------------------------------------------------------------
+
+
+def _archetype_pages(spark, docs, url_prefix: str, html_col):
+    """pages-shaped DF from documents with a synthesized html column."""
+    from readembedability_spark.operators.salt import salt_repartition
+
+    pages = docs.select(
+        F.concat(F.lit(url_prefix), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        html_col.alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    parallelism = max(spark.sparkContext.defaultParallelism * 2, 16)
+    return salt_repartition(pages, parallelism)
+
+
+@q(
+    "q_extract_archetypes",
+    """
+    SELECT 'https://docs.example.com/a/' || CAST(doc_id AS VARCHAR) AS url,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           text || chr(10) || chr(10) || trim(substr(text, 1, 120))
+                || chr(10) || chr(10) || '- ' || trim(substr(text, 1, 60))
+                || chr(10) || chr(10) || '- ' || trim(substr(text, 61, 60))
+             AS content_text,
+           'ok' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_archetypes(spark, sf_dir):
+    """Second oracle-checked extraction archetype (VERDICT r01 #10):
+    multi-paragraph + list content, whose frozen textify form
+    (paragraphs joined by blank lines, '- '-prefixed list items — rules
+    1/3 of extractor/textify.py) is still SQL-expressible. Exercises
+    A-4..A-8 over block structure the single-paragraph flagship never
+    reaches, hash-checked by the driver against pure SQL."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    p2 = F.trim(F.substring("text", 1, 120))
+    li1 = F.trim(F.substring("text", 1, 60))
+    li2 = F.trim(F.substring("text", 61, 60))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit('</title></head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit("</p><p>"),
+            p2,
+            F.lit("</p><ul><li>"),
+            li1,
+            F.lit("</li><li>"),
+            li2,
+            F.lit("</li></ul></div></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/a/", html)
+    return extract_stage(pages).select("url", "title", "content_text", "status")
+
+
+@q(
+    "q_metrics_rollup",
+    """
+    SELECT CASE WHEN doc_id % 13 = 0 THEN 'empty'
+                WHEN doc_id % 13 = 1 THEN 'non_html'
+                WHEN doc_id % 13 = 2 THEN 'pdf'
+                ELSE 'ok' END AS status,
+           COUNT(*) AS n_pages,
+           CAST(SUM(CASE WHEN doc_id % 13 > 2 THEN length(text) ELSE 0 END)
+                AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q_metrics_rollup(spark, sf_dir):
+    """Metrics rollup surfaced as an oracle-checked query (VERDICT r01
+    #8 / SURVEY O-4/O-30): a mixed-status page corpus (empty, non-HTML,
+    PDF, ok — all statuses deterministic from doc_id) runs through the
+    REAL extract stage, then rolls up per-status page counts and
+    extracted-char totals — the same aggregation shape the run-level
+    metrics table records per partition."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 13
+    ok_html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit('</title></head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit("</p></div></body></html>"),
+        ),
+        "UTF-8",
+    )
+    html = (
+        F.when(mod == 0, F.lit(None).cast("binary"))
+        .when(mod == 1, F.encode(F.lit("GIF89a\x01\x00"), "UTF-8"))
+        .when(mod == 2, F.encode(F.lit("%PDF-1.4\n%%EOF"), "UTF-8"))
+        .otherwise(ok_html)
+    )
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/m/", html)
+    extracted = extract_stage(pages)
+    return extracted.groupBy("status").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.coalesce(F.length("content_text"), F.lit(0)))
+        .cast("bigint")
+        .alias("total_chars"),
+    )

@@ -125,3 +125,57 @@ def test_partial_run_then_resume_completes(spark, corpus):
         assert dup == 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_checkpoint_marking_independent_of_output(spark, corpus):
+    """VERDICT r01 #6: the incremental checkpoint mark derives from this
+    run's pending-bucket set (known pre-write from a url-only input
+    scan), never from re-scanning the accumulated output — O(1) cost per
+    run regardless of how much prior runs wrote, and no cross-run_id
+    contamination."""
+    import readembedability_spark.plans.pipeline as pl
+
+    out = tempfile.mkdtemp()
+    try:
+        # the pending-bucket plan reads ONLY the url column of the input
+        cfg = RunConfig(pages_path=corpus, out_dir=out, run_id="ia", parallelism=4)
+        pages = with_bucket(read_pages(spark, corpus).select("url"))
+        done = load_done_buckets(spark, str(Path(out) / "_checkpoint"), "ia")
+        pend_df = resume_filter(pages, done).select("url_bucket").distinct()
+        plan = pend_df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            pend_df._jdf.queryExecution(), "formatted"
+        )
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read_schema and "url" in read_schema[0]
+        assert "html" not in read_schema[0]  # heavy column never touched
+
+        # run 1 under run_id "ia" writes output; run 2 under "ib" must
+        # derive its marks from ITS input-pending set, and the marking
+        # path must not scan the accumulated 'extracted' table
+        run_extract(spark, cfg)
+        reads: list[str] = []
+        orig_parquet = type(spark.read).parquet
+
+        def spy(reader, *paths):
+            reads.extend(paths)
+            return orig_parquet(reader, *paths)
+
+        type(spark.read).parquet = spy
+        try:
+            cfg2 = RunConfig(
+                pages_path=corpus, out_dir=out, run_id="ib", parallelism=4
+            )
+            pend2 = pl._pending_buckets(spark, cfg2)
+        finally:
+            type(spark.read).parquet = orig_parquet
+        out_path = str(Path(out) / "extracted")
+        assert all(out_path not in p for p in reads), reads
+        # and the pending set matches the input's full bucket set
+        expect = {
+            r["url_bucket"]
+            for r in with_bucket(read_pages(spark, corpus).select("url"))
+            .select("url_bucket").distinct().collect()
+        }
+        assert set(pend2) == expect
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
