@@ -41,7 +41,9 @@ HEADLINE = [
     "q_ann_cosine",
     "q_ann_lsh",
     "q_ann_bucketed",
+    "q_ann_ivf",
     "q_dedup_embedding_bucketed",
+    "q_dedup_clusters",
     "q_langid",
     "q_quality_score",
     "q_token_count",

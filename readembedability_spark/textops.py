@@ -287,22 +287,31 @@ def _capped_bucket_pairs(buckets):
     return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
 
 
-@q(
-    "q_dedup_lsh_verified",
-    f"""
-    WITH {_MINHASH_CAND_SQL},
+#: CTE chain ending in `vpairs(a, b, jaccard)` — the LSH-verified
+#: near-dup pairs, shared by q_dedup_lsh_verified and q_dedup_clusters.
+_VERIFIED_PAIRS_SQL = f"""
+    {_MINHASH_CAND_SQL},
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
     inter AS (
       SELECT c.a, c.b, COUNT(*) AS i
       FROM cand c
       JOIN shingles sa ON sa.doc_id = c.a
       JOIN shingles sb ON sb.doc_id = c.b AND sb.sh = sa.sh
-      GROUP BY c.a, c.b)
-    SELECT a, b, ROUND(i * 1.0 / (za.sz + zb.sz - i), 4) AS jaccard
-    FROM inter
-    JOIN sizes za ON za.doc_id = a
-    JOIN sizes zb ON zb.doc_id = b
-    WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.2
+      GROUP BY c.a, c.b),
+    vpairs AS (
+      SELECT a, b, ROUND(i * 1.0 / (za.sz + zb.sz - i), 4) AS jaccard
+      FROM inter
+      JOIN sizes za ON za.doc_id = a
+      JOIN sizes zb ON zb.doc_id = b
+      WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.2)
+"""
+
+
+@q(
+    "q_dedup_lsh_verified",
+    f"""
+    WITH {_VERIFIED_PAIRS_SQL}
+    SELECT a, b, jaccard FROM vpairs
     """,
 )
 def q_dedup_lsh_verified(spark, sf_dir):
@@ -312,6 +321,10 @@ def q_dedup_lsh_verified(spark, sf_dir):
     doc_id then (doc_id, sh)), never a full shingle×shingle self-join —
     at 100 TB the candidate set is ~linear in corpus size, so the verify
     stage is too (vs the full-corpus quadratic q_dedup_ngram_jaccard)."""
+    return _verified_pairs_df(spark, sf_dir)
+
+
+def _verified_pairs_df(spark, sf_dir):
     cand = _minhash_pairs_df(spark, sf_dir)
     shingles = _shingles_df(spark, sf_dir)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -331,6 +344,71 @@ def q_dedup_lsh_verified(spark, sf_dir):
         .join(zb, "b")
         .filter(jac >= 0.2)
         .select("a", "b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@q(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_VERIFIED_PAIRS_SQL},
+    edges AS (SELECT a, b FROM vpairs UNION SELECT b, a FROM vpairs),
+    walk(node, reach) AS (
+      SELECT a AS node, a AS reach FROM edges
+      UNION
+      SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a)
+    SELECT node AS doc_id, MIN(reach) AS rep,
+           CAST(COUNT(*) AS BIGINT) AS component_size
+    FROM (SELECT node, reach FROM walk) grouped
+    GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-components dedup clustering — the actual dedup
+    DELIVERABLE: near-dup PAIRS (q_dedup_lsh_verified) folded into one
+    canonical representative per document (component minimum), so a
+    pipeline can keep exactly one doc per cluster. Spark side is
+    iterative min-label propagation (each round: broadcast-free
+    self-equi-join on the edge list + min-aggregate, i.e. one shuffle
+    per round, the standard CC-on-Spark shape; converges in diameter
+    rounds — near-dup clusters are shallow). Oracle is a recursive CTE
+    computing min reachable node. component_size = number of reachable
+    nodes incl. self (symmetric closure), identical in both engines."""
+    edges = _verified_pairs_df(spark, sf_dir).select("a", "b")
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # pairs table is tiny vs corpus;
+        # freeze it so each propagation round doesn't replay the whole
+        # MinHash pipeline
+    )
+    # labels(node, label): start with self; reach(node) accumulates the
+    # full reachable set for component_size (kept exact to match the
+    # oracle's walk semantics; reachable sets of near-dup clusters are
+    # small by construction — the bucket cap bounds them)
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    reach = edges.select(
+        F.col("a").alias("node"), F.col("a").alias("reach")
+    ).distinct()
+    for _ in range(30):
+        # one hop: reach' = reach ∪ {(n, b) : (n, r) ∈ reach, (r, b) ∈ edges}
+        step = (
+            reach.join(
+                edges.select(F.col("a").alias("reach"), F.col("b")), "reach"
+            )
+            .select("node", F.col("b").alias("reach"))
+            .union(reach)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if step.count() == reach.count():
+            reach = step
+            break
+        reach = step
+    return reach.groupBy(F.col("node").alias("doc_id")).agg(
+        F.min("reach").alias("rep"),
+        F.count("*").cast("long").alias("component_size"),
     )
 
 
@@ -886,6 +964,105 @@ def q_dedup_embedding_bucketed(spark, sf_dir):
         .join(cb, "b")
         .filter(F.round(sim, 6) >= 0.45)
         .select("a", "b", F.round(sim, 4).alias("sim"))
+    )
+
+
+_IVF_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@q(
+    "q_ann_ivf",
+    f"""
+    WITH dims AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    cent AS (SELECT label, d, AVG(x) AS cx FROM dims GROUP BY label, d),
+    cents AS (SELECT label, list(cx ORDER BY d) AS c FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 10),
+    assign AS (
+      SELECT qid, label FROM (
+        SELECT qid, cents.label,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 ROUND({_IVF_COS.format(a='qe', b='c')}, 6) DESC,
+                 cents.label) AS rn
+        FROM q CROSS JOIN cents) WHERE rn = 1),
+    cands AS (
+      SELECT a.qid, e.vec_id AS cid, CAST(e.embedding AS DOUBLE[]) AS ce
+      FROM assign a JOIN embeddings e ON e.label = a.label
+      WHERE e.vec_id <> a.qid),
+    sims AS (
+      SELECT c2.qid, c2.cid, {_IVF_COS.format(a='q.qe', b='c2.ce')} AS sim
+      FROM cands c2 JOIN q ON q.qid = c2.qid)
+    SELECT qid, cid, ROUND(sim, 4) AS sim FROM (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY ROUND(sim, 6) DESC, cid) AS rn
+      FROM sims) WHERE rn <= 3
+    """,
+)
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN (the second scale path beside hyperplane LSH):
+    coarse quantizer = per-label mean vectors (at 100 TB: k-means
+    centroids, k ≈ sqrt(n)); queries assign to their nearest centroid
+    (queries × k broadcast — the only intentional small cross join),
+    then exact cosine top-3 ONLY within the assigned cell via an
+    equi-join on the cell id. nprobe=1 here; multi-probe = top-p
+    centroids per query, same plan shape."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("e")
+    ).withColumnsRenamed({"pos": "d", "col": "x"})
+    cent = dims.groupBy("label", "d").agg(F.avg("x").alias("cx"))
+    cents = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "cx"))),
+            lambda s: s["cx"],
+        ).alias("c")
+    )
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    cos_qc = _dot(F.col("qe"), F.col("c")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("c"), F.col("c")))
+    )
+    w_assign = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(cos_qc, 6)), F.asc("label")
+    )
+    assign = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("qid", "label")
+    )
+    cands = (
+        assign.join(emb, "label")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    sims = cands.join(F.broadcast(qs), "qid").select(
+        "qid",
+        "cid",
+        (
+            _dot(F.col("qe"), F.col("ce"))
+            / (
+                F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+            )
+        ).alias("sim"),
+    )
+    w_top = Window.partitionBy("qid").orderBy(F.desc(F.round("sim", 6)), F.asc("cid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cid", F.round("sim", 4).alias("sim"))
     )
 
 

@@ -163,3 +163,29 @@ def test_pdf_stream_trailing_cr_not_clipped():
     pdf = (b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
            + inner + b"\nendstream\nendobj\n")
     assert extract_pdf_text(pdf) == "hello pdf"
+
+
+def _flate_obj(content: bytes) -> bytes:
+    return (b"<< /Filter /FlateDecode >>\nstream\n"
+            + zlib.compress(content) + b"\nendstream\n")
+
+
+def test_pdf_multipage_stream_order():
+    """Pages concatenate in stream (document) order."""
+    pdf = (b"%PDF-1.4\n1 0 obj\n" + _flate_obj(b"BT (page one) Tj ET")
+           + b"endobj\n2 0 obj\n" + _flate_obj(b"BT (page two) Tj ET")
+           + b"endobj\n3 0 obj\n" + _flate_obj(b"BT (page three) Tj ET")
+           + b"endobj\n")
+    assert extract_pdf_text(pdf) == "page one\npage two\npage three"
+
+
+def test_pdf_escaped_parens_and_octal():
+    content = rb"BT (a \(quoted\) \\ backslash \101\102C octal) Tj ET"
+    pdf = b"%PDF-1.4\n1 0 obj\n" + _flate_obj(content) + b"endobj\n"
+    assert extract_pdf_text(pdf) == r"a (quoted) \ backslash ABC octal"
+
+
+def test_pdf_tj_array_with_literals():
+    content = b"BT [(Hel) -120 (lo ) (wor) 30 (ld)] TJ ET"
+    pdf = b"%PDF-1.4\n1 0 obj\n" + _flate_obj(content) + b"endobj\n"
+    assert extract_pdf_text(pdf) == "Hello world"
