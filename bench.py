@@ -44,6 +44,7 @@ HEADLINE = [
     "q_ann_ivf",
     "q_dedup_embedding_bucketed",
     "q_dedup_clusters",
+    "q_dedup_editdistance",
     "q_langid",
     "q_quality_score",
     "q_token_count",

@@ -59,6 +59,9 @@ _WORDS_SQL = """
 
 
 def _words_df(spark, sf_dir):
+    # NOTE: no _spread here — measured A/B (interleaved, warm): the extra
+    # exchange costs more than parallelizing the explode saves; the
+    # distinct() shuffle already spreads all downstream work.
     return (
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
@@ -355,11 +358,12 @@ def _verified_pairs_df(spark, sf_dir):
     walk(node, reach) AS (
       SELECT a AS node, a AS reach FROM edges
       UNION
-      SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a)
-    SELECT node AS doc_id, MIN(reach) AS rep,
-           CAST(COUNT(*) AS BIGINT) AS component_size
-    FROM (SELECT node, reach FROM walk) grouped
-    GROUP BY node
+      SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a),
+    reps AS (SELECT node, MIN(reach) AS rep FROM walk GROUP BY node)
+    SELECT node AS doc_id, rep,
+           CAST(COUNT(*) OVER (PARTITION BY rep) AS BIGINT)
+             AS component_size
+    FROM reps
     """,
 )
 def q_dedup_clusters(spark, sf_dir):
@@ -367,12 +371,13 @@ def q_dedup_clusters(spark, sf_dir):
     DELIVERABLE: near-dup PAIRS (q_dedup_lsh_verified) folded into one
     canonical representative per document (component minimum), so a
     pipeline can keep exactly one doc per cluster. Spark side is
-    iterative min-label propagation (each round: broadcast-free
-    self-equi-join on the edge list + min-aggregate, i.e. one shuffle
-    per round, the standard CC-on-Spark shape; converges in diameter
-    rounds — near-dup clusters are shallow). Oracle is a recursive CTE
-    computing min reachable node. component_size = number of reachable
-    nodes incl. self (symmetric closure), identical in both engines."""
+    iterative min-label propagation over O(V) label rows (each round:
+    one equi-join on the frozen edge list + min-aggregate = one shuffle;
+    converges in diameter rounds, and near-dup clusters are shallow —
+    the bucket cap's star pairs bound within-bucket diameter at 2).
+    component_size = members per component, via a window over the
+    converged labels. Oracle = recursive CTE computing min reachable
+    node; both emit (doc_id, rep, component_size) identically."""
     edges = _verified_pairs_df(spark, sf_dir).select("a", "b")
     edges = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -381,34 +386,34 @@ def q_dedup_clusters(spark, sf_dir):
         # freeze it so each propagation round doesn't replay the whole
         # MinHash pipeline
     )
-    # labels(node, label): start with self; reach(node) accumulates the
-    # full reachable set for component_size (kept exact to match the
-    # oracle's walk semantics; reachable sets of near-dup clusters are
-    # small by construction — the bucket cap bounds them)
-    labels = edges.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
     )
-    reach = edges.select(
-        F.col("a").alias("node"), F.col("a").alias("reach")
-    ).distinct()
+    prev_sum = None
     for _ in range(30):
-        # one hop: reach' = reach ∪ {(n, b) : (n, r) ∈ reach, (r, b) ∈ edges}
-        step = (
-            reach.join(
-                edges.select(F.col("a").alias("reach"), F.col("b")), "reach"
+        labels = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
             )
-            .select("node", F.col("b").alias("reach"))
-            .union(reach)
-            .distinct()
+            .select(F.col("a").alias("node"), "label")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        if step.count() == reach.count():
-            reach = step
+        # monotone convergence check: the label sum strictly decreases
+        # until fixpoint (labels only ever shrink toward component min)
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
-        reach = step
-    return reach.groupBy(F.col("node").alias("doc_id")).agg(
-        F.min("reach").alias("rep"),
-        F.count("*").cast("long").alias("component_size"),
+        prev_sum = cur_sum
+    w_sz = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("rep"),
+        F.count("*").over(w_sz).cast("long").alias("component_size"),
     )
 
 
@@ -1426,4 +1431,58 @@ def q_dedup_embedding(spark, sf_dir):
         a.join(F.broadcast(b), F.col("a") < F.col("b"))
         .filter(F.round(sim, 6) >= 0.45)
         .select("a", "b", F.round(sim, 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup — the title/short-field dedup family
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_dedup_editdistance",
+    """
+    WITH heads AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
+               AS head,
+             string_split(text, ' ')[1] AS w1
+      FROM documents),
+    cand AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, x.head AS ha, y.head AS hb
+      FROM heads x JOIN heads y
+        ON x.w1 = y.w1
+       AND abs(length(x.head) - length(y.head)) <= 4
+       AND x.doc_id < y.doc_id)
+    SELECT a, b, CAST(levenshtein(ha, hb) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(ha, hb) <= 4
+    """,
+)
+def q_dedup_editdistance(spark, sf_dir):
+    """Edit-distance near-dup on short fields (title-style dedup): the
+    6-word head of each doc, candidates BLOCKED on (first word) with a
+    length-difference prefilter (|len diff| > k ⇒ levenshtein > k, so
+    the filter is lossless), then exact Levenshtein ≤ 4 on candidates
+    only. Blocking keys the join (equi-join on w1 — at 100 TB block on
+    a stronger key, e.g. first-2-words fingerprint); the quadratic
+    Levenshtein DP runs only on blocked candidate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    heads = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 6)).alias("head"),
+        F.element_at(F.split("text", " "), 1).alias("w1"),
+    )
+    x = heads.select(
+        F.col("doc_id").alias("a"), F.col("head").alias("ha"), "w1"
+    )
+    y = heads.select(
+        F.col("doc_id").alias("b"), F.col("head").alias("hb"), "w1"
+    )
+    cand = x.join(y, "w1").filter(
+        (F.abs(F.length("ha") - F.length("hb")) <= 4) & (F.col("a") < F.col("b"))
+    )
+    dist = F.levenshtein("ha", "hb")
+    return (
+        cand.filter(dist <= 4)
+        .select("a", "b", dist.cast("long").alias("dist"))
     )
