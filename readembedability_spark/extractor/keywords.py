@@ -15,7 +15,7 @@ regex splitter).
 from __future__ import annotations
 
 import re
-from collections import defaultdict
+from collections import Counter
 
 from readembedability_spark.extractor.stopwords import STOPWORDS
 
@@ -23,6 +23,10 @@ _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 _SENTENCE_RE = re.compile(r"(?<=[.!?])\s+(?=[\"'“‘]?[A-Z0-9])")
 _MAX_KEYWORDS = 10
 _MIN_TOKEN_LEN = 3
+#: mirrors keywords_from_meta's 50-char cap: without it, a page whose
+#: body is one giant unbroken token (hex dumps, minified blobs) emits a
+#: multi-megabyte "keyword" (observed on a 6 MB hex page)
+_MAX_TOKEN_LEN = 50
 _SUMMARY_TARGET = 500
 _MIN_DESC_LEN = 40
 
@@ -39,26 +43,34 @@ def keywords_from_meta(raw: str) -> list[str]:
 
 
 def keywords_from_text(text: str) -> list[str]:
-    """Single pass over the token stream: unigram + adjacent-bigram
-    counts and first positions in one loop (hot path — called for every
-    page without meta keywords)."""
-    counts: dict[str, int] = defaultdict(int)
-    first_pos: dict[str, int] = {}
-    setpos = first_pos.setdefault
+    """Hot path — called for every page without meta keywords. The
+    filter loop keeps (global token index, lowered token) for tokens
+    passing the length/stopword/digit gates; counting then happens in
+    C (collections.Counter), first positions via a reversed dict-comp
+    (later, i.e. earlier-position, assignments win), and bigrams only
+    between kept tokens ADJACENT in the raw stream — semantics
+    identical to the original single-loop form (golden-locked)."""
     stop = STOPWORDS
-    prev_i = -2
-    prev_t = ""
+    kept: list[tuple[int, str]] = []
+    push = kept.append
     for i, raw in enumerate(_TOKEN_RE.findall(text)):
         t = raw.lower()
-        if len(t) < _MIN_TOKEN_LEN or t in stop or t.isdigit():
-            continue
-        counts[t] += 1
-        setpos(t, i)
-        if prev_i == i - 1:
-            bg = f"{prev_t} {t}"
-            counts[bg] += 1
-            setpos(bg, prev_i)
-        prev_i, prev_t = i, t
+        if (
+            _MIN_TOKEN_LEN <= len(t) <= _MAX_TOKEN_LEN
+            and t not in stop
+            and not t.isdigit()
+        ):
+            push((i, t))
+    counts: dict[str, int] = dict(Counter(t for _, t in kept))
+    first_pos = {t: i for i, t in reversed(kept)}
+    bigs = [
+        (pi, pt + " " + t)
+        for (pi, pt), (i, t) in zip(kept, kept[1:])
+        if i == pi + 1
+    ]
+    counts.update(Counter(bg for _, bg in bigs))
+    for pi, bg in reversed(bigs):
+        first_pos[bg] = pi
     # a bigram must repeat to count; unigrams need freq >= 2 on long texts
     items = [
         (term, n)
@@ -66,12 +78,7 @@ def keywords_from_text(text: str) -> list[str]:
         if n >= 2 or (len(counts) < 12 and " " not in term)
     ]
     items.sort(key=lambda kv: (-kv[1], first_pos[kv[0]], kv[0]))
-    selected: list[str] = []
-    for term, n in items:
-        if len(selected) >= _MAX_KEYWORDS:
-            break
-        selected.append(term)
-    return selected
+    return [term for term, _ in items[:_MAX_KEYWORDS]]
 
 
 def extract_keywords(meta_keywords: str | None, content_text: str) -> list[str]:

@@ -189,3 +189,15 @@ def test_pdf_tj_array_with_literals():
     content = b"BT [(Hel) -120 (lo ) (wor) 30 (ld)] TJ ET"
     pdf = b"%PDF-1.4\n1 0 obj\n" + _flate_obj(content) + b"endobj\n"
     assert extract_pdf_text(pdf) == "Hello world"
+
+
+def test_giant_token_not_a_keyword():
+    """A page whose body is one unbroken multi-MB token must not emit
+    that token as a keyword (observed: 6 MB hex page -> 6 MB keyword)."""
+    blob = _incompressible(1 << 20).hex()
+    html = (f"<html><head><title>Hex</title></head><body><div>"
+            f"<p>some words before the dump {blob}</p></div></body></html>").encode()
+    row = extract_page("http://x.example/hex", html)
+    assert row["status"] == "ok"
+    for kw in row["keywords"] or []:
+        assert len(kw) <= 101  # bigram of two <=50-char tokens max
