@@ -45,6 +45,7 @@ HEADLINE = [
     "q_dedup_embedding_bucketed",
     "q_dedup_clusters",
     "q_dedup_editdistance",
+    "q_tfidf",
     "q_langid",
     "q_quality_score",
     "q_token_count",

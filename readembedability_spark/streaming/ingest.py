@@ -126,3 +126,32 @@ def streaming_host_sessions(pages_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_crawl_sessions(
+    pages_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window crawl activity per host (O-28 extended): a
+    "session" = a burst of captures from one host separated by < gap —
+    the built-in streaming analogue of the batch q_sessionize
+    (gap-based sessionization). ``F.session_window`` keeps per-key
+    state bounded by the watermark; late rows beyond it are dropped.
+    At 10^12 rows the shuffle key is (host, session) and hosts are
+    ~10^8 — skew handled the same way as the batch path (hot hosts
+    split across sessions over time)."""
+    from readembedability_spark.functions import host_col
+
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(
+            host_col("url").alias("host"),
+            F.session_window("warc_ts", gap).alias("sess"),
+        )
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes_in"),
+        )
+        .select("host", "sess.start", "sess.end", "n_pages", "bytes_in")
+    )

@@ -1486,3 +1486,61 @@ def q_dedup_editdistance(spark, sf_dir):
         cand.filter(dist <= 4)
         .select("a", "b", dist.cast("long").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term scoring — feature extraction for training-data pipelines
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_tfidf",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf
+           FROM toks WHERE w <> '' GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             tf.tf * ln(n.n * 1.0 / df.df) AS tfidf
+      FROM tf JOIN df USING (w) CROSS JOIN n)
+    SELECT doc_id, w, ROUND(tfidf, 4) AS tfidf FROM (
+      SELECT doc_id, w, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY ROUND(tfidf, 6) DESC, w) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (feature extraction / quality
+    signals for training-data curation). Three shuffles — tf groupBy
+    (doc_id, w), df groupBy(w), the w-keyed join — plus the per-doc
+    window; corpus size N is a 1-row broadcast. Ranking ties broken on
+    ROUND(tfidf, 6) then term so cross-engine ulp noise in ln() cannot
+    flip ranks."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("tfidf", 6)), F.asc("w")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "w", F.round("tfidf", 4).alias("tfidf"))
+    )

@@ -100,3 +100,43 @@ def test_streaming_stateful_host_sessions(spark, stream_dirs):
         .filter((got.n_pages != expected.n_pages) | (got.tb != expected.tb))
     assert got.count() == expected.count()
     assert diff.count() == 0
+
+
+def test_streaming_session_windows(spark, stream_dirs, tmp_path):
+    """Session-window aggregation over the stream completes and its
+    per-host page totals reconcile with the raw input."""
+    from readembedability_spark.streaming.ingest import streaming_crawl_sessions
+    import pyspark.sql.functions as F
+    from readembedability_spark.functions import host_col
+
+    in_dir, _, _ = stream_dirs
+    sess = streaming_crawl_sessions(read_pages_stream(spark, str(in_dir)))
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("crawl_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT host, SUM(n_pages) AS n FROM crawl_sessions GROUP BY host"
+    ).collect()
+    raw = (
+        spark.read.parquet(str(in_dir))
+        .groupBy(host_col("url").alias("host"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert {(r["host"], r["n"]) for r in got} == {
+        (r["host"], r["n"]) for r in raw
+    }
+    # session invariant: windows are non-overlapping per host
+    rows = spark.sql(
+        "SELECT host, start, end FROM crawl_sessions ORDER BY host, start"
+    ).collect()
+    prev = {}
+    for r in rows:
+        if r["host"] in prev:
+            assert r["start"] >= prev[r["host"]]
+        prev[r["host"]] = r["end"]
