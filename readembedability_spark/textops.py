@@ -210,13 +210,16 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def _minhash_pairs_df(spark, sf_dir):
+    return _minhash_pairs_from(_shingles_df(spark, sf_dir))
+
+
+def _minhash_pairs_from(shingles):
     # The hash family is compile-time constant (_N_MINHASH members), so
     # all minima are computed as parallel aggregate expressions in ONE
     # groupBy(doc_id) — no broadcast row-expansion join, no second
     # shuffle (the crossJoin(range(N)) formulation costs an N× row blowup
     # plus a groupBy(doc_id, i) AND a groupBy(doc_id, band) exchange).
     rows_per_band = _N_MINHASH // _N_BANDS
-    shingles = _shingles_df(spark, sf_dir)
     mh = shingles.groupBy("doc_id").agg(
         *[
             F.min(
@@ -328,8 +331,13 @@ def q_dedup_lsh_verified(spark, sf_dir):
 
 
 def _verified_pairs_df(spark, sf_dir):
-    cand = _minhash_pairs_df(spark, sf_dir)
-    shingles = _shingles_df(spark, sf_dir)
+    # The shingle table feeds FOUR subtrees (minhash candidates, both
+    # sides of the intersection join, the size table); without an
+    # explicit persist Catalyst recomputes it per reference — measured
+    # 10 scans of the documents parquet in one plan. At 100 TB you
+    # materialize the shingle table once (cache/table), never 4×.
+    shingles = _shingles_df(spark, sf_dir).persist()
+    cand = _minhash_pairs_from(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = shingles.select(F.col("doc_id").alias("a"), "sh")
     sb = shingles.select(F.col("doc_id").alias("b"), "sh")
@@ -861,7 +869,8 @@ def q_ann_bucketed(spark, sf_dir):
     join is an equi-join on (band, bsig) — never a cross join of the
     full embeddings table. Top-1 recall ≈ 1-(1-(1-θ/π)^4)^8 ≈ 0.83 at
     cosine 0.5 vs the brute-force q_ann_cosine baseline."""
-    bands = _emb_bands_df(spark, sf_dir)
+    # bands feeds both the candidate side and the filtered query side
+    bands = _emb_bands_df(spark, sf_dir).persist()
     qb = bands.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "band", "bsig"
     )
@@ -1524,7 +1533,9 @@ def q_tfidf(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # tf feeds both the df aggregation and the scored join — persist
+    # so the (doc_id, w) aggregation happens once, not per reference
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).persist()
     df = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
     scored = (
