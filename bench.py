@@ -13,6 +13,7 @@ it runs out-of-band and writes BENCH/BASELINE.md.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -93,6 +94,11 @@ def main() -> None:
         t0 = time.monotonic()
         qd.spark(spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
+        # per-query isolation: drop caches persisted inside the query and
+        # collect the Python-side DF graphs now, so one query's storage
+        # doesn't pressure the next one's executors
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -960,8 +960,9 @@ def q_dedup_embedding_bucketed(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    # norms once per vector, not per pair — cuts 2/3 of the dot products
-    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    # norms once per vector, not per pair — cuts 2/3 of the dot products;
+    # persisted: emb anchors both pair sides (2 scans otherwise)
+    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e")))).persist()
     ca = emb.select(
         F.col("vec_id").alias("a"),
         F.col("e").alias("ea"),
@@ -1027,9 +1028,11 @@ def q_ann_ivf(spark, sf_dir):
     then exact cosine top-3 ONLY within the assigned cell via an
     equi-join on the cell id. nprobe=1 here; multi-probe = top-p
     centroids per query, same plan shape."""
+    # emb feeds the centroid reduce, the query side, and the candidate
+    # join - persist so the base table is scanned once, not per reference
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    )
+    ).persist()
     dims = emb.select(
         "vec_id", "label", F.posexplode("e")
     ).withColumnsRenamed({"pos": "d", "col": "x"})
@@ -1476,11 +1479,13 @@ def q_dedup_editdistance(spark, sf_dir):
     a stronger key, e.g. first-2-words fingerprint); the quadratic
     Levenshtein DP runs only on blocked candidate pairs."""
     docs = _t(spark, sf_dir, "documents")
+    # heads anchors both sides of the blocking self-join - persist so
+    # the text column is scanned once
     heads = docs.select(
         "doc_id",
         F.concat_ws(" ", F.slice(F.split("text", " "), 1, 6)).alias("head"),
         F.element_at(F.split("text", " "), 1).alias("w1"),
-    )
+    ).persist()
     x = heads.select(
         F.col("doc_id").alias("a"), F.col("head").alias("ha"), "w1"
     )
