@@ -47,6 +47,7 @@ HEADLINE = [
     "q_dedup_clusters",
     "q_dedup_editdistance",
     "q_tfidf",
+    "q_curation_pipeline",
     "q_langid",
     "q_quality_score",
     "q_token_count",

@@ -1560,3 +1560,74 @@ def q_tfidf(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "w", F.round("tfidf", 4).alias("tfidf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation: the composition the training-data ops exist for
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_curation_pipeline",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+               / NULLIF(length(text), 0) AS alpha_ratio,
+             md5(text) AS h
+      FROM documents),
+    gated AS (
+      SELECT * FROM scored
+      WHERE lang IN ('en', 'de', 'fr')
+        AND n_tokens >= 30
+        AND alpha_ratio >= 0.6),
+    keep AS (
+      SELECT doc_id, lang, n_tokens, h,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS n_dups
+      FROM gated)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_dups AS BIGINT) AS n_dups
+    FROM keep WHERE rn = 1
+    """,
+)
+def q_curation_pipeline(spark, sf_dir):
+    """The end-to-end curation composition the training-data operators
+    exist for: language allowlist → quality gates (token count +
+    alphabetic ratio) → exact dedup keeping the lowest doc_id per
+    content hash, emitting the curated set with duplicate multiplicity.
+    One shuffle (the dedup window on the content hash) — the quality
+    gates are row-local and push into the scan; at 100 TB swap the
+    exact-dedup window for the MinHash-LSH → verify → cluster chain
+    (q_minhash_lsh → q_dedup_lsh_verified → q_dedup_clusters) keyed by
+    cluster rep instead of md5."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.nullif(
+        F.length("text").cast("double"), F.lit(0.0)
+    )
+    gated = (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            alpha.alias("alpha_ratio"),
+            F.md5(F.encode("text", "UTF-8")).alias("h"),
+        )
+        .filter(F.col("lang").isin("en", "de", "fr"))
+        .filter((F.col("n_tokens") >= 30) & (F.col("alpha_ratio") >= 0.6))
+    )
+    w_keep = Window.partitionBy("h").orderBy("doc_id")
+    w_cnt = Window.partitionBy("h")
+    return (
+        gated.withColumn("rn", F.row_number().over(w_keep))
+        .withColumn("n_dups", F.count("*").over(w_cnt))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_dups").cast("long").alias("n_dups"),
+        )
+    )
