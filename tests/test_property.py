@@ -79,3 +79,54 @@ def test_textify_output_whitespace_canonical(text):
     assert "  " not in out
     assert out == out.strip()
     assert "​" not in out and "﻿" not in out
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                 max_size=200, unique=True),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_capped_bucket_pairs_invariants(spark, buckets):
+    """For ANY bucket contents, _capped_bucket_pairs must (1) bound the
+    per-bucket pair count at C(cap,2)+(k-cap), (2) keep every bucket
+    member connected to the bucket minimum (directly or via head
+    pairs), and (3) emit only a<b pairs from within one bucket."""
+    from readembedability_spark.textops import _MAX_BUCKET_IDS, _capped_bucket_pairs
+
+    rows = [(i, sorted(ids)) for i, ids in enumerate(buckets)]
+    df = spark.createDataFrame(rows, "bucket int, ids array<bigint>")
+    pairs = [(r["a"], r["b"]) for r in _capped_bucket_pairs(df).collect()]
+    assert all(a < b for a, b in pairs)
+    # per-bucket bound (global pairs are distinct across buckets, so the
+    # union bound applies)
+    cap = _MAX_BUCKET_IDS
+    bound = sum(
+        min(len(ids), cap) * (min(len(ids), cap) - 1) // 2
+        + max(len(ids) - cap, 0)
+        for ids in buckets
+    )
+    assert len(pairs) <= bound
+    # connectivity: within each bucket, every id reaches the bucket min
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    for ids in buckets:
+        if len(ids) < 2:
+            continue
+        ids = sorted(ids)
+        seen = {ids[0]}
+        stack = [ids[0]]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        assert set(ids) <= seen
