@@ -777,11 +777,13 @@ _COS_SQL = (
 #: bucket (q_ann_lsh) has recall (1-θ/π)^8 ≈ 0.04 at cosine 0.5 — on
 #: this corpus the 14 true near-dup pairs share NO single-table bucket
 #: (measured). Banding restores recall exactly like MinHash banding:
-#: with b bands of r planes, recall = 1 - (1 - (1-θ/π)^r)^b ≈ 0.83 for
-#: r=4, b=8 at cosine 0.5, while candidates stay per-bucket (no
-#: all-pairs). At 100 TB, r scales with log(n) for bucket selectivity.
-_N_EMB_PLANES = 32
-_N_EMB_BANDS = 8  # 8 bands × 4 planes
+#: with b bands of r planes, recall = 1 - (1 - (1-θ/π)^r)^b; measured
+#: on this corpus: 8 bands → 9/14 dedup pairs, 16 bands → 14/14 with
+#: candidates still 37% below all-pairs even at this tiny scale.
+#: At 100 TB, r scales with log(n) for bucket selectivity and the
+#: candidate fraction collapses.
+_N_EMB_PLANES = 64
+_N_EMB_BANDS = 16  # 16 bands × 4 planes
 
 _EMB_BANDS_SQL = f"""
     dims AS (
@@ -863,7 +865,7 @@ def _emb_bands_df(spark, sf_dir):
 )
 def q_ann_bucketed(spark, sf_dir):
     """The composed scale-path ANN: banded multi-table hyperplane LSH
-    (8 bands × 4 planes) → candidates = vectors sharing ANY band with
+    (16 bands × 4 planes) → candidates = vectors sharing ANY band with
     the query → exact cosine top-5 over candidates only. The query-side
     band table (n_queries × bands rows) is broadcast; the candidate
     join is an equi-join on (band, bsig) — never a cross join of the
