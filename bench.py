@@ -48,6 +48,8 @@ HEADLINE = [
     "q_dedup_editdistance",
     "q_tfidf",
     "q_curation_pipeline",
+    "q_gopher_rules",
+    "q_doc_repetition",
     "q_langid",
     "q_quality_score",
     "q_token_count",

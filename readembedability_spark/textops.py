@@ -1633,3 +1633,130 @@ def q_curation_pipeline(spark, sf_dir):
             F.col("n_dups").cast("long").alias("n_dups"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules + within-document repetition signals
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_gopher_rules",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tok_stats AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             AVG(length(w)) AS mean_wl,
+             SUM(CASE WHEN w IN ('the','and','of','to','in','is','that',
+                                 'it','was','for') THEN 1 ELSE 0 END) * 1.0
+               / COUNT(*) AS stop_frac
+      FROM toks WHERE w <> '' GROUP BY doc_id),
+    chars AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / NULLIF(length(text), 0) AS sym_ratio
+      FROM documents)
+    SELECT t.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(mean_wl, 4) AS mean_word_len,
+           ROUND(stop_frac, 4) AS stop_frac,
+           ROUND(sym_ratio, 4) AS symbol_ratio,
+           CAST(mean_wl BETWEEN 3 AND 10
+                AND sym_ratio <= 0.1
+                AND n_tokens BETWEEN 50 AND 100000 AS BOOLEAN) AS passes
+    FROM tok_stats t JOIN chars c ON t.doc_id = c.doc_id
+    """,
+)
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style document quality rules (mean word length bounds,
+    symbol-to-char ratio, token-count bounds, stopword fraction as a
+    signal) — the rule family large-scale curation pipelines apply
+    before training. All row-local or one groupBy(doc_id): map-side
+    partial agg, no joins beyond the stats merge."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    stop = ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for")
+    tok_stats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.avg(F.length("w")).alias("mean_wl"),
+        (
+            F.sum(F.when(F.col("w").isin(*stop), 1).otherwise(0))
+            / F.count("*")
+        ).alias("stop_frac"),
+    )
+    chars = docs.select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+            / F.nullif(F.length("text").cast("double"), F.lit(0.0))
+        ).alias("sym_ratio"),
+    )
+    passes = (
+        F.col("mean_wl").between(3, 10)
+        & (F.col("sym_ratio") <= 0.1)
+        & F.col("n_tokens").between(50, 100000)
+    )
+    return (
+        tok_stats.join(chars, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("mean_wl", 4).alias("mean_word_len"),
+            F.round("stop_frac", 4).alias("stop_frac"),
+            F.round("sym_ratio", 4).alias("symbol_ratio"),
+            passes.alias("passes"),
+        )
+    )
+
+
+@q(
+    "q_doc_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS i,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    big AS (
+      SELECT doc_id,
+             lag(w) OVER (PARTITION BY doc_id ORDER BY i) || ' ' || w AS bg
+      FROM toks),
+    cnt AS (
+      SELECT doc_id, bg, COUNT(*) AS c
+      FROM big WHERE bg IS NOT NULL GROUP BY doc_id, bg),
+    tot AS (
+      SELECT doc_id, MAX(c) AS m, SUM(c) AS t FROM cnt GROUP BY doc_id)
+    SELECT doc_id, CAST(m AS BIGINT) AS top_bigram_count,
+           ROUND(m * 1.0 / t, 4) AS top_bigram_frac
+    FROM tot
+    """,
+)
+def q_doc_repetition(spark, sf_dir):
+    """Within-document repetition signal (Gopher's repetition family):
+    the most frequent bigram's share of all bigrams — high values flag
+    boilerplate/spam/generated loops. Bigrams via a lag window over
+    token positions (no self-join); two aggregations, both keyed by
+    doc_id so the shuffle is one exchange reused."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " "))
+    ).withColumnsRenamed({"pos": "i", "col": "w"})
+    w_lag = Window.partitionBy("doc_id").orderBy("i")
+    big = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.lag("w").over(w_lag), F.col("w")).alias("bg"),
+        F.lag("w").over(w_lag).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    cnt = big.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("m"), F.sum("c").alias("t")
+    )
+    return tot.select(
+        "doc_id",
+        F.col("m").cast("long").alias("top_bigram_count"),
+        F.round(F.col("m") / F.col("t"), 4).alias("top_bigram_frac"),
+    )
