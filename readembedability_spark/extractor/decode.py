@@ -88,7 +88,10 @@ def gunzip_if_needed(blob: bytes, limit: int | None = None) -> bytes:
     ``limit`` (never materializing the full payload), so callers can
     quarantine zip bombs as status='oversize' before parsing. Corrupt
     streams fall back to the raw bytes; truncated streams yield the
-    decompressible prefix."""
+    decompressible prefix. Multi-member streams (the WARC-derived
+    norm: one gzip member per record, concatenated) are decompressed
+    member-by-member under the same running cap — a fresh decompressobj
+    restarts on each member's unused_data."""
     if blob[:2] != b"\x1f\x8b":
         return blob
     try:
@@ -102,9 +105,16 @@ def gunzip_if_needed(blob: bytes, limit: int | None = None) -> bytes:
                 out += chunk
                 if limit is not None and len(out) > limit:
                     raise OversizeDecompressed(len(out))
-            elif not tail:
+            elif not tail and not d.eof:
                 break
             if d.eof:
+                # member boundary: restart on the next member if the
+                # trailing bytes look like another gzip header
+                rest = d.unused_data
+                if rest[:2] == b"\x1f\x8b":
+                    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                    tail = rest
+                    continue
                 break
         return bytes(out)
     except OversizeDecompressed:

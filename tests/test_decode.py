@@ -64,3 +64,41 @@ def test_default_utf8_with_replacement():
 def test_unknown_charset_falls_back():
     blob = b'<meta charset="not-a-charset"><body>x</body>'
     assert decode_html(blob)
+
+
+def test_gunzip_multi_member():
+    """WARC-style concatenated gzip members decompress end-to-end (ADVICE
+    r02: the incremental loop used to stop at the first member's eof)."""
+    from readembedability_spark.extractor.decode import gunzip_if_needed
+
+    a = gzip.compress(b"<html><body>first member</body></html>")
+    b = gzip.compress(b"<p>second member</p>")
+    c = gzip.compress(b"tail member")
+    assert gunzip_if_needed(a + b + c) == (
+        b"<html><body>first member</body></html>"
+        b"<p>second member</p>" b"tail member"
+    )
+
+
+def test_gunzip_multi_member_cap_spans_members():
+    """The zip-bomb output cap applies across members, not per member."""
+    import pytest
+
+    from readembedability_spark.extractor.decode import (
+        OversizeDecompressed,
+        gunzip_if_needed,
+    )
+
+    members = b"".join(gzip.compress(b"x" * 1000) for _ in range(10))
+    assert len(gunzip_if_needed(members, limit=20_000)) == 10_000
+    with pytest.raises(OversizeDecompressed):
+        gunzip_if_needed(members, limit=5_000)
+
+
+def test_gunzip_multi_member_trailing_garbage():
+    """Non-gzip trailing bytes after the last member are ignored (not an
+    error, not emitted)."""
+    from readembedability_spark.extractor.decode import gunzip_if_needed
+
+    blob = gzip.compress(b"payload") + b"\x00\x01garbage"
+    assert gunzip_if_needed(blob) == b"payload"
