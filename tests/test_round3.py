@@ -1,0 +1,259 @@
+"""Round-3 guarantees (VERDICT r02 tasks): trained-IVF recall tunable
+via nprobe, large-star/small-star CC correctness + log-round
+convergence + loud non-convergence, edit-distance blocking bounded on a
+skewed corpus, and cache hygiene — release_caches() leaves zero
+persisted RDDs/tables after every storage-pinning registry query."""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import readembedability_spark.textops as textops
+from readembedability_spark.queries import (
+    _PERSISTED,
+    REGISTRY,
+    release_caches,
+)
+from readembedability_spark.textops import (
+    _ann_ivf_kmeans_df,
+    _connected_components,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF with trained quantizer: multi-probe recall
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_top3(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from readembedability_spark.textops import _dot
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    cs = emb.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    sim = _dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(sim, 6)), F.asc("cid")
+    )
+    rows = (
+        qs.crossJoin(cs)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cid")
+        .collect()
+    )
+    truth: dict[int, set] = {}
+    for r in rows:
+        truth.setdefault(r["qid"], set()).add(r["cid"])
+    return truth
+
+
+def _recall(spark, sf_dir, truth, nprobe: int) -> float:
+    got: dict[int, set] = {}
+    for r in _ann_ivf_kmeans_df(spark, sf_dir, nprobe).collect():
+        got.setdefault(r["qid"], set()).add(r["cid"])
+    release_caches(spark)
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    return hits / sum(len(t) for t in truth.values())
+
+
+def test_ivf_kmeans_multiprobe_beats_single_probe(spark):
+    """Multi-probe IVF (VERDICT r02 #3/#4): recall@3 vs brute force is
+    strictly better at nprobe=2 than nprobe=1 on sf0.01 (measured
+    0.90 vs 0.80), and the shipped nprobe=2 recall clears 0.85."""
+    truth = _brute_force_top3(spark, SF_MED)
+    r1 = _recall(spark, SF_MED, truth, nprobe=1)
+    r2 = _recall(spark, SF_MED, truth, nprobe=2)
+    assert r2 > r1, (r1, r2)
+    assert r2 >= 0.85, r2
+
+
+# ---------------------------------------------------------------------------
+# Connected components: large-star/small-star
+# ---------------------------------------------------------------------------
+
+
+def _uf_labels(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_matches_union_find_random_graphs(spark):
+    import random
+
+    rng = random.Random(42)
+    for _ in range(3):
+        n = rng.randint(10, 80)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(1, 2 * n))
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r["node"]: r["label"]
+            for r in _connected_components(spark, df).collect()
+        }
+        release_caches(spark)
+        assert got == _uf_labels(edges)
+
+
+def test_cc_chain_converges_in_log_rounds(spark):
+    """A 64-node chain (worst case for plain min-label propagation:
+    diameter 64) converges in O(log n) star rounds, not O(n)."""
+    chain = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(chain, "a long, b long")
+    got = {
+        r["node"]: r["label"] for r in _connected_components(spark, df).collect()
+    }
+    release_caches(spark)
+    assert set(got.values()) == {0} and len(got) == 65
+    assert textops._CC_LAST_ROUNDS <= 8, textops._CC_LAST_ROUNDS
+
+
+def test_cc_raises_on_round_exhaustion(spark, monkeypatch):
+    """Non-convergence is LOUD (ADVICE r02): the loop raises instead of
+    silently emitting wrong labels."""
+    monkeypatch.setattr(textops, "_CC_MAX_ROUNDS", 1)
+    chain = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(chain, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _connected_components(spark, df)
+    release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance blocking on a skewed ("the ...") corpus
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def the_corpus(tmp_path_factory):
+    """200 docs ALL starting with 'the' (first-word blocking would put
+    every doc in ONE quadratic block) + 3 planted near-dup pairs."""
+    d = tmp_path_factory.mktemp("the_corpus")
+    texts, ids = [], []
+    for i in range(200):
+        ids.append(i)
+        texts.append(f"the w{i} alpha beta gamma delta epsilon zeta")
+    # planted near dups: same first-2 words, 1-char head difference
+    for j, i in enumerate(range(200, 206)):
+        ids.append(i)
+        texts.append(
+            f"the pair{j // 2} alpha beta gamma delt{'a' if i % 2 else 'x'}"
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["synth"] * len(ids)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_editdistance_block_key_bounded_on_skew(spark, the_corpus):
+    from pyspark.sql import functions as F
+
+    # max block size under the query's own key definition: first-2-words
+    # md5 — bounded (2 per planted pair) where first-word blocking would
+    # have one 206-doc quadratic block
+    docs = spark.read.parquet(f"{the_corpus}/documents.parquet")
+    blk = F.md5(
+        F.encode(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)), "UTF-8")
+    )
+    max_block = (
+        docs.groupBy(blk.alias("blk"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_block <= 2, max_block
+
+    out = REGISTRY["q_dedup_editdistance"].spark(spark, the_corpus).collect()
+    release_caches(spark)
+    got = sorted((r["a"], r["b"], r["dist"]) for r in out)
+    assert got == [(200, 201, 1), (202, 203, 1), (204, 205, 1)], got
+
+
+def test_editdistance_join_keyed_by_fingerprint(spark):
+    """The blocking join is an equi-join on the md5 fingerprint column,
+    so the fingerprint is the shuffle key (not the raw first word)."""
+    df = REGISTRY["q_dedup_editdistance"].spark(spark, SF_MED)
+    plan = _plan(df)
+    release_caches(spark)
+    assert re.search(r"\[blk#\d+\]", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# Cache hygiene: zero pinned storage after release_caches
+# ---------------------------------------------------------------------------
+
+_PINNING_QUERIES = [
+    "q_dedup_lsh_verified",
+    "q_dedup_clusters",
+    "q_ann_bucketed",
+    "q_dedup_embedding_bucketed",
+    "q_ann_ivf",
+    "q_ann_ivf_kmeans",
+    "q_dedup_editdistance",
+    "q_tfidf",
+    "q_curation_pipeline_lsh",
+]
+
+
+@pytest.mark.parametrize("name", _PINNING_QUERIES)
+def test_release_caches_leaves_no_storage(spark, name):
+    """Every query that persists/localCheckpoints intermediates leaves
+    ZERO persisted RDDs (incl. checkpoint blocks) and no tracked DFs
+    once the caller materializes and calls release_caches — the
+    documented session contract (VERDICT r02 wrong #3 / ADVICE r02)."""
+    REGISTRY[name].spark(spark, SF_SMALL).count()
+    release_caches(spark)
+    assert not _PERSISTED
+    assert (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0  # noqa: SLF001
+    )
