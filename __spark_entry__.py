@@ -71,6 +71,11 @@ _GATE_PRIORITY = [
     "q_gopher_rules",
     "q_doc_repetition",
     "q_doc_repetition_ngrams",
+    "q_dedup_substring",
+    "q_pii_scrub",
+    "q_sample_stratified",
+    "q_pack_sequences",
+    "q_decontaminate",
     "q_scan_documents",
     "q_filter_lang",
     "q_dedup_url",
@@ -82,13 +87,8 @@ _GATE_PRIORITY = [
     "q_window_topk",
     "q_window_running",
     "q_sessionize",
-    "q_topk_orders",
-    "q_union_runs",
     "q_explode_terms",
-    "q_date_trunc",
-    "q_json_props",
     "q_resume_anti",
-    "q_resume_semi",
     "q_udf_host",
     "q_tpch_q1",
     "q_grouped_pandas_stats",

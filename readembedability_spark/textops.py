@@ -2146,6 +2146,281 @@ def q_doc_repetition(spark, sf_dir):
     )
 
 
+def _grams_sql(src: str, n: int) -> str:
+    """DuckDB CTE fragment `grams(doc_id, g)` — DISTINCT word n-grams
+    over any (doc_id, text) relation; docs shorter than n tokens emit
+    nothing."""
+    return f"""
+    arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {src}),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(arr) - {n - 2}),
+                    k -> array_to_string(list_slice(arr, k, k + {n - 1}), ' ')))
+               AS g
+      FROM arrs WHERE len(arr) >= {n})
+"""
+
+
+def _grams_from(docs, n: int):
+    """(doc_id, g) DISTINCT word n-grams from a (doc_id, text) DF."""
+    arrs = docs.select("doc_id", F.split("text", " ").alias("arr")).filter(
+        F.size("arr") >= n
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("arr") - (n - 1)),
+        lambda k: F.concat_ws(" ", F.slice("arr", k, F.lit(n))),
+    )
+    return arrs.select("doc_id", F.explode(grams).alias("g")).distinct()
+
+
+@q(
+    "q_dedup_substring",
+    f"""
+    WITH {_grams_sql("documents", 8)},
+    gdf AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+    per AS (
+      SELECT grams.doc_id,
+             COUNT(*) AS total,
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS dup
+      FROM grams JOIN gdf USING (g) GROUP BY grams.doc_id)
+    SELECT doc_id, CAST(total AS BIGINT) AS n_grams,
+           CAST(dup AS BIGINT) AS dup_grams,
+           ROUND(dup * 1.0 / total, 4) AS dup_frac
+    FROM per
+    """,
+)
+def q_dedup_substring(spark, sf_dir):
+    """Cross-document duplicated-substring signal (the ExactSubstr-dedup
+    family, Lee et al. "Deduplicating Training Data Makes Language
+    Models Better"): per document, the fraction of its distinct 8-grams
+    that also occur in ANOTHER document — high values flag boilerplate
+    mirrored across the corpus (the within-doc analogue is
+    q_doc_repetition). Plan: one groupBy(g) document-frequency shuffle
+    keyed by the gram, join back keyed by the gram, then a
+    groupBy(doc_id) rollup. At 100 TB the gram table is the cost (≈
+    n_tokens rows): hash each gram to an 8-byte id before the shuffle
+    (xxhash64) and run per-crawl-partition first — same plan, smaller
+    keys; a true suffix-array ExactSubstr is a different (offline)
+    algorithm this signal approximates."""
+    grams = _persist(
+        _grams_from(_t(spark, sf_dir, "documents").select("doc_id", "text"), 8)
+    )
+    gdf = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
+    per = (
+        grams.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("dup"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("total").cast("long").alias("n_grams"),
+        F.col("dup").cast("long").alias("dup_grams"),
+        F.round(F.col("dup") / F.col("total"), 4).alias("dup_frac"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+@q(
+    "q_pii_scrub",
+    f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com at http://h' || CAST(doc_id AS VARCHAR)
+                  || '.example.org/x' AS t
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(t, '{_URL_RE}')) AS n_urls,
+             regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_URL_RE}', '<URL>', 'g') AS clean
+      FROM enriched)
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_urls AS BIGINT) AS n_urls,
+           md5(clean) AS scrubbed_md5
+    FROM scrubbed
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing pass (training-data hygiene): count and redact
+    email- and URL-shaped spans, emitting redaction counts plus the md5
+    of the scrubbed text (the hash proves both engines produced the
+    SAME scrubbed bytes). The synthetic corpus carries no PII, so a
+    deterministic email+URL per doc is appended first — the scrub
+    expressions are the operator under test. Entirely row-local
+    (regexp_count + regexp_replace in whole-stage codegen): zero
+    shuffle in front of a 100 TB scan. Patterns are RE2/Java-regex
+    portable (no lookbehind)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at http://h"),
+        F.col("doc_id").cast("string"),
+        F.lit(".example.org/x"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(_URL_RE)).cast("long").alias("n_urls"),
+        F.md5(F.encode(clean, "UTF-8")).alias("scrubbed_md5"),
+    )
+
+
+#: per-language sampling rates as 8-hex-digit thresholds on the first
+#: 8 chars of md5(doc_id) — lexicographic compare on fixed-width
+#: lowercase hex ≡ numeric compare on the top 32 hash bits, and both
+#: engines compare strings identically (no float/hex-parse portability
+#: trap). '80000000' = keep ~50%, '40000000' ≈ 25%, '19999999' ≈ 10%.
+_SAMPLE_THRESHOLDS = [
+    ("en", "80000000"),
+    ("de", "40000000"),
+    ("fr", "40000000"),
+]
+_SAMPLE_DEFAULT = "19999999"
+
+_SAMPLE_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lang}' THEN '{th}'" for lang, th in _SAMPLE_THRESHOLDS)
+    + f" ELSE '{_SAMPLE_DEFAULT}' END"
+)
+
+
+@q(
+    "q_sample_stratified",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < {_SAMPLE_CASE_SQL}
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling for training-mix construction:
+    keep a per-language fraction of documents by comparing the top 32
+    bits of md5(doc_id) against a per-stratum threshold — reproducible
+    across engines, runs and cluster sizes (no RNG state), and
+    row-local, so it pushes into the scan as a filter: zero shuffle.
+    This is how large-scale pipelines implement language/quality
+    re-weighting (e.g. upsample en, downsample boilerplate strata) —
+    swap doc_id for a content fingerprint to make the sample stable
+    under re-crawls."""
+    docs = _t(spark, sf_dir, "documents")
+    th = F.lit(_SAMPLE_DEFAULT)
+    for lang, t in reversed(_SAMPLE_THRESHOLDS):
+        th = F.when(F.col("lang") == lang, F.lit(t)).otherwise(th)
+    u = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 8)
+    return docs.filter(u < th).select("doc_id", "lang")
+
+
+_PACK_SEQ_TOKENS = 4096
+
+
+@q(
+    "q_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // {_PACK_SEQ_TOKENS} AS BIGINT) AS seq_id
+      FROM toks)
+    SELECT lang, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+    FROM packed GROUP BY lang, seq_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM pre-training: concatenate documents (in
+    deterministic doc_id order within each language stream) into
+    ~4096-token training sequences — seq_id = floor(tokens-before /
+    4096), i.e. a running-sum window, then per-sequence stats. One
+    shuffle (partitionBy lang) reused by the window AND the final
+    groupBy(lang, seq_id) since the key is a prefix. At 100 TB the
+    stream key would be (lang, shard) so each packing window stays
+    executor-sized; packing is the last stage before tokenized shard
+    writes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / _PACK_SEQ_TOKENS
+        ).alias("seq_id"),
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+    )
+
+
+@q(
+    "q_decontaminate",
+    f"""
+    WITH evalset AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    {_grams_sql("evalset", 13)},
+    egrams AS (SELECT DISTINCT g FROM grams),
+    train AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+    tarr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM train),
+    tgrams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(arr) - 11),
+                    k -> array_to_string(list_slice(arr, k, k + 12), ' ')))
+               AS g
+      FROM tarr WHERE len(arr) >= 13)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM tgrams t JOIN egrams e ON t.g = e.g
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/Llama 13-gram rule): flag
+    training documents sharing any 13-gram with the eval set (here a
+    deterministic held-out slice, doc_id % 20 = 0 — in production the
+    actual benchmark suite). The eval gram table is tiny relative to
+    the corpus → BROADCAST to the training-gram side, so the only
+    shuffle is the per-doc hit count keyed by doc_id. Emits
+    (doc_id, n_hits) for contaminated docs — the pipeline drops or
+    audits them before training."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    egrams = (
+        _grams_from(docs.filter(F.col("doc_id") % 20 == 0), 13)
+        .select("g")
+        .distinct()
+    )
+    tgrams = _grams_from(docs.filter(F.col("doc_id") % 20 != 0), 13)
+    return (
+        tgrams.join(F.broadcast(egrams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
 @q(
     "q_doc_repetition_ngrams",
     """

@@ -242,7 +242,57 @@ _PINNING_QUERIES = [
     "q_dedup_editdistance",
     "q_tfidf",
     "q_curation_pipeline_lsh",
+    "q_dedup_substring",
 ]
+
+
+# ---------------------------------------------------------------------------
+# New training-data ops: plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_zero_shuffle(spark):
+    """PII scrubbing is row-local: no Exchange in the plan — it rides
+    the scan at any corpus size."""
+    plan = _plan(REGISTRY["q_pii_scrub"].spark(spark, SF_MED))
+    assert "Exchange" not in plan, plan
+
+
+def test_sample_stratified_zero_shuffle(spark):
+    plan = _plan(REGISTRY["q_sample_stratified"].spark(spark, SF_MED))
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """The packing window (partitionBy lang) and the per-sequence rollup
+    (groupBy lang, seq_id) share ONE exchange — lang partitioning
+    satisfies the superset clustering."""
+    plan = _plan(REGISTRY["q_pack_sequences"].spark(spark, SF_MED))
+    # count Exchange NODES (the formatted plan renders each node once in
+    # the tree and once as a "(n) Exchange" detail header)
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-set 13-gram table is broadcast — the training-side gram
+    stream never shuffles on the gram key."""
+    plan = _plan(REGISTRY["q_decontaminate"].spark(spark, SF_MED))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """The synthetic corpus's near-dup docs straddle the eval slice at
+    sf0.01 — contamination must be detected, not vacuously empty."""
+    rows = REGISTRY["q_decontaminate"].spark(spark, SF_MED).collect()
+    release_caches(spark)
+    assert len(rows) >= 1
+    assert all(r["n_hits"] >= 1 for r in rows)
+
+
+def test_dedup_substring_no_cross_join(spark):
+    plan = _plan(REGISTRY["q_dedup_substring"].spark(spark, SF_MED))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 @pytest.mark.parametrize("name", _PINNING_QUERIES)
