@@ -84,6 +84,41 @@ HEADLINE = [
 # composed paths carried the actual perf story).
 
 
+def _probe_single() -> float:
+    """Single-thread host speed (M loop-iters/s), ~0.3 s."""
+    t0 = time.monotonic()
+    n = 0
+    x = 0
+    while time.monotonic() - t0 < 0.3:
+        for _ in range(10000):
+            x += 1
+        n += 10000
+    return round(n / 1e6 / (time.monotonic() - t0), 1)
+
+
+def _probe_worker(_):
+    t0 = time.monotonic()
+    n = 0
+    x = 0
+    while time.monotonic() - t0 < 0.5:
+        for _ in range(10000):
+            x += 1
+        n += 10000
+    return n / (time.monotonic() - t0)
+
+
+def _probe_multi(workers: int = 8) -> float:
+    """Aggregate speed of `workers` concurrent processes (M iters/s) —
+    the signal that actually tracks noisy-neighbor MULTI-core theft on
+    this microVM (the single-thread probe can stay fast while 3/4 of
+    the cores are stolen)."""
+    import multiprocessing as mp
+
+    with mp.get_context("fork").Pool(workers) as pool:
+        rates = pool.map(_probe_worker, range(workers))
+    return round(sum(rates) / 1e6, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -118,6 +153,14 @@ def main() -> None:
         samples.sort()
         return samples[len(samples) // 2], n
 
+    # host-speed probes bracketing the run: this microVM's multi-core
+    # capacity swings 3× within hours under noisy neighbors (measured
+    # 2026-08-16: identical bench code 72 s vs 218 s five hours apart
+    # while the single-thread probe stayed fast) — the probes let
+    # cross-round comparisons normalize instead of misreading host
+    # theft as a code regression
+    probes = {"single_start": _probe_single(), "multi8_start": _probe_multi()}
+
     # untimed warmup: JIT + python worker pool spin-up (steady-state
     # throughput is the metric; cf. bench/scaling.py)
     flagship_extract(spark, f"{Path(sf_dir).parent}/sf0.001").count()
@@ -138,6 +181,9 @@ def main() -> None:
         t_med, _ = timed_median(lambda: qd.spark(spark, sf_dir).count())
         timings[name] = round(t_med, 3)
 
+    probes["single_end"] = _probe_single()
+    probes["multi8_end"] = _probe_multi()
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -149,6 +195,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
+                "host_probes_m_iters_per_sec": probes,
                 "pages_per_sec": round(n_pages / t_extract, 1) if t_extract else None,
                 "pages_per_sec_archetype": (
                     round(n_arch / t_arch, 1) if t_arch else None
