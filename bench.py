@@ -66,6 +66,8 @@ HEADLINE = [
     "q_url_normalize",
     "q_host_stats",
     "q_char_entropy",
+    "q_model_score",
+    "q_mixture_weights",
     "q_langid",
     "q_quality_score",
     "q_token_count",

@@ -2422,6 +2422,104 @@ def q_decontaminate(spark, sf_dir):
 
 
 @q(
+    "q_model_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    feats AS (
+      SELECT doc_id, substr(md5(w), 1, 2) AS b FROM toks WHERE w <> ''),
+    weights AS (
+      SELECT printf('%02x', i) AS b, ((i % 17) - 8) / 8.0 AS wt
+      FROM generate_series(0, 255) t(i)),
+    scored AS (
+      SELECT feats.doc_id, AVG(wt) AS score
+      FROM feats JOIN weights USING (b) GROUP BY feats.doc_id)
+    SELECT doc_id, ROUND(score, 4) AS score,
+           CAST(score > 0 AS BOOLEAN) AS keep
+    FROM scored
+    """,
+)
+def q_model_score(spark, sf_dir):
+    """Linear-model document scoring with the hashing trick (the
+    fastText-style quality-classifier shape every curation pipeline
+    applies at scale): token → feature bucket = first 2 md5 hex chars
+    (256 buckets), model = a 256-row weight table BROADCAST to the
+    token stream, score = mean bucket weight, keep = score > 0. The
+    weights here are a deterministic function of the bucket id so both
+    engines hold the same "model"; in production the table is the
+    trained classifier's weights — same plan: broadcast join + one
+    groupBy(doc_id), no Python in the hot path."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    feats = toks.select(
+        "doc_id", F.substring(F.md5(F.encode("w", "UTF-8")), 1, 2).alias("b")
+    )
+    weights = spark.range(256).select(
+        F.lower(F.lpad(F.hex("id"), 2, "0")).alias("b"),
+        (((F.col("id") % 17) - 8) / 8.0).alias("wt"),
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.avg("wt").alias("score"))
+    )
+    return scored.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        (F.col("score") > 0).alias("keep"),
+    )
+
+
+_MIX_TARGETS = [("en", 0.5), ("de", 0.2), ("fr", 0.2)]
+
+_MIX_TARGETS_SQL = ", ".join(f"('{lang}', {s})" for lang, s in _MIX_TARGETS)
+
+
+@q(
+    "q_mixture_weights",
+    f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    targets(lang, share) AS (VALUES {_MIX_TARGETS_SQL})
+    SELECT d.doc_id, d.lang,
+           ROUND(t.share / (c.n * 1.0 / tt.t), 4) AS sample_weight
+    FROM documents d
+    JOIN targets t ON t.lang = d.lang
+    JOIN counts c ON c.lang = d.lang
+    CROSS JOIN tot tt
+    """,
+)
+def q_mixture_weights(spark, sf_dir):
+    """Training-mixture reweighting: per-document sampling weight =
+    target corpus share / actual share, so downstream samplers (e.g.
+    q_sample_stratified with weight-scaled thresholds) hit a target
+    language mix. Actual shares come from one groupBy(lang) (a handful
+    of rows), the target table and the share table are both broadcast
+    back onto the corpus — the document stream itself never shuffles.
+    Docs outside the target mix get no weight (inner join = excluded),
+    matching how mixes drop out-of-scope languages."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    targets = spark.createDataFrame(_MIX_TARGETS, "lang string, share double")
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(targets), "lang")
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.col("share") / (F.col("n") / F.col("t")), 4
+            ).alias("sample_weight"),
+        )
+    )
+
+
+@q(
     "q_url_normalize",
     """
     WITH raw AS (
