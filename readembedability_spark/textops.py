@@ -979,8 +979,10 @@ def q_ann_bucketed(spark, sf_dir):
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
     )
-    # norms once per vector, not per pair — cuts 2/3 of the dot products
-    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    # norms once per vector, not per pair — cuts 2/3 of the dot products;
+    # persisted: emb anchors BOTH pair sides (the plan audit showed 3
+    # parquet scans of embeddings without it — 3× the IO at 100 TB)
+    emb = _persist(emb.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e")))))
     cq = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),
@@ -2738,25 +2740,24 @@ def q_doc_repetition_ngrams(spark, sf_dir):
         F.sequence(F.lit(0), n_lines - 1),
         lambda k: F.concat_ws(" ", F.slice("arr", k * 10 + 1, F.lit(10))),
     )
-    units = (
-        docs.select(
-            "doc_id", F.lit("g3").alias("kind"), F.explode(grams(3)).alias("unit")
+
+    # ONE scan: tag each unit family inside a single array-of-structs
+    # column and explode once (a 3-way union scans the text column 3×
+    # — 3× the IO at 100 TB for the same rows)
+    def tagged(kind, arr_expr):
+        return F.transform(
+            arr_expr,
+            lambda u: F.struct(
+                F.lit(kind).alias("kind"), u.alias("unit")
+            ),
         )
-        .unionByName(
-            docs.select(
-                "doc_id",
-                F.lit("g4").alias("kind"),
-                F.explode(grams(4)).alias("unit"),
-            )
-        )
-        .unionByName(
-            docs.select(
-                "doc_id",
-                F.lit("line").alias("kind"),
-                F.explode(lines).alias("unit"),
-            )
-        )
-    )
+
+    units = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(tagged("g3", grams(3)), tagged("g4", grams(4)), tagged("line", lines))
+        ).alias("ku"),
+    ).select("doc_id", F.col("ku.kind").alias("kind"), F.col("ku.unit").alias("unit"))
     cnt = units.groupBy("doc_id", "kind", "unit").agg(F.count("*").alias("c"))
     stats = cnt.groupBy("doc_id", "kind").agg(
         F.max("c").alias("m"), F.sum("c").alias("t"), F.count("*").alias("u")
