@@ -76,16 +76,16 @@ _GATE_PRIORITY = [
     "q_sample_stratified",
     "q_pack_sequences",
     "q_decontaminate",
+    "q_model_score",
+    "q_mixture_weights",
     "q_scan_documents",
     "q_filter_lang",
     "q_dedup_url",
     "q_join_orders_lineitem",
     "q_join_broadcast",
     "q_join_range",
-    "q_agg_events",
     "q_rollup_status",
     "q_window_topk",
-    "q_window_running",
     "q_sessionize",
     "q_explode_terms",
     "q_resume_anti",
