@@ -1,21 +1,26 @@
 """A-21: minimal pure-Python PDF text extraction.
 
 Scope (deliberately small — SURVEY.md §7 risk list): parse PDF object
-streams, inflate FlateDecode streams with stdlib zlib, walk ``BT..ET``
-text blocks and collect ``Tj`` / ``TJ`` / ``'`` show-text operators in
-stream order. Handles literal ``( )`` strings with escapes and hex
-``< >`` strings (latin-1 interpretation — no font/CMap decoding).
-Anything non-decodable yields empty text; callers quarantine the row
-with ``status='pdf'`` so PDF behavior can never destabilize HTML bytes.
+streams, decode filter CHAINS of FlateDecode / ASCIIHexDecode /
+ASCII85Decode (applied in declaration order; any unknown filter in the
+chain, e.g. DCTDecode, skips the stream), walk ``BT..ET`` text blocks
+and collect ``Tj`` / ``TJ`` / ``'`` show-text operators in stream
+order. Handles literal ``( )`` strings with escapes and hex ``< >``
+strings (latin-1 interpretation — no font/CMap decoding). Anything
+non-decodable yields empty text; callers quarantine the row with
+``status='pdf'`` so PDF behavior can never destabilize HTML bytes.
 """
 
 from __future__ import annotations
 
+import base64
+import binascii
 import re
 import zlib
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.DOTALL)
-_FLATE_HINT = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # ( literal ) Tj|'   or   [ array ] TJ
 _SHOW_RE = re.compile(
@@ -66,23 +71,73 @@ def _unescape_literal(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_stream(raw: bytes, header_window: bytes, cap: int = 8 << 20) -> bytes:
-    if _FLATE_HINT.search(header_window):
-        # capped inflate: a bombed FlateDecode stream is skipped, not
-        # materialized (unbounded zlib.decompress was an OOM vector).
-        # _STREAM_RE's optional EOL strip can clip a trailing \r (or
-        # \r\n) that is really compressed data whose last byte is 0x0D —
-        # retry with the clipped candidates re-appended.
-        for candidate in (raw, raw + b"\r", raw + b"\r\n", raw + b"\n"):
-            try:
-                d = zlib.decompressobj()
-                out = d.decompress(candidate, cap)
-                if d.eof:
-                    return out
-            except zlib.error:
-                continue
+def _stream_filters(header_window: bytes) -> list[str]:
+    """Filter names, in application order, from the stream dict."""
+    m = _FILTER_RE.search(header_window)
+    if not m:
+        return []
+    return [n.decode("ascii") for n in _NAME_RE.findall(m.group(1))]
+
+
+def _inflate_capped(raw: bytes, cap: int) -> bytes:
+    # capped inflate: a bombed FlateDecode stream is skipped, not
+    # materialized (unbounded zlib.decompress was an OOM vector).
+    # _STREAM_RE's optional EOL strip can clip a trailing \r (or
+    # \r\n) that is really compressed data whose last byte is 0x0D —
+    # retry with the clipped candidates re-appended.
+    for candidate in (raw, raw + b"\r", raw + b"\r\n", raw + b"\n"):
+        try:
+            d = zlib.decompressobj()
+            out = d.decompress(candidate, cap)
+            if d.eof:
+                return out
+        except zlib.error:
+            continue
+    return b""
+
+
+def _ascii_hex_decode(raw: bytes) -> bytes:
+    body = raw.split(b">", 1)[0]
+    body = re.sub(rb"\s+", b"", body)
+    if len(body) % 2:
+        body += b"0"  # PDF spec: odd final digit implies trailing 0
+    try:
+        return binascii.unhexlify(body)
+    except (binascii.Error, ValueError):
         return b""
-    return raw
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    body = re.sub(rb"\s+", b"", raw)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    try:
+        return base64.a85decode(b"<~" + body + b"~>", adobe=True)
+    except (ValueError, binascii.Error):
+        return b""
+
+
+def _decode_stream(raw: bytes, header_window: bytes, cap: int = 8 << 20) -> bytes:
+    """Apply the stream's declared filter chain in order. Unknown
+    filters (image codecs etc.) abort the stream — never a crash."""
+    filters = _stream_filters(header_window)
+    out = raw
+    for name in filters:
+        if not out:
+            return b""
+        if name == "FlateDecode":
+            out = _inflate_capped(out, cap)
+        elif name == "ASCIIHexDecode":
+            out = _ascii_hex_decode(out)
+        elif name == "ASCII85Decode":
+            out = _ascii85_decode(out)
+        else:
+            return b""
+        if len(out) > cap:
+            return b""
+    return out
 
 
 def _texts_from_content(content: bytes) -> list[str]:

@@ -201,3 +201,57 @@ def test_giant_token_not_a_keyword():
     assert row["status"] == "ok"
     for kw in row["keywords"] or []:
         assert len(kw) <= 101  # bigram of two <=50-char tokens max
+
+
+def test_pdf_ascii_hex_stream():
+    import binascii
+
+    content = b"BT (Hex filtered text) Tj ET"
+    body = binascii.hexlify(content) + b">"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /ASCIIHexDecode >>\nstream\n"
+        + body + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "Hex filtered text"
+
+
+def test_pdf_ascii85_flate_chain():
+    """Filter chains apply in declaration order: ASCII85 then Flate."""
+    import base64
+    import zlib
+
+    content = b"BT (Chained filters) Tj ET"
+    body = base64.a85encode(zlib.compress(content), adobe=True)[2:]  # no <~
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n"
+        + body + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "Chained filters"
+
+
+def test_pdf_unknown_filter_skipped():
+    """A DCTDecode (JPEG) stream is skipped, never crashes, and doesn't
+    poison text from other streams."""
+    good = b"BT (Visible) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /DCTDecode >>\nstream\n"
+        b"\xff\xd8\xff\xe0 garbage jpeg bytes\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length 20 >>\nstream\n" + good +
+        b"\nendstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "Visible"
+
+
+def test_pdf_hex_odd_digit_padded():
+    """Spec: an odd final hex digit implies a trailing '0' nibble — the
+    stream still decodes instead of erroring out."""
+    import binascii
+
+    content = b"BT (Odd) Tj ET"
+    # trailing lone nibble '5' -> pads to 0x50 ('P') AFTER the ET block
+    body = binascii.hexlify(content) + b"5" + b">"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /ASCIIHexDecode >>\nstream\n"
+        + body + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "Odd"
