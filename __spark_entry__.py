@@ -46,6 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_archetypes",
+    "q_extract_blocks",
     "q_metrics_rollup",
     "q_dedup_exact",
     "q_minhash_lsh",
@@ -78,7 +79,6 @@ _GATE_PRIORITY = [
     "q_decontaminate",
     "q_model_score",
     "q_mixture_weights",
-    "q_scan_documents",
     "q_filter_lang",
     "q_dedup_url",
     "q_join_orders_lineitem",

@@ -1047,6 +1047,54 @@ def q_extract_archetypes(spark, sf_dir):
 
 
 @q(
+    "q_extract_blocks",
+    """
+    SELECT 'https://docs.example.com/b/' || CAST(doc_id AS VARCHAR) AS url,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           text || chr(10) || chr(10) || trim(substr(text, 1, 80))
+                || chr(10) || chr(10) || trim(substr(text, 1, 50))
+                || chr(10) || trim(substr(text, 51, 50))
+             AS content_text,
+           'ok' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_blocks(spark, sf_dir):
+    """Third oracle-checked extraction archetype: blockquote + <br>
+    content, whose frozen textify form (blockquote = its own
+    \\n\\n-joined block — rule 1; <br> = a hard \\n inside its
+    paragraph — rule 2 of extractor/textify.py) is still
+    SQL-expressible. Together with the flagship (single <p>) and
+    q_extract_archetypes (multi-<p> + <ul>/<li>), the driver now
+    hash-checks three distinct block-structure paths through A-4..A-8."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    quote = F.trim(F.substring("text", 1, 80))
+    l1 = F.trim(F.substring("text", 1, 50))
+    l2 = F.trim(F.substring("text", 51, 50))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit('</title></head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit("</p><blockquote>"),
+            quote,
+            F.lit("</blockquote><p>"),
+            l1,
+            F.lit("<br>"),
+            l2,
+            F.lit("</p></div></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/b/", html)
+    return extract_stage(pages).select("url", "title", "content_text", "status")
+
+
+@q(
     "q_metrics_rollup",
     """
     SELECT CASE WHEN doc_id % 13 = 0 THEN 'empty'
