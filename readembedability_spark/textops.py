@@ -188,7 +188,7 @@ def _minhash_cand_sql(src: str) -> str:
     {_shingles_sql(src)},
     hashes AS (
       SELECT doc_id, i,
-             MIN(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+             MIN(substr(md5(sh), i * 4 + 1, 4)) AS mh
       FROM shingles CROSS JOIN generate_series(0, {_N_MINHASH - 1}) t(i)
       GROUP BY doc_id, i),
     bands AS (
@@ -223,8 +223,9 @@ _MINHASH_CAND_SQL = _minhash_cand_sql("documents")
 def q_minhash_lsh(spark, sf_dir):
     """MinHash(8) over 3-gram shingles + LSH banding (2 bands × 4 rows):
     candidate near-dup pairs sharing a full band signature, with the
-    degenerate-bucket cap (_MAX_BUCKET_IDS). Hash family = md5(i:shingle)
-    — engine portable and deterministic."""
+    degenerate-bucket cap (_MAX_BUCKET_IDS). Hash family = the 8
+    4-hex-char slices of ONE md5(shingle) digest — engine portable,
+    deterministic, and 8× cheaper than a per-family digest."""
     return _minhash_pairs_df(spark, sf_dir)
 
 
@@ -238,12 +239,16 @@ def _minhash_pairs_from(shingles):
     # groupBy(doc_id) — no broadcast row-expansion join, no second
     # shuffle (the crossJoin(range(N)) formulation costs an N× row blowup
     # plus a groupBy(doc_id, i) AND a groupBy(doc_id, band) exchange).
+    # Hash family = 4-hex-char SLICES of ONE md5 per shingle (the
+    # digest's chunks are independent uniform 16-bit hashes — standard
+    # trick): 1 digest instead of _N_MINHASH per shingle row, which is
+    # the dominant CPU of the shingle stage at 100 TB. The md5 column is
+    # projected BEFORE the aggregate so it is evaluated once per row.
     rows_per_band = _N_MINHASH // _N_BANDS
-    mh = shingles.groupBy("doc_id").agg(
+    hashed = shingles.select("doc_id", F.md5(F.encode("sh", "UTF-8")).alias("h"))
+    mh = hashed.groupBy("doc_id").agg(
         *[
-            F.min(
-                F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("sh")), "UTF-8"))
-            ).alias(f"mh{i}")
+            F.min(F.substring("h", i * 4 + 1, 4)).alias(f"mh{i}")
             for i in range(_N_MINHASH)
         ]
     )
@@ -527,8 +532,7 @@ _SIMHASH_SQL = f"""
     {_WORDS_SQL},
     bits AS (
       SELECT doc_id, i,
-             CASE WHEN SUM(CASE WHEN substr(
-                    md5(CAST(i AS VARCHAR) || ':' || w), 1, 1)
+             CASE WHEN SUM(CASE WHEN substr(md5(w), i + 1, 1)
                     IN ('0','1','2','3','4','5','6','7')
                   THEN 1 ELSE -1 END) > 0
                   THEN '1' ELSE '0' END AS bit
@@ -549,25 +553,27 @@ _SIMHASH_SQL = f"""
 )
 def q_simhash(spark, sf_dir):
     """SimHash(16 planes): bit_i = majority over tokens of the MSB of
-    md5(i:token). Emits the signature per doc; q_simhash_pairs runs the
-    banded pair generation over these signatures."""
+    the i-th hex digit of md5(token) (one digest per token, 16
+    independent plane signs). Emits the signature per doc;
+    q_simhash_pairs runs the banded pair generation over these
+    signatures."""
     return _simhash_df(spark, sf_dir)
 
 
 def _simhash_df(spark, sf_dir):
     # One groupBy(doc_id) with _N_SIMHASH_BITS parallel SUM expressions
     # (the plane family is compile-time constant) — no broadcast
-    # row-expansion join, single shuffle, map-side partial agg.
-    words = _words_df(spark, sf_dir)
+    # row-expansion join, single shuffle, map-side partial agg. Plane
+    # family = hex digits of ONE md5(word) digest (each digit's MSB is
+    # an independent fair coin): 1 digest per word row instead of 16.
+    words = _words_df(spark, sf_dir).select(
+        "doc_id", F.md5(F.encode("w", "UTF-8")).alias("h")
+    )
 
     def sign(i):
-        msb = F.substring(
-            F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("w")), "UTF-8")),
-            1,
-            1,
-        )
+        digit = F.substring("h", i + 1, 1)
         return F.when(
-            msb.isin("0", "1", "2", "3", "4", "5", "6", "7"), F.lit(1)
+            digit.isin("0", "1", "2", "3", "4", "5", "6", "7"), F.lit(1)
         ).otherwise(F.lit(-1))
 
     totals = words.groupBy("doc_id").agg(
