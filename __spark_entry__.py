@@ -57,6 +57,7 @@ _GATE_PRIORITY = [
     "q_ann_lsh",
     "q_ann_bucketed",
     "q_dedup_embedding_bucketed",
+    "q_dedup_embedding_clusters",
     "q_ann_ivf",
     "q_ann_ivf_kmeans",
     "q_langid",
@@ -85,7 +86,6 @@ _GATE_PRIORITY = [
     "q_join_broadcast",
     "q_join_range",
     "q_rollup_status",
-    "q_window_topk",
     "q_sessionize",
     "q_explode_terms",
     "q_resume_anti",

@@ -50,6 +50,7 @@ HEADLINE = [
     "q_ann_ivf",
     "q_ann_ivf_kmeans",
     "q_dedup_embedding_bucketed",
+    "q_dedup_embedding_clusters",
     "q_dedup_clusters",
     "q_dedup_editdistance",
     "q_tfidf",

@@ -1018,10 +1018,11 @@ def q_ann_bucketed(spark, sf_dir):
     )
 
 
-@q(
-    "q_dedup_embedding_bucketed",
-    f"""
-    WITH {_EMB_BANDS_SQL},
+#: CTE chain ending in `epairs(a, b, sim)` — banded-LSH-candidate +
+#: exact-cosine-verified embedding near-dup pairs; shared by
+#: q_dedup_embedding_bucketed and q_dedup_embedding_clusters.
+_EMB_VPAIRS_SQL = f"""
+    {_EMB_BANDS_SQL},
     eranked AS (
       SELECT vec_id, band, bsig,
              ROW_NUMBER() OVER (PARTITION BY band, bsig
@@ -1036,14 +1037,23 @@ def q_ann_bucketed(spark, sf_dir):
     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) AS nrm
-          FROM embeddings)
-    SELECT a, b, ROUND(sim, 4) AS sim FROM (
-      SELECT a, b,
-             list_dot_product(ca.e, cb.e) / (ca.nrm * cb.nrm) AS sim
-      FROM ecand
-      JOIN c ca ON ca.vec_id = a
-      JOIN c cb ON cb.vec_id = b)
-    WHERE ROUND(sim, 6) >= 0.45
+          FROM embeddings),
+    epairs AS (
+      SELECT a, b, ROUND(sim, 4) AS sim FROM (
+        SELECT a, b,
+               list_dot_product(ca.e, cb.e) / (ca.nrm * cb.nrm) AS sim
+        FROM ecand
+        JOIN c ca ON ca.vec_id = a
+        JOIN c cb ON cb.vec_id = b)
+      WHERE ROUND(sim, 6) >= 0.45)
+"""
+
+
+@q(
+    "q_dedup_embedding_bucketed",
+    f"""
+    WITH {_EMB_VPAIRS_SQL}
+    SELECT a, b, sim FROM epairs
     """,
 )
 def q_dedup_embedding_bucketed(spark, sf_dir):
@@ -1055,6 +1065,10 @@ def q_dedup_embedding_bucketed(spark, sf_dir):
     bucket work quadratic in bucket size (capped), never in corpus
     size. Expected recall vs the baseline ≈ 0.83 at cosine 0.5 (banded
     LSH trade; r scales with log n at 100 TB)."""
+    return _emb_verified_pairs_df(spark, sf_dir)
+
+
+def _emb_verified_pairs_df(spark, sf_dir):
     bands = _emb_bands_df(spark, sf_dir)
     buckets = bands.groupBy("band", "bsig").agg(
         F.array_sort(F.collect_list("vec_id")).alias("ids")
@@ -1082,6 +1096,40 @@ def q_dedup_embedding_bucketed(spark, sf_dir):
         .join(cb, "b")
         .filter(F.round(sim, 6) >= 0.45)
         .select("a", "b", F.round(sim, 4).alias("sim"))
+    )
+
+
+@q(
+    "q_dedup_embedding_clusters",
+    f"""
+    WITH RECURSIVE {_EMB_VPAIRS_SQL},
+    edges AS (SELECT a, b FROM epairs UNION SELECT b, a FROM epairs),
+    walk(node, reach) AS (
+      SELECT a AS node, a AS reach FROM edges
+      UNION
+      SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a),
+    creps AS (SELECT node, MIN(reach) AS rep FROM walk GROUP BY node)
+    SELECT node AS vec_id, rep,
+           CAST(COUNT(*) OVER (PARTITION BY rep) AS BIGINT)
+             AS component_size
+    FROM creps
+    """,
+)
+def q_dedup_embedding_clusters(spark, sf_dir):
+    """Embedding-space dedup clustering — the embedding analogue of
+    q_dedup_clusters: banded-LSH + cosine-verified near-dup PAIRS
+    (q_dedup_embedding_bucketed) folded into one representative per
+    vector via the same large-star/small-star connected components.
+    This is the semantic-dedup deliverable (SemDeDup-style): keep one
+    doc per embedding cluster. Same O(log n)-round contraction over the
+    O(E) pair rows; oracle = recursive CTE reachability."""
+    pairs = _emb_verified_pairs_df(spark, sf_dir).select("a", "b")
+    labels = _connected_components(spark, pairs)
+    w_sz = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("rep"),
+        F.count("*").over(w_sz).cast("long").alias("component_size"),
     )
 
 
