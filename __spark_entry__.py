@@ -63,7 +63,7 @@ _GATE_PRIORITY = [
     "q_langid",
     "q_quality_score",
     "q_token_count",
-    "q_fingerprint",
+    "q_winnow_fingerprints",
     "q_multimodal_meta",
     "q_join_oembed_providers",
     "q_dedup_editdistance",

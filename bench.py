@@ -73,6 +73,7 @@ HEADLINE = [
     "q_quality_score",
     "q_token_count",
     "q_dedup_exact",
+    "q_winnow_fingerprints",
     "q_multimodal_meta",
     "q_sessionize",
     "q_percentiles",

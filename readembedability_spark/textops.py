@@ -2477,6 +2477,83 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+_WINNOW_K = 4  # k-gram size
+_WINNOW_W = 5  # winnowing window (guarantee: any match ≥ w+k-1 tokens shares a fingerprint)
+
+
+@q(
+    "q_winnow_fingerprints",
+    f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+      WHERE len(string_split(text, ' ')) >= {_WINNOW_K + _WINNOW_W - 1}),
+    grams AS (
+      SELECT doc_id, i,
+             substr(md5(array_to_string(
+                    list_slice(arr, i, i + {_WINNOW_K - 1}), ' ')), 1, 8) AS h
+      FROM (SELECT doc_id, arr,
+                   unnest(range(1, len(arr) - {_WINNOW_K - 2})) AS i
+            FROM arrs)),
+    stats AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    sel AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT g.doc_id, g.i, s.n,
+               MIN(h) OVER (PARTITION BY g.doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WINNOW_W - 1} FOLLOWING) AS fp
+        FROM grams g JOIN stats s ON s.doc_id = g.doc_id)
+      WHERE i <= n - {_WINNOW_W - 1})
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           MIN(fp) AS min_fp, MAX(fp) AS max_fp
+    FROM sel GROUP BY doc_id
+    """,
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    algorithm): hash every 4-gram, slide a 5-hash window, keep each
+    window's minimum — the selected set is position-robust and
+    guarantees any shared run of ≥ w+k-1 tokens yields a shared
+    fingerprint (the local-similarity dedup family, between exact-hash
+    q_fingerprint and set-based MinHash). Variant note: ties select the
+    lexicographic min (not MOSS's rightmost) so both engines agree.
+    Plan: one doc_id-keyed sort window over the gram stream + distinct
+    + per-doc rollup — every exchange keyed by doc_id."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("arr"))
+        .filter(F.size("arr") >= _WINNOW_K + _WINNOW_W - 1)
+    )
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size("arr") - (_WINNOW_K - 1)),
+        lambda i: F.substring(
+            F.md5(F.encode(F.concat_ws(" ", F.slice("arr", i, F.lit(_WINNOW_K))), "UTF-8")),
+            1,
+            8,
+        ),
+    )
+    grams = docs.select("doc_id", F.posexplode(grams_arr)).withColumnsRenamed(
+        {"pos": "i0", "col": "h"}
+    )
+    w_cnt = Window.partitionBy("doc_id")
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("i0")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    sel = (
+        grams.withColumn("n", F.count("*").over(w_cnt))
+        .withColumn("fp", F.min("h").over(w_min))
+        .filter(F.col("i0") <= F.col("n") - _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
 @q(
     "q_model_score",
     """
