@@ -175,6 +175,43 @@ def streaming_near_dup_filter(
     )
 
 
+def streaming_contamination_flags(
+    pages_stream: DataFrame,
+    eval_grams: DataFrame,
+    n: int = 13,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming benchmark decontamination (O-28 × q_decontaminate):
+    flag pages sharing any word n-gram with a STATIC eval-set gram
+    table as they arrive.
+
+    Plan: explode the page's text into n-grams (stateless, same
+    higher-order-transform shape as the batch op), STREAM-STATIC
+    left-semi join against the eval grams (the static side is read
+    fresh per micro-batch — broadcastable, no stream state), then
+    collapse back to one row per url via dropDuplicatesWithinWatermark
+    (bounded state). Emits (url, warc_ts) of contaminated pages — the
+    ingest pipeline routes them to quarantine instead of the training
+    sink."""
+    arr = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    grams = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda k: F.concat_ws(" ", F.slice(arr, k, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = pages_stream.select(
+        "url", "warc_ts", F.explode(grams).alias("g")
+    )
+    hits = exploded.join(eval_grams.select("g"), "g", "left_semi")
+    return (
+        hits.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
+        .select("url", "warc_ts")
+    )
+
+
 def streaming_crawl_sessions(
     pages_stream: DataFrame,
     gap: str = "30 minutes",

@@ -190,3 +190,50 @@ def test_streaming_near_dup_filter(spark, tmp_path):
     assert len(rows) == 2, rows
     assert t_other in texts
     assert (t_dup1 in texts) != (t_dup2 in texts)  # exactly one survives
+
+
+def test_streaming_contamination_flags(spark, tmp_path):
+    """Stream-static decontamination: pages sharing a 13-gram with the
+    static eval table are flagged exactly once; clean pages pass."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from readembedability_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_contamination_flags,
+    )
+
+    ts = datetime(2025, 1, 1, 12, 0, 0)
+    shared = " ".join(f"tok{i}" for i in range(13))
+    contaminated = f"prefix words {shared} suffix words here"
+    clean = " ".join(f"other{i}" for i in range(20))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "url": ["https://x.example.com/dirty", "https://x.example.com/clean"],
+                "warc_ts": pa.array([ts, ts], pa.timestamp("us")),
+                "html": pa.array([b"<html></html>"] * 2, pa.binary()),
+                "text": [contaminated, clean],
+                "lang": ["en", "en"],
+            }
+        ),
+        in_dir / "batch1.parquet",
+    )
+    eval_grams = spark.createDataFrame([(shared,)], "g string")
+    out = streaming_contamination_flags(
+        read_pages_stream(spark, str(in_dir)), eval_grams
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("contamination_flags")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select url from contamination_flags").collect()
+    assert [r["url"] for r in rows] == ["https://x.example.com/dirty"]
