@@ -2233,12 +2233,13 @@ def _grams_from(docs, n: int):
     "q_dedup_substring",
     f"""
     WITH {_grams_sql("documents", 8)},
-    gdf AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+    gh AS (SELECT DISTINCT doc_id, substr(md5(g), 1, 8) AS g FROM grams),
+    gdf AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM gh GROUP BY g),
     per AS (
-      SELECT grams.doc_id,
+      SELECT gh.doc_id,
              COUNT(*) AS total,
              SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS dup
-      FROM grams JOIN gdf USING (g) GROUP BY grams.doc_id)
+      FROM gh JOIN gdf USING (g) GROUP BY gh.doc_id)
     SELECT doc_id, CAST(total AS BIGINT) AS n_grams,
            CAST(dup AS BIGINT) AS dup_grams,
            ROUND(dup * 1.0 / total, 4) AS dup_frac
@@ -2251,19 +2252,25 @@ def q_dedup_substring(spark, sf_dir):
     Models Better"): per document, the fraction of its distinct 8-grams
     that also occur in ANOTHER document — high values flag boilerplate
     mirrored across the corpus (the within-doc analogue is
-    q_doc_repetition). Plan: one groupBy(g) document-frequency shuffle
-    keyed by the gram, join back keyed by the gram, then a
-    groupBy(doc_id) rollup. At 100 TB the gram table is the cost (≈
-    n_tokens rows): hash each gram to an 8-byte id before the shuffle
-    (xxhash64) and run per-crawl-partition first — same plan, smaller
-    keys; a true suffix-array ExactSubstr is a different (offline)
-    algorithm this signal approximates."""
-    grams = _persist(
-        _grams_from(_t(spark, sf_dir, "documents").select("doc_id", "text"), 8)
+    q_doc_repetition). Plan: grams are HASHED to 8-hex-char ids before
+    the shuffle (the gram table is ≈ n_tokens rows at 100 TB; 8-byte
+    keys instead of ~50-byte strings cut the document-frequency
+    exchange ~6×; 32-bit collision noise on the dup fraction is
+    ~|grams|²/2³³ — a handful of grams corpus-wide), then one groupBy(g)
+    document-frequency shuffle, join back keyed by the gram id, and a
+    groupBy(doc_id) rollup. A true suffix-array ExactSubstr is a
+    different (offline) algorithm this signal approximates."""
+    grams = _grams_from(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), 8
     )
-    gdf = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
+    gh = _persist(
+        grams.select(
+            "doc_id", F.substring(F.md5(F.encode("g", "UTF-8")), 1, 8).alias("g")
+        ).distinct()
+    )
+    gdf = gh.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
     per = (
-        grams.join(gdf, "g")
+        gh.join(gdf, "g")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("total"),
