@@ -790,6 +790,40 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+@q(
+    "q_approx_quantiles",
+    """
+    SELECT event_type,
+           CAST(abs(quantile_disc(value, 0.5) - quantile_cont(value, 0.5))
+                <= 0.05 * abs(quantile_cont(value, 0.5)) + 0.05
+                AS BOOLEAN) AS p50_within_tol,
+           CAST(abs(quantile_disc(value, 0.9) - quantile_cont(value, 0.9))
+                <= 0.05 * abs(quantile_cont(value, 0.9)) + 0.05
+                AS BOOLEAN) AS p90_within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_quantiles(spark, sf_dir):
+    """Approximate quantiles (Greenwald-Khanna sketch, O-15 family):
+    like q_approx_distinct, the raw estimates are algorithm-specific
+    per engine, so the cross-engine contract is a tolerance boolean
+    both engines compute — approx-p50/p90 within 5% (+0.05 absolute
+    floor) of the exact interpolated quantile. Spark side: the
+    mergeable approx_percentile sketch (the distributed shape — GK
+    summaries merge map-side); oracle side: DuckDB's discrete quantile
+    plays the 'approximation' against its exact continuous one."""
+    ev = _t(spark, sf_dir, "events")
+    ap = lambda p: F.expr(f"approx_percentile(value, {p}, 1000)")  # noqa: E731
+    ex = lambda p: F.expr(f"percentile(value, {p})")  # noqa: E731
+    tol = lambda p: (  # noqa: E731
+        F.abs(ap(p) - ex(p)) <= 0.05 * F.abs(ex(p)) + 0.05
+    )
+    return ev.groupBy("event_type").agg(
+        tol(0.5).alias("p50_within_tol"),
+        tol(0.9).alias("p90_within_tol"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # O-14 extended: exact interpolated percentiles / median
 # ---------------------------------------------------------------------------
