@@ -2484,6 +2484,60 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+@q(
+    "q_dedup_lines_within",
+    """
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    lined AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(arr) / 10.0) AS BIGINT)),
+                 k -> array_to_string(
+                      list_slice(arr, k * 10 + 1, k * 10 + 10), ' '))
+               AS lines
+      FROM arrs),
+    cleaned AS (
+      SELECT doc_id, len(lines) AS n_lines,
+             list_filter(lines,
+                 (x, i) -> list_position(lines, x) = i) AS kept
+      FROM lined)
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_lines - len(kept) AS BIGINT) AS n_removed,
+           md5(array_to_string(kept, chr(10))) AS cleaned_md5
+    FROM cleaned
+    """,
+)
+def q_dedup_lines_within(spark, sf_dir):
+    """Within-document repeated-line REMOVAL (the cleanup action behind
+    Gopher's dup-line signal — q_doc_repetition_ngrams measures it,
+    this transform fixes it): keep only the first occurrence of each
+    line (10-token pseudo-lines on this newline-free corpus, same
+    deviation D-14), emit the removal count and the md5 of the cleaned
+    text so both engines prove byte-identical output. Entirely
+    row-local higher-order functions (filter by first list_position) —
+    zero shuffle, rides the scan at any corpus size."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    n_lines_expr = F.ceil(F.size("arr") / F.lit(10.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines_expr - 1),
+        lambda k: F.concat_ws(" ", F.slice("arr", k * 10 + 1, F.lit(10))),
+    )
+    lined = docs.select("doc_id", lines.alias("lines"))
+    kept = F.filter(
+        F.col("lines"),
+        lambda x, i: F.array_position(F.col("lines"), x) == i + 1,
+    )
+    return lined.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        (F.size("lines") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.encode(F.concat_ws("\n", kept), "UTF-8")).alias("cleaned_md5"),
+    )
+
+
 _WINNOW_K = 4  # k-gram size
 _WINNOW_W = 5  # winnowing window (guarantee: any match ≥ w+k-1 tokens shares a fingerprint)
 

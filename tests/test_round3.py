@@ -405,3 +405,37 @@ def test_pack_sequences_invariant(spark):
         for r in rs:
             if r["seq_id"] < len(ids) - 1:
                 assert r["seq_tokens"] > 0
+
+
+def test_dedup_lines_within_removes_repeats(spark, tmp_path):
+    """The removal branch (vacuous on the synthetic corpus — no repeated
+    10-token lines): a doc built from the same 10-token line 3x + a
+    distinct line keeps exactly 2 lines, and cleaned_md5 matches the
+    expected cleaned text."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    line_a = " ".join(f"a{i}" for i in range(10))
+    line_b = " ".join(f"b{i}" for i in range(10))
+    text = " ".join([line_a, line_a, line_b, line_a])
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": [text],
+                "lang": ["en"],
+                "source": ["synth"],
+                "n_chars": pa.array([len(text)], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    [r] = REGISTRY["q_dedup_lines_within"].spark(spark, str(d)).collect()
+    release_caches(spark)
+    assert (r["n_lines"], r["n_removed"]) == (4, 2)
+    expected = hashlib.md5(f"{line_a}\n{line_b}".encode()).hexdigest()
+    assert r["cleaned_md5"] == expected
