@@ -2714,6 +2714,128 @@ def q_mixture_weights(spark, sf_dir):
 
 
 @q(
+    "q_host_diversity",
+    """
+    WITH hosts AS (
+      SELECT 'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host
+      FROM documents),
+    cnt AS (SELECT host, COUNT(*) AS c FROM hosts GROUP BY host),
+    tot AS (SELECT SUM(c) AS t, MAX(c) AS m, COUNT(*) AS nh FROM cnt)
+    SELECT CAST(nh AS BIGINT) AS n_hosts,
+           ROUND((ln(t) - SUM(c * ln(c)) / t) / ln(2), 4)
+             AS host_entropy_bits,
+           ROUND(m * 1.0 / t, 4) AS top_host_share
+    FROM cnt CROSS JOIN tot
+    GROUP BY t, m, nh
+    """,
+)
+def q_host_diversity(spark, sf_dir):
+    """Corpus-level source-diversity health metric: Shannon entropy of
+    the host distribution plus the top host's share — curation
+    pipelines alarm on low diversity (one spam network dominating a
+    crawl collapses entropy long before per-document quality gates
+    notice). One groupBy(host) then a 1-row reduce; the same
+    H = log2(T) - Σc·ln(c)/(T·ln2) identity as q_char_entropy so
+    neither engine materializes probabilities."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("host"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com"),
+    )
+    cnt = docs.select(host.alias("host")).groupBy("host").agg(
+        F.count("*").alias("c")
+    )
+    return cnt.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.round(
+            (F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"))
+            / F.log(F.lit(2.0)),
+            4,
+        ).alias("host_entropy_bits"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_host_share"),
+    )
+
+
+@q(
+    "q_hard_negatives",
+    f"""
+    WITH {_EMB_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, t.vec_id AS cid
+      FROM ebands q JOIN ebands t
+        ON q.band = t.band AND q.bsig = t.bsig AND q.vec_id <> t.vec_id
+      WHERE q.vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+    sims AS (
+      SELECT qid, cid,
+             list_dot_product(cq.e, ct.e) / (cq.nrm * ct.nrm) AS sim
+      FROM cand
+      JOIN c cq ON cq.vec_id = qid
+      JOIN c ct ON ct.vec_id = cid)
+    SELECT qid, cid, ROUND(sim, 4) AS sim FROM (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY ROUND(sim, 6) DESC, cid) AS rn
+      FROM sims
+      WHERE ROUND(sim, 6) >= 0.2 AND ROUND(sim, 6) < 0.45) WHERE rn <= 3
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retrieval/embedding training: per query
+    vector, the top similar-but-NOT-near-duplicate neighbors (cosine in
+    [0.2, 0.45) — above random, below the dedup threshold). These are
+    the contrastive negatives that make retrieval models sharp; random
+    negatives are too easy, near-dups are false negatives. Same
+    banded-LSH candidate machinery as q_ann_bucketed (equi-join on
+    (band, bsig), query side filtered), with the similarity band filter
+    applied before the per-query top-3 window."""
+    bands = _persist(_emb_bands_df(spark, sf_dir))
+    qb = bands.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "band", "bsig"
+    )
+    cand = (
+        bands.join(F.broadcast(qb), ["band", "bsig"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"))
+        .distinct()
+    )
+    emb = _persist(
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    )
+    cq = emb.select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    ct = emb.select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sims = (
+        cand.join(F.broadcast(cq.filter(F.col("qid") < 10)), "qid")
+        .join(ct, "cid")
+        .select(
+            "qid",
+            "cid",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
+    )
+    banded = sims.filter(
+        (F.round("sim", 6) >= 0.2) & (F.round("sim", 6) < 0.45)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("sim", 6)), F.asc("cid"))
+    return (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cid", F.round("sim", 4).alias("sim"))
+    )
+
+
+@q(
     "q_url_normalize",
     """
     WITH raw AS (
