@@ -60,6 +60,7 @@ _GATE_PRIORITY = [
     "q_dedup_embedding_clusters",
     "q_ann_ivf",
     "q_ann_ivf_kmeans",
+    "q_ann_pq",
     "q_langid",
     "q_quality_score",
     "q_token_count",
@@ -83,7 +84,6 @@ _GATE_PRIORITY = [
     "q_filter_lang",
     "q_dedup_url",
     "q_join_orders_lineitem",
-    "q_join_broadcast",
     "q_join_range",
     "q_rollup_status",
     "q_sessionize",

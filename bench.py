@@ -49,6 +49,7 @@ HEADLINE = [
     "q_ann_bucketed",
     "q_ann_ivf",
     "q_ann_ivf_kmeans",
+    "q_ann_pq",
     "q_dedup_embedding_bucketed",
     "q_dedup_embedding_clusters",
     "q_dedup_clusters",
