@@ -51,6 +51,7 @@ _GATE_PRIORITY = [
     "q_dedup_exact",
     "q_minhash_lsh",
     "q_dedup_lsh_verified",
+    "q_dedup_incremental",
     "q_dedup_clusters",
     "q_simhash",
     "q_simhash_pairs",
@@ -81,7 +82,6 @@ _GATE_PRIORITY = [
     "q_decontaminate",
     "q_model_score",
     "q_mixture_weights",
-    "q_filter_lang",
     "q_dedup_url",
     "q_join_orders_lineitem",
     "q_join_range",

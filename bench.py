@@ -43,6 +43,7 @@ HEADLINE = [
     "q_explode_terms",
     "q_minhash_lsh",
     "q_dedup_lsh_verified",
+    "q_dedup_incremental",
     "q_simhash",
     "q_simhash_pairs",
     "q_ann_lsh",

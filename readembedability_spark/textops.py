@@ -523,6 +523,98 @@ def _connected_components(spark, edges):
     return children.union(roots).distinct()
 
 
+@q(
+    "q_dedup_incremental",
+    f"""
+    WITH newdocs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9),
+    index_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+    {_shingles_sql("newdocs").replace("shingles", "nsh")},
+    {_shingles_sql("index_docs").replace("shingles", "ish")},
+    nmh AS (
+      SELECT doc_id, i, MIN(substr(md5(sh), i * 4 + 1, 4)) AS mh
+      FROM nsh CROSS JOIN generate_series(0, {_N_MINHASH - 1}) t(i)
+      GROUP BY doc_id, i),
+    imh AS (
+      SELECT doc_id, i, MIN(substr(md5(sh), i * 4 + 1, 4)) AS mh
+      FROM ish CROSS JOIN generate_series(0, {_N_MINHASH - 1}) t(i)
+      GROUP BY doc_id, i),
+    nbands AS (
+      SELECT doc_id, i // {_N_MINHASH // _N_BANDS} AS band,
+             string_agg(mh, ',' ORDER BY i) AS band_sig
+      FROM nmh GROUP BY doc_id, band),
+    ibands AS (
+      SELECT doc_id, i // {_N_MINHASH // _N_BANDS} AS band,
+             string_agg(mh, ',' ORDER BY i) AS band_sig
+      FROM imh GROUP BY doc_id, band),
+    matches AS (
+      SELECT DISTINCT n.doc_id AS new_doc, x.doc_id AS index_doc
+      FROM nbands n JOIN ibands x
+        ON n.band = x.band AND n.band_sig = x.band_sig)
+    SELECT new_doc, MIN(index_doc) AS matched_keeper,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM matches GROUP BY new_doc
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup — the shape every RUNNING crawl pipeline needs:
+    a NEW batch (here doc_id % 10 = 9) is near-dup-matched against the
+    EXISTING index only, never against itself (new×new pairs belong to
+    the next full-corpus pass; new×index is what decides admission).
+    MinHash band signatures on both sides, equi-join keyed by
+    (band, band_sig) with the new side the small probe — at 100 TB the
+    index's band table is a bucketed Iceberg table the daily batch
+    joins against, so incremental admission costs O(batch), not
+    O(corpus). Emits each matched new doc with its lowest-id index
+    match (the keeper it duplicates) and the match count."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_sh = _shingles_from(docs.filter(F.col("doc_id") % 10 == 9))
+    idx_sh = _shingles_from(docs.filter(F.col("doc_id") % 10 != 9))
+
+    def bands_of(shingles):
+        hashed = shingles.select(
+            "doc_id", F.md5(F.encode("sh", "UTF-8")).alias("h")
+        )
+        rows_per_band = _N_MINHASH // _N_BANDS
+        mh = hashed.groupBy("doc_id").agg(
+            *[
+                F.min(F.substring("h", i * 4 + 1, 4)).alias(f"mh{i}")
+                for i in range(_N_MINHASH)
+            ]
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("long").alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows_per_band + j}")
+                            for j in range(rows_per_band)
+                        ],
+                    ).alias("band_sig"),
+                )
+                for b in range(_N_BANDS)
+            ]
+        )
+        return mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+            "doc_id", "bs.band", "bs.band_sig"
+        )
+
+    nb = bands_of(new_sh).withColumnRenamed("doc_id", "new_doc")
+    ib = bands_of(idx_sh).withColumnRenamed("doc_id", "index_doc")
+    matches = (
+        ib.join(F.broadcast(nb), ["band", "band_sig"])
+        .select("new_doc", "index_doc")
+        .distinct()
+    )
+    return matches.groupBy("new_doc").agg(
+        F.min("index_doc").alias("matched_keeper"),
+        F.count("*").cast("long").alias("n_matches"),
+    )
+
+
 _N_SIMHASH_BITS = 16
 
 
