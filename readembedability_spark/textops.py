@@ -2372,6 +2372,52 @@ def q_curation_pipeline_lsh(spark, sf_dir):
 
 
 @q(
+    "q_unigram_logloss",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    toks2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    cf AS (SELECT w, COUNT(*) AS c FROM toks2 GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM cf),
+    scored AS (
+      SELECT toks2.doc_id,
+             -ln(cf.c * 1.0 / tot.t) AS nll
+      FROM toks2 JOIN cf USING (w) CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(nll) / ln(2), 4) AS bits_per_token
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_unigram_logloss(spark, sf_dir):
+    """Self-perplexity quality score: train a unigram LM on the corpus
+    itself (token frequencies) and score each document's mean
+    -log2 p(token) — the cheapest member of the perplexity-filter
+    family (CCNet/Gopher filter on LM perplexity; a unigram LM already
+    separates rare-token gibberish from fluent text, with no model
+    artifact to ship). Two shuffles: corpus term frequencies
+    (groupBy w, map-side combining), then the w-keyed join back and a
+    doc_id rollup; the corpus total is a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    cf = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = cf.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(cf, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", (-F.log(F.col("c") / F.col("t"))).alias("nll")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("nll") / F.log(F.lit(2.0)), 4).alias("bits_per_token"),
+    )
+
+
+@q(
     "q_gopher_rules",
     """
     WITH toks AS (
