@@ -47,6 +47,7 @@ _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_archetypes",
     "q_extract_blocks",
+    "q_extract_table",
     "q_metrics_rollup",
     "q_dedup_exact",
     "q_minhash_lsh",
@@ -89,7 +90,6 @@ _GATE_PRIORITY = [
     "q_sessionize",
     "q_explode_terms",
     "q_resume_anti",
-    "q_udf_host",
     "q_tpch_q1",
     "q_grouped_pandas_stats",
     "q_approx_distinct",

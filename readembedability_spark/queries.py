@@ -1129,6 +1129,52 @@ def q_extract_blocks(spark, sf_dir):
 
 
 @q(
+    "q_extract_table",
+    """
+    SELECT 'https://docs.example.com/t/' || CAST(doc_id AS VARCHAR) AS url,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           text || chr(10) || chr(10) || 'Section ' || CAST(doc_id AS VARCHAR)
+                || chr(10) || chr(10) || trim(substr(text, 1, 40))
+                || chr(10) || chr(10) || trim(substr(text, 41, 40))
+             AS content_text,
+           'ok' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_table(spark, sf_dir):
+    """Fourth oracle-checked extraction archetype: heading + table
+    content — h2 is its own block and every table cell flushes as its
+    own block (td/tr/table all in dom.BLOCK_ELEMENTS; textify rule 1
+    over two levels of nested blocks), still SQL-expressible. The four
+    archetypes now hash-check single-<p>, multi-<p>+list, blockquote+br
+    and heading+table block structures through A-4..A-8."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    c1 = F.trim(F.substring("text", 1, 40))
+    c2 = F.trim(F.substring("text", 41, 40))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit('</title></head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit("</p><h2>Section "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h2><table><tr><td>"),
+            c1,
+            F.lit("</td><td>"),
+            c2,
+            F.lit("</td></tr></table></div></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/t/", html)
+    return extract_stage(pages).select("url", "title", "content_text", "status")
+
+
+@q(
     "q_metrics_rollup",
     """
     SELECT CASE WHEN doc_id % 13 = 0 THEN 'empty'
