@@ -1519,6 +1519,72 @@ def _km_update(assign):
     )
 
 
+_CHUNK_TOKENS = 100
+_CHUNK_STRIDE = 80  # 20-token overlap between consecutive chunks
+
+
+@q(
+    "q_chunk_documents",
+    f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(greatest(len(arr) - {_CHUNK_TOKENS - _CHUNK_STRIDE}, 1)
+                                       / {_CHUNK_STRIDE}.0) AS BIGINT)))
+               AS chunk_id,
+             arr
+      FROM arrs),
+    built AS (
+      SELECT doc_id, chunk_id,
+             array_to_string(list_slice(arr, chunk_id * {_CHUNK_STRIDE} + 1,
+                             chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}), ' ')
+               AS chunk
+      FROM chunks)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS chunk_tokens,
+           md5(chunk) AS chunk_md5
+    FROM built
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Document chunking for retrieval/RAG pipelines: overlapping
+    100-token windows at stride 80 (20-token overlap so no boundary
+    context is lost), one row per (doc, chunk) with the chunk's md5 —
+    both engines must build byte-identical chunks, not just counts.
+    chunk count = ceil(max(n - overlap, 1) / stride), so every token is
+    covered and a short doc yields exactly one chunk. Row-local
+    higher-order slicing — the chunker rides the scan; downstream the
+    chunks table feeds the embedding stage (q_ann_* over chunk
+    vectors)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    n_chunks = F.ceil(
+        F.greatest(
+            F.size("arr") - (_CHUNK_TOKENS - _CHUNK_STRIDE), F.lit(1)
+        )
+        / F.lit(float(_CHUNK_STRIDE))
+    ).cast("int")
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    built = docs.select("doc_id", chunk, "arr").select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(
+            " ",
+            F.slice(
+                "arr", F.col("chunk_id") * _CHUNK_STRIDE + 1, F.lit(_CHUNK_TOKENS)
+            ),
+        ).alias("chunk"),
+    )
+    return built.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(F.split("chunk", " ")).cast("long").alias("chunk_tokens"),
+        F.md5(F.encode("chunk", "UTF-8")).alias("chunk_md5"),
+    )
+
+
 _PQ_M = 4  # subspaces
 _PQ_K = 8  # codes per subspace (seeds = vec_id < _PQ_K)
 _PQ_SUBDIM = 16  # dims per subspace (64-dim embeddings)

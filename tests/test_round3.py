@@ -439,3 +439,40 @@ def test_dedup_lines_within_removes_repeats(spark, tmp_path):
     assert (r["n_lines"], r["n_removed"]) == (4, 2)
     expected = hashlib.md5(f"{line_a}\n{line_b}".encode()).hexdigest()
     assert r["cleaned_md5"] == expected
+
+
+def test_chunk_documents_overlap_and_coverage(spark, tmp_path):
+    """Multi-chunk path (synthetic docs are single-chunk): a 250-token
+    doc yields 3 chunks at 100 tokens / stride 80, consecutive chunks
+    overlap by 20 tokens, and every token is covered."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    toks = [f"t{i}" for i in range(250)]
+    text = " ".join(toks)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": [text],
+                "lang": ["en"],
+                "source": ["synth"],
+                "n_chars": pa.array([len(text)], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    rows = sorted(
+        REGISTRY["q_chunk_documents"].spark(spark, str(d)).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    release_caches(spark)
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    expected = [toks[0:100], toks[80:180], toks[160:250]]
+    assert [r["chunk_tokens"] for r in rows] == [100, 100, 90]
+    for r, chunk_toks in zip(rows, expected):
+        assert r["chunk_md5"] == hashlib.md5(" ".join(chunk_toks).encode()).hexdigest()
