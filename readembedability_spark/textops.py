@@ -1519,6 +1519,152 @@ def _km_update(assign):
     )
 
 
+@q(
+    "q_profile_documents",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           ROUND(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS empty_text_frac,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(AVG(n_chars), 2) AS mean_chars
+    FROM documents
+    """,
+)
+def q_profile_documents(spark, sf_dir):
+    """Table profiling (the catalog health check every ingest runs
+    before curation): row count, categorical cardinalities, empty-text
+    fraction, length min/max/mean — one pass, all map-side-combining
+    aggregates into a single row. At 100 TB this is the nightly data
+    quality report that alarms on schema drift (a lang cardinality
+    explosion or an empty-text spike) before a bad batch reaches
+    training."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("text").isNull() | (F.col("text") == ""), 1
+                ).otherwise(0)
+            )
+            / F.count("*"),
+            4,
+        ).alias("empty_text_frac"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+    )
+
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+#: one unrolled PageRank iteration: rank = (1-d)/N + d * Σ_in rank/deg
+_PR_ITER_SQL = """
+    r{t} AS (
+      SELECT nodes.v,
+             {teleport} / nn.n + {damp} * COALESCE(SUM(rp.r / deg.d), 0)
+               AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN edges ON edges.dst = nodes.v
+      LEFT JOIN r{p} rp ON rp.v = edges.src
+      LEFT JOIN deg ON deg.src = edges.src
+      GROUP BY nodes.v, nn.n)
+"""
+
+
+def _pr_iters_sql() -> str:
+    return ",".join(
+        _PR_ITER_SQL.format(
+            t=t, p=t - 1, teleport=round(1 - _PR_DAMP, 2), damp=_PR_DAMP
+        )
+        for t in range(1, _PR_ITERS + 1)
+    )
+
+
+@q(
+    "q_pagerank",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT event_id % 50 AS src, (event_id * 7 + 3) % 50 AS dst
+        FROM events
+        UNION ALL
+        SELECT event_id % 50 AS src,
+               (event_id % 50 * 3 + event_id % 7) % 50 AS dst
+        FROM events)
+      WHERE src <> dst),
+    nodes AS (SELECT DISTINCT src AS v FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    {_pr_iters_sql()}
+    SELECT v AS node, ROUND(r, 6) AS pr FROM r{_PR_ITERS}
+    """,
+)
+def q_pagerank(spark, sf_dir):
+    """PageRank power iteration (the weighted-propagation graph op
+    beside connected components — domain authority over the link graph
+    is a classic crawl-curation prior): a deterministic synthetic link
+    graph derived from events (two edge rules so degrees are
+    non-uniform), damping 0.85, exactly _PR_ITERS unrolled iterations
+    so the oracle mirrors them. Each iteration is one edges⋈ranks join
+    (shuffle keyed by dst) plus a groupBy(v) — the textbook distributed
+    PageRank shape; dangling-mass handling is unnecessary here because
+    every node has out-edges by construction (documented; add the
+    dangling-redistribution term for real web graphs)."""
+    ev = _t(spark, sf_dir, "events")
+    ruleA = ev.select(
+        (F.col("event_id") % 50).alias("src"),
+        ((F.col("event_id") * 7 + 3) % 50).alias("dst"),
+    )
+    ruleB = ev.select(
+        (F.col("event_id") % 50).alias("src"),
+        ((F.col("event_id") % 50 * 3 + F.col("event_id") % 7) % 50).alias("dst"),
+    )
+    edges = (
+        ruleA.unionByName(ruleB)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; frozen across iterations
+    )
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").alias("n"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "v", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(r.select(F.col("v").alias("src"), "r"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("inflow"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(1 - _PR_DAMP) / F.col("n")
+                    + F.lit(_PR_DAMP) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return r.select(F.col("v").alias("node"), F.round("r", 6).alias("pr"))
+
+
 _CHUNK_TOKENS = 100
 _CHUNK_STRIDE = 80  # 20-token overlap between consecutive chunks
 
