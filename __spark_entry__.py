@@ -85,7 +85,7 @@ _GATE_PRIORITY = [
     "q_mixture_weights",
     "q_dedup_url",
     "q_join_orders_lineitem",
-    "q_join_range",
+    "q_join_asof",
     "q_rollup_status",
     "q_sessionize",
     "q_explode_terms",

@@ -594,6 +594,95 @@ def q_resume_semi(spark, sf_dir):
     )
 
 
+@q(
+    "q_join_asof",
+    """
+    WITH probes AS (
+      SELECT o_orderkey,
+             o_custkey % 25 AS k,
+             TIMESTAMP '2024-01-01'
+               + INTERVAL (o_orderkey % 29) DAY
+               + INTERVAL (o_custkey % 24) HOUR AS t
+      FROM orders WHERE o_orderkey % 7 = 0),
+    tagged AS (
+      SELECT k, t, 1 AS tag, o_orderkey,
+             CAST(NULL AS BIGINT) AS event_id,
+             CAST(NULL AS DOUBLE) AS value
+      FROM probes
+      UNION ALL
+      SELECT user_id % 25 AS k, ts AS t, 0 AS tag,
+             CAST(NULL AS BIGINT) AS o_orderkey, event_id, value
+      FROM events),
+    carried AS (
+      SELECT k, tag, o_orderkey,
+             last_value(event_id IGNORE NULLS) OVER w AS asof_event,
+             last_value(value IGNORE NULLS) OVER w AS asof_value
+      FROM tagged
+      WINDOW w AS (PARTITION BY k ORDER BY t, tag, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT o_orderkey, k, asof_event,
+           ROUND(asof_value, 4) AS asof_value
+    FROM carried WHERE tag = 1
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """AS-OF join — the operator Spark famously lacks natively: for
+    each probe (order, synthesized timestamp) find the LATEST event of
+    the same key at-or-before it. Implemented the scale-correct way —
+    UNION both sides, one window partitioned by key ordered by
+    (time, side-tag, event_id) carrying the last non-null event forward
+    — so the plan is ONE shuffle keyed by the join key and a sort,
+    instead of the naive inequality join (which Spark executes as a
+    quadratic-per-key range join). Events sort before probes at equal
+    timestamps (tag 0 < 1), so ts == t matches; ties among
+    equal-timestamp events resolve to the largest event_id on both
+    engines."""
+    probes = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 25).alias("k"),
+            F.expr(
+                "timestamp'2024-01-01'"
+                " + make_interval(0, 0, 0, o_orderkey % 29)"
+                " + make_interval(0, 0, 0, 0, o_custkey % 24)"
+            ).alias("t"),
+        )
+        .select(
+            "k",
+            "t",
+            F.lit(1).alias("tag"),
+            "o_orderkey",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    events = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 25).alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.asc("t"), F.asc("tag"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = probes.unionByName(events).select(
+        "k",
+        "tag",
+        "o_orderkey",
+        F.last("event_id", ignorenulls=True).over(w).alias("asof_event"),
+        F.last("value", ignorenulls=True).over(w).alias("asof_value"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "o_orderkey", "k", "asof_event", F.round("asof_value", 4).alias("asof_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # O-21: scalar pandas UDF parity (host parse via Arrow batches)
 # ---------------------------------------------------------------------------
