@@ -81,6 +81,14 @@ HEADLINE = [
     "q_percentiles",
     "q_pivot_events",
     "q_embed_centroid",
+    "q_join_asof",
+    "q_chunk_documents",
+    "q_pagerank",
+    "q_unigram_logloss",
+    "q_hard_negatives",
+    "q_dedup_lines_within",
+    "q_host_diversity",
+    "q_profile_documents",
     "q_tpch_q1",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
