@@ -1520,6 +1520,39 @@ def _km_update(assign):
 
 
 @q(
+    "q_length_percentile",
+    """
+    SELECT doc_id, lang,
+           ROUND(pr, 4) AS length_pct,
+           CAST(pr < 0.05 OR pr > 0.95 AS BOOLEAN) AS tail_flagged
+    FROM (
+      SELECT doc_id, lang,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents)
+    """,
+)
+def q_length_percentile(spark, sf_dir):
+    """Per-language length-percentile tail trimming (curation drops the
+    shortest/longest tails per stratum rather than using one global
+    length cut — a 5th-percentile Chinese doc and a 5th-percentile
+    English doc are very different lengths): percent_rank window per
+    lang with doc_id tie-break for cross-engine determinism, flagging
+    the <5% and >95% tails. One exchange keyed by lang; at 100 TB use
+    approx-quantile cutoffs per stratum instead of a full sort — same
+    flags, no global sort (documented trade)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    pr = F.percent_rank().over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(pr, 4).alias("length_pct"),
+        ((pr < 0.05) | (pr > 0.95)).alias("tail_flagged"),
+    )
+
+
+@q(
     "q_profile_documents",
     """
     SELECT COUNT(*) AS n_rows,
