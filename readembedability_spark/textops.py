@@ -2663,6 +2663,69 @@ def q_unigram_logloss(spark, sf_dir):
 
 
 @q(
+    "q_bigram_lm_bits",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS i,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS w1, w AS w2
+      FROM toks),
+    bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w1 IS NOT NULL),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg2 GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS t FROM c2 GROUP BY w1),
+    scored AS (
+      SELECT bg2.doc_id, -ln(c2.c * 1.0 / c1.t) AS nll
+      FROM bg2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(nll) / ln(2), 4) AS bits_per_bigram
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_bits(spark, sf_dir):
+    """Bigram-LM self-perplexity — the next rung above q_unigram_logloss
+    on the perplexity-filter ladder: p(w2|w1) = corpus bigram count /
+    left-context count, per-doc mean -log2. (Trained on the scored
+    corpus itself, every document bigram has mass — no smoothing term
+    to keep cross-engine.) Shuffles: bigram counts (groupBy w1,w2),
+    context totals derived from them (groupBy w1), the (w1,w2)-keyed
+    join back, and the doc rollup — all map-side combining. The spread
+    between unigram-bits and bigram-bits is itself a signal: shuffled
+    word-salad scores fluent under a unigram LM but falls apart under
+    the bigram LM."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " "))
+    ).withColumnsRenamed({"pos": "i", "col": "w"})
+    w_lag = Window.partitionBy("doc_id").orderBy("i")
+    bg = (
+        toks.select(
+            "doc_id",
+            F.lag("w").over(w_lag).alias("w1"),
+            F.col("w").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    # bg feeds the count tables AND the scoring join
+    bg = _persist(bg)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("t"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select("doc_id", (-F.log(F.col("c") / F.col("t"))).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("nll") / F.log(F.lit(2.0)), 4).alias("bits_per_bigram"),
+    )
+
+
+@q(
     "q_gopher_rules",
     """
     WITH toks AS (
