@@ -476,3 +476,25 @@ def test_chunk_documents_overlap_and_coverage(spark, tmp_path):
     assert [r["chunk_tokens"] for r in rows] == [100, 100, 90]
     for r, chunk_toks in zip(rows, expected):
         assert r["chunk_md5"] == hashlib.md5(" ".join(chunk_toks).encode()).hexdigest()
+
+
+def test_join_asof_single_shuffle_no_range_join(spark):
+    """The as-of join must be the union + carry-forward window — ONE
+    exchange (keyed by the join key) and no nested-loop/cartesian range
+    join anywhere in the plan."""
+    plan = _plan(REGISTRY["q_join_asof"].spark(spark, SF_MED))
+    release_caches(spark)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\n\(\d+\) Window", plan)) == 1, plan
+
+
+def test_ann_pq_never_pairwise(spark):
+    """PQ's plan touches vectors only through subspace/codebook
+    equi-joins and the broadcast LUT — never an all-pairs compare of
+    the vector table against itself (no SortMergeJoin of two
+    embeddings-derived sides keyed by nothing, no cartesian)."""
+    plan = _plan(REGISTRY["q_ann_pq"].spark(spark, SF_MED))
+    release_caches(spark)
+    assert "CartesianProduct" not in plan, plan
