@@ -2726,6 +2726,62 @@ def q_bigram_lm_bits(spark, sf_dir):
 
 
 @q(
+    "q_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    cf AS (SELECT w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM cf),
+    ranked AS (
+      SELECT w, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk,
+             SUM(c) OVER (ORDER BY c DESC, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM cf)
+    SELECT CAST(rnk AS BIGINT) AS rnk, w, CAST(c AS BIGINT) AS c,
+           ROUND(cum * 1.0 / tot.t, 4) AS cum_coverage
+    FROM ranked CROSS JOIN tot
+    WHERE rnk <= 20
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary construction + coverage curve (the first step of any
+    tokenizer build): corpus token frequencies ranked with a running
+    coverage fraction — the curve that decides vocab size (where
+    cum_coverage flattens) and the OOV rate of any cutoff. The global
+    rank window runs over the AGGREGATED frequency table (|vocab|
+    rows, not the corpus), so the single-partition window is fine even
+    at 100 TB — the corpus-sized work is one map-side-combining
+    groupBy(w). Top-20 emitted for the gate; the full curve is the
+    same query without the rank filter."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    cf = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = cf.agg(F.sum("c").alias("t"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = cf.select(
+        "w",
+        "c",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("c").over(w_cum).alias("cum"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "w",
+            F.col("c").cast("long").alias("c"),
+            F.round(F.col("cum") / F.col("t"), 4).alias("cum_coverage"),
+        )
+    )
+
+
+@q(
     "q_gopher_rules",
     """
     WITH toks AS (
