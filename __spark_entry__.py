@@ -96,10 +96,14 @@ _GATE_PRIORITY = [
     "q_percentiles",
 ]
 
-#: Quadratic all-pairs baselines, superseded by in-gate scale siblings
-#: (q_dedup_lsh_verified, q_dedup_lsh_verified, q_ann_bucketed,
-#: q_dedup_embedding_bucketed respectively) — registered last so they
-#: never crowd a scale path out of the gate window.
+#: Quadratic/inverted-index all-pairs baselines, each superseded by an
+#: in-gate scale sibling — q_dedup_jaccard → q_dedup_lsh_verified
+#: (LSH-candidates-only Jaccard), q_dedup_ngram_jaccard →
+#: q_minhash_lsh + q_dedup_lsh_verified (banded candidate generation
+#: replaces the per-shingle inverted-index self-join),
+#: q_ann_cosine → q_ann_bucketed, q_dedup_embedding →
+#: q_dedup_embedding_bucketed — registered last so they never crowd a
+#: scale path out of the gate window.
 _DEMOTED_TAIL = [
     "q_dedup_jaccard",
     "q_dedup_ngram_jaccard",

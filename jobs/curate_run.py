@@ -41,8 +41,9 @@ def curate(
     min_alpha: float,
 ):
     """Gates → LSH near-dup clusters → keeper per cluster (the
-    q_curation_pipeline_lsh plan, parameterized). Returns (curated DF,
-    stats dict); caller must materialize before release_caches."""
+    q_curation_pipeline_lsh plan, parameterized). Returns the curated
+    DataFrame (stats are computed by the caller, see main()); caller
+    must materialize before release_caches."""
     from readembedability_spark.queries import _persist
     from readembedability_spark.textops import (
         _connected_components,

@@ -94,9 +94,9 @@ def gunzip_if_needed(blob: bytes, limit: int | None = None) -> bytes:
     restarts on each member's unused_data."""
     if blob[:2] != b"\x1f\x8b":
         return blob
+    out = bytearray()
     try:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out = bytearray()
         tail = blob
         while True:
             chunk = d.decompress(tail, 1 << 20)
@@ -120,7 +120,9 @@ def gunzip_if_needed(blob: bytes, limit: int | None = None) -> bytes:
     except OversizeDecompressed:
         raise
     except Exception:
-        return blob
+        # A corrupt LATER member must not discard already-decoded valid
+        # members: keep the decoded prefix when any output exists.
+        return bytes(out) if out else blob
 
 
 def _normalize_encoding(name: str) -> str | None:

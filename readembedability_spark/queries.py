@@ -55,6 +55,25 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+#: RDD ids of localCheckpoint blocks created by registry queries via
+#: _local_checkpoint — the only ids release_caches may unpersist at the
+#: RDD layer (ADVICE r03: a blanket getPersistentRDDs sweep would also
+#: kill application-created checkpoints whose truncated lineage cannot
+#: be recomputed).
+_TRACKED_RDD_IDS: set = set()
+
+
+def _local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint with storage tracking (snapshot-delta of
+    persistent RDD ids) so release_caches frees ONLY registry-created
+    checkpoint blocks, never application caches."""
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=eager)
+    _TRACKED_RDD_IDS.update(_persistent_rdd_ids(spark) - before)
+    return out
+
+
 def _scala_iter(obj):
     it = obj.iterator()
     while it.hasNext():
@@ -77,11 +96,15 @@ def _unpersist_rdd_ids(spark: SparkSession, ids) -> None:
 
 
 def release_caches(spark: SparkSession) -> None:
-    """Free ALL executor storage pinned by registry queries: tracked
-    persist() anchors, the SQL cache, and localCheckpoint RDD blocks
-    (which spark.catalog.clearCache() does NOT touch). Only call after
-    the query's result DataFrame is fully materialized — checkpointed
-    lineage is truncated, so freed blocks cannot be recomputed."""
+    """Free executor storage pinned by registry queries: tracked
+    persist() anchors, the SQL cache (NOTE: clearCache is session-wide;
+    application DataFrame caches are dropped too, but their lineage is
+    intact so they recompute — only a perf cost), and the
+    registry-tracked localCheckpoint RDD blocks (which clearCache does
+    NOT touch). Untracked checkpoints created by the application are
+    left alone — their truncated lineage cannot be recomputed (ADVICE
+    r03). Only call after the query's result DataFrame is fully
+    materialized."""
     while _PERSISTED:
         df = _PERSISTED.pop()
         try:
@@ -89,7 +112,9 @@ def release_caches(spark: SparkSession) -> None:
         except Exception:
             pass
     spark.catalog.clearCache()
-    _unpersist_rdd_ids(spark, _persistent_rdd_ids(spark))
+    live = _persistent_rdd_ids(spark)
+    _unpersist_rdd_ids(spark, _TRACKED_RDD_IDS & live)
+    _TRACKED_RDD_IDS.clear()
 
 
 def q(name: str, sql: Optional[str]):

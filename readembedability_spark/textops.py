@@ -28,6 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from readembedability_spark.queries import (
+    _local_checkpoint,
     _persist,
     _persistent_rdd_ids,
     _t,
@@ -487,7 +488,7 @@ def _connected_components(spark, edges):
     cur = (
         edges.filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)  # pairs table is tiny vs corpus;
+        .transform(_local_checkpoint)  # pairs table is tiny vs corpus;
         # freeze it so each contraction round doesn't replay the whole
         # MinHash pipeline
     )
@@ -498,7 +499,7 @@ def _connected_components(spark, edges):
     converged = False
     for rounds in range(1, _CC_MAX_ROUNDS + 1):
         before = _persistent_rdd_ids(spark)
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _local_checkpoint(_small_star(_large_star(cur)))
         created = _persistent_rdd_ids(spark) - before
         same = (
             nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty()
@@ -604,8 +605,13 @@ def q_dedup_incremental(spark, sf_dir):
 
     nb = bands_of(new_sh).withColumnRenamed("doc_id", "new_doc")
     ib = bands_of(idx_sh).withColumnRenamed("doc_id", "index_doc")
+    # No explicit broadcast hint: a production daily batch is unbounded
+    # and force-broadcasting it would OOM the driver (ADVICE r03). AQE
+    # broadcasts the probe side when it measures small and falls back
+    # to a shuffle join keyed by (band, band_sig) when it doesn't —
+    # still O(batch + matched index buckets), never O(corpus) scans.
     matches = (
-        ib.join(F.broadcast(nb), ["band", "band_sig"])
+        ib.join(nb, ["band", "band_sig"])
         .select("new_doc", "index_doc")
         .distinct()
     )
@@ -1435,7 +1441,7 @@ def _ann_ivf_kmeans_df(spark, sf_dir, nprobe: int):
         cents = _km_update(assign)
     # freeze the trained quantizer: it anchors the final cell
     # assignment AND the query probe (2 reuses of a k-row table)
-    cents = cents.localCheckpoint(eager=True)
+    cents = _local_checkpoint(cents)
     cells = _km_assign(emb, cents, nprobe=1).select(
         "vec_id", "cell"
     )
@@ -1665,7 +1671,7 @@ def q_pagerank(spark, sf_dir):
         ruleA.unionByName(ruleB)
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)  # tiny; frozen across iterations
+        .transform(_local_checkpoint)  # tiny; frozen across iterations
     )
     nodes = (
         edges.select(F.col("src").alias("v"))
@@ -1913,7 +1919,7 @@ def q_ann_pq(spark, sf_dir):
                 lambda t: t["cx"],
             ).alias("c")
         )
-        .localCheckpoint(eager=True)  # trained codebook: anchors encode + LUT
+        .transform(_local_checkpoint)  # trained codebook: anchors encode + LUT
     )
     codes = assign(c1).select("vec_id", "s", "code")
     qsub = sub.filter(F.col("vec_id") < 10).select(

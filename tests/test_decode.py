@@ -102,3 +102,15 @@ def test_gunzip_multi_member_trailing_garbage():
 
     blob = gzip.compress(b"payload") + b"\x00\x01garbage"
     assert gunzip_if_needed(blob) == b"payload"
+
+
+def test_gunzip_corrupt_later_member_keeps_decoded_prefix():
+    """A corrupt SECOND member must not discard the valid first member:
+    the decoded prefix is returned, not the raw compressed blob (ADVICE
+    r03)."""
+    from readembedability_spark.extractor.decode import gunzip_if_needed
+
+    good = gzip.compress(b"<html><body>valid first member</body></html>")
+    bad = b"\x1f\x8b\x08\x00" + b"\xff" * 32  # gzip magic, garbage stream
+    out = gunzip_if_needed(good + bad)
+    assert out.startswith(b"<html><body>valid first member")
