@@ -1492,6 +1492,33 @@ def _km_assign(vecs, cents, nprobe: int, keep_v: bool = False):
         F.sqrt(_dot(F.col("v"), F.col("v")))
         * F.sqrt(_dot(F.col("c"), F.col("c")))
     )
+    scored = vecs.crossJoin(F.broadcast(cents))
+    if nprobe == 1:
+        # Training-loop hot path (VERDICT r03 #6): max_by is a partial-
+        # aggregable declarative aggregate, so the n×k scored rows are
+        # combined map-side down to n BEFORE the vec_id exchange — no
+        # n×k shuffle (the row_number window shuffled and sorted all
+        # n×k rows). The ordering is one LONG — round(cos,6) is exactly
+        # a multiple of 1e-6, so scaling to an integer is lossless and
+        # monotonic; subtracting cid (< 2^21 cells) encodes the same
+        # lowest-centroid-id tie-break as the window branch. A flat
+        # (long,long) buffer keeps the keep_v=False aggregate inside
+        # HashAggregate (struct buffers would force SortAggregate).
+        ord_ = (
+            F.round(F.round(cos, 6) * F.lit(1_000_000.0), 0).cast("long")
+            * F.lit(1 << 21)
+            - F.col("cid")
+        )
+        if not keep_v:
+            agg = scored.groupBy("vec_id").agg(
+                F.max_by("cid", ord_).alias("cell")
+            )
+            return agg.select("vec_id", "cell")
+        best = F.struct(F.col("cid").alias("cell"), F.col("v"))
+        agg = scored.groupBy("vec_id").agg(F.max_by(best, ord_).alias("b"))
+        return agg.select(
+            "vec_id", F.col("b.cell").alias("cell"), F.col("b.v").alias("v")
+        )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc(F.round(cos, 6)), F.asc("cid")
     )
@@ -1499,7 +1526,7 @@ def _km_assign(vecs, cents, nprobe: int, keep_v: bool = False):
         ["v"] if keep_v else []
     )
     return (
-        vecs.crossJoin(F.broadcast(cents))
+        scored
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
         .select(*out_cols)
