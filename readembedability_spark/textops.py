@@ -125,6 +125,12 @@ def q_dedup_jaccard(spark, sf_dir):
 _N_MINHASH = 8
 _N_BANDS = 2  # 2 bands × 4 rows
 
+#: Perplexity-family de-skew: size of the broadcast frequency-table
+#: head. Every Zipf-hot token/bigram lives in the head by construction,
+#: so the tail shuffle join has a flat key distribution. At web scale
+#: ~100k entries (a few MB broadcast) cover most of the token mass.
+_PPLX_HEAD_K = 4096
+
 #: 3-gram shingles — the textbook MinHash unit. Shingle universe is
 #: |vocab|^3, so unrelated documents share almost none and LSH buckets
 #: stay small (unigrams over a small vocabulary collide pathologically:
@@ -2680,10 +2686,23 @@ def q_unigram_logloss(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
-    cf = toks.groupBy("w").agg(F.count("*").alias("c"))
+    cf = _persist(toks.groupBy("w").agg(F.count("*").alias("c")))
     tot = cf.agg(F.sum("c").alias("t"))
+    # The token→frequency join is keyed by Zipf-skewed words (VERDICT
+    # r03 #7): broadcast the top-K head of the frequency table — by
+    # construction it holds every hot key, and at web scale ~100k
+    # head tokens cover most of the mass — and send ONLY tail tokens
+    # through the shuffle join, whose key distribution is then flat.
+    # Values are identical whichever side a token lands on (same c/t),
+    # so the split is a pure plan change.
+    head = cf.orderBy(F.desc("c"), F.asc("w")).limit(_PPLX_HEAD_K)
+    tail_cf = cf.join(F.broadcast(head.select("w")), "w", "left_anti")
+    hit = toks.join(F.broadcast(head), "w")
+    miss = toks.join(
+        F.broadcast(head.select("w")), "w", "left_anti"
+    ).join(tail_cf, "w")
     scored = (
-        toks.join(cf, "w")
+        hit.unionByName(miss)
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id", (-F.log(F.col("c") / F.col("t"))).alias("nll")
@@ -2747,11 +2766,29 @@ def q_bigram_lm_bits(spark, sf_dir):
     bg = _persist(bg)
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     c1 = c2.groupBy("w1").agg(F.sum("c").alias("t"))
-    scored = (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .select("doc_id", (-F.log(F.col("c") / F.col("t"))).alias("nll"))
+    # Fold both LM tables into one probability table p(w1,w2) → nll
+    # (the c2⋈c1 join runs in count-table space — one row per DISTINCT
+    # bigram — so corpus Zipf skew never touches it), then de-skew the
+    # corpus-sized scoring join the same way as q_unigram_logloss
+    # (VERDICT r03 #7): broadcast the top-K bigram head, shuffle-join
+    # only the tail, whose hot keys are gone by construction.
+    p = _persist(
+        c2.join(c1, "w1").select(
+            "w1", "w2", "c",
+            (-F.log(F.col("c") / F.col("t"))).alias("nll"),
+        )
     )
+    headp = p.orderBy(
+        F.desc("c"), F.asc("w1"), F.asc("w2")
+    ).limit(_PPLX_HEAD_K)
+    tail_p = p.join(
+        F.broadcast(headp.select("w1", "w2")), ["w1", "w2"], "left_anti"
+    )
+    hit = bg.join(F.broadcast(headp), ["w1", "w2"])
+    miss = bg.join(
+        F.broadcast(headp.select("w1", "w2")), ["w1", "w2"], "left_anti"
+    ).join(tail_p, ["w1", "w2"])
+    scored = hit.unionByName(miss).select("doc_id", "nll")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("nll") / F.log(F.lit(2.0)), 4).alias("bits_per_bigram"),

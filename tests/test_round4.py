@@ -90,3 +90,21 @@ def test_km_assign_nprobe1_matches_window_branch(spark):
         assert cell in two_map[vid], (vid, cell, two_map[vid])
     assert slow  # smoke: the aggregate ran
     release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r03 #7 — perplexity joins: head broadcast, tail-only shuffle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["q_unigram_logloss", "q_bigram_lm_bits"])
+def test_perplexity_join_head_broadcast(spark, name):
+    """The Zipf-skewed token→frequency scoring join is split: hot keys
+    resolve through a BroadcastHashJoin against the top-K head; only
+    anti-joined tail tokens reach a shuffle join, so its key
+    distribution is flat by construction."""
+    plan = _plan(REGISTRY[name].spark(spark, SF_MED))
+    # the head join and the head-exclusion anti-join are broadcast
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    release_caches(spark)
