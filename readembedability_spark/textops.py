@@ -1638,11 +1638,16 @@ _PR_DAMP = 0.85
 
 #: one unrolled PageRank iteration: rank = (1-d)/N + d * Σ_in rank/deg
 _PR_ITER_SQL = """
+    dm{t} AS (
+      SELECT COALESCE(SUM(rp.r), 0) AS m
+      FROM r{p} rp JOIN sinks USING (v)),
     r{t} AS (
       SELECT nodes.v,
-             {teleport} / nn.n + {damp} * COALESCE(SUM(rp.r / deg.d), 0)
+             {teleport} / nn.n
+               + {damp} * (COALESCE(SUM(rp.r / deg.d), 0)
+                           + MAX(dm{t}.m) / nn.n)
                AS r
-      FROM nodes CROSS JOIN nn
+      FROM nodes CROSS JOIN nn CROSS JOIN dm{t}
       LEFT JOIN edges ON edges.dst = nodes.v
       LEFT JOIN r{p} rp ON rp.v = edges.src
       LEFT JOIN deg ON deg.src = edges.src
@@ -1670,11 +1675,14 @@ def _pr_iters_sql() -> str:
         SELECT event_id % 50 AS src,
                (event_id % 50 * 3 + event_id % 7) % 50 AS dst
         FROM events)
-      WHERE src <> dst),
+      WHERE src <> dst AND src % 11 <> 0),
     nodes AS (SELECT DISTINCT src AS v FROM edges
               UNION SELECT DISTINCT dst FROM edges),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
     deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    sinks AS (
+      SELECT nodes.v FROM nodes LEFT JOIN deg ON deg.src = nodes.v
+      WHERE deg.src IS NULL),
     r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
     {_pr_iters_sql()}
     SELECT v AS node, ROUND(r, 6) AS pr FROM r{_PR_ITERS}
@@ -1685,12 +1693,14 @@ def q_pagerank(spark, sf_dir):
     beside connected components — domain authority over the link graph
     is a classic crawl-curation prior): a deterministic synthetic link
     graph derived from events (two edge rules so degrees are
-    non-uniform), damping 0.85, exactly _PR_ITERS unrolled iterations
-    so the oracle mirrors them. Each iteration is one edges⋈ranks join
-    (shuffle keyed by dst) plus a groupBy(v) — the textbook distributed
-    PageRank shape; dangling-mass handling is unnecessary here because
-    every node has out-edges by construction (documented; add the
-    dangling-redistribution term for real web graphs)."""
+    non-uniform; out-edges of nodes ≡ 0 mod 11 are dropped so the graph
+    contains real SINKS), damping 0.85, exactly _PR_ITERS unrolled
+    iterations so the oracle mirrors them. Each iteration is one
+    edges⋈ranks join (shuffle keyed by dst) plus a groupBy(v), PLUS the
+    dangling-mass term (VERDICT r03 #8): sink nodes' rank is summed
+    (1-row broadcast per iteration) and redistributed uniformly —
+    without it rank mass leaks every iteration on any real web graph,
+    where sinks are the norm (PDFs, images, crawl-frontier leaves)."""
     ev = _t(spark, sf_dir, "events")
     ruleA = ev.select(
         (F.col("event_id") % 50).alias("src"),
@@ -1702,7 +1712,9 @@ def q_pagerank(spark, sf_dir):
     )
     edges = (
         ruleA.unionByName(ruleB)
-        .filter(F.col("src") != F.col("dst"))
+        .filter(
+            (F.col("src") != F.col("dst")) & (F.col("src") % 11 != 0)
+        )
         .distinct()
         .transform(_local_checkpoint)  # tiny; frozen across iterations
     )
@@ -1713,6 +1725,10 @@ def q_pagerank(spark, sf_dir):
     )
     nn = nodes.agg(F.count("*").alias("n"))
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # sink set is iteration-invariant: nodes with no out-edges
+    sinks = nodes.join(
+        deg.select(F.col("src").alias("v")), "v", "left_anti"
+    )
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "v", (F.lit(1.0) / F.col("n")).alias("r")
     )
@@ -1723,14 +1739,24 @@ def q_pagerank(spark, sf_dir):
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.col("r") / F.col("d")).alias("inflow"))
         )
+        # dangling mass: rank sitting on sinks this iteration — a
+        # 1-row aggregate, broadcast and redistributed uniformly
+        dm = r.join(sinks, "v").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("m")
+        )
         r = (
             nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dm))
             .join(contrib, "v", "left")
             .select(
                 "v",
                 (
                     F.lit(1 - _PR_DAMP) / F.col("n")
-                    + F.lit(_PR_DAMP) * F.coalesce("inflow", F.lit(0.0))
+                    + F.lit(_PR_DAMP)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("m") / F.col("n")
+                    )
                 ).alias("r"),
             )
         )

@@ -108,3 +108,28 @@ def test_perplexity_join_head_broadcast(spark, name):
     assert "BroadcastHashJoin" in plan, plan
     assert "LeftAnti" in plan, plan
     release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r03 #8 — PageRank dangling-mass redistribution
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_graph_has_sinks_and_conserves_mass(spark):
+    """The synthetic graph drops out-edges of nodes ≡ 0 mod 11, so real
+    sinks exist; with the dangling-redistribution term total rank mass
+    stays 1.0 every iteration (without it, ~the sinks' share leaks per
+    iteration and the total drifts well below 1)."""
+    res = REGISTRY["q_pagerank"].spark(spark, SF_MED).collect()
+    nodes = {r["node"] for r in res}
+    sink_candidates = {v for v in nodes if v % 11 == 0}
+    assert sink_candidates, "fixture graph lost its sinks"
+    total = sum(r["pr"] for r in res)
+    assert abs(total - 1.0) < 1e-3, total
+    # sinks still receive rank (they have in-edges) — and more than
+    # the bare teleport floor, since inflow reaches them
+    floor = 0.15 / len(nodes)
+    assert all(
+        r["pr"] > floor for r in res if r["node"] in sink_candidates
+    ), res
+    release_caches(spark)
