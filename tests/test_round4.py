@@ -133,3 +133,61 @@ def test_pagerank_graph_has_sinks_and_conserves_mass(spark):
         r["pr"] > floor for r in res if r["node"] in sink_candidates
     ), res
     release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r03 #9 — vocab coverage: no single-partition window
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_no_single_partition_window(spark):
+    """The rank/cumsum over the vocab table is range-partitioned: no
+    Window may sit downstream of an Exchange SinglePartition (the only
+    SinglePartition allowed is the 1-row scalar `tot` gather)."""
+    plan = _plan(REGISTRY["q_vocab_coverage"].spark(spark, SF_MED))
+    assert "rangepartitioning" in plan, plan
+    tree = plan.split("\n\n")[0].splitlines()
+    # map exchange node id -> its Arguments line from the detail section
+    single_ids = set(
+        re.findall(
+            r"\((\d+)\) Exchange\nInput.*\nArguments: SinglePartition",
+            plan,
+        )
+    )
+    for i, line in enumerate(tree):
+        m = re.search(r"\(\d+\) Window", line)
+        if not m:
+            continue
+        for below in tree[i + 1 :]:
+            em = re.search(r"\((\d+)\) Exchange", below)
+            if em:
+                assert em.group(1) not in single_ids, plan
+                break
+    release_caches(spark)
+
+
+def test_ranked_cumsum_matches_global_window(spark):
+    """_ranked_cumsum == the global-window result, across partition
+    boundaries (forced tiny partitions so offsets actually apply)."""
+    from pyspark.sql import Window
+
+    rows = [(f"w{i:03d}", (i * 37) % 101 + 1) for i in range(100)]
+    cf = spark.createDataFrame(rows, "w string, c long")
+    got = {
+        r["w"]: (r["rnk"], r["cum"])
+        for r in textops._ranked_cumsum(
+            cf, [F.desc("c"), F.asc("w")], parts=7
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["w"]: (r["rnk"], r["cum"])
+        for r in cf.select(
+            "w",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            F.sum("c").over(wc).alias("cum"),
+        ).collect()
+    }
+    assert got == want
+    release_caches(spark)
