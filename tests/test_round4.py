@@ -191,3 +191,44 @@ def test_ranked_cumsum_matches_global_window(spark):
     }
     assert got == want
     release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r03 #1 — cross-doc duplicated-substring removal
+# ---------------------------------------------------------------------------
+
+
+def test_substring_removal_cuts_span_from_later_doc_only(spark, tmp_path):
+    """A shared 8-gram run is kept in the first (lowest doc_id) doc and
+    excised from the later one; the later doc's unique text survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    a = f"unique one two three {span} four five six seven"
+    b = f"tail nine ten eleven twelve {span} thirteen fourteen fifteen sixteen"
+    c = "totally distinct words with no overlap at all here today"
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "text": [a, b, c]}),
+        tmp_path / "documents.parquet",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["q_dedup_substring_removed"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 1 owns the gram: untouched
+    assert rows[1]["n_removed"] == 0
+    assert rows[1]["clean_md5"] == md5(a)
+    # doc 2 loses exactly the 8 shared tokens, keeps everything else
+    assert rows[2]["n_removed"] == 8
+    expect_b = "tail nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    assert rows[2]["clean_md5"] == md5(expect_b)
+    # doc 3 untouched
+    assert rows[3]["n_removed"] == 0
+    assert rows[3]["clean_md5"] == md5(c)
+    release_caches(spark)
