@@ -4021,3 +4021,211 @@ def q_doc_repetition_ngrams(spark, sf_dir):
             4,
         ).alias("dup_line_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: deterministic train + broadcast-apply (VERDICT r03 #2)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 16
+_BPE_D = "\x01"  # symbol delimiter; corpus is space+lowercase-ASCII only
+
+#: one unrolled BPE merge round in DuckDB SQL. CTEs are MATERIALIZED:
+#: w{r} references b{r} four times and w{p} once, so inlining (DuckDB's
+#: default) would expand the chain 5^rounds-fold.
+_BPE_ROUND_SQL = """
+    p{r} AS MATERIALIZED (
+      SELECT l[i] AS a, l[i + 1] AS b, freq FROM (
+        SELECT l, freq, unnest(generate_series(2, len(l) - 2)) AS i
+        FROM (SELECT string_split(seq, chr(1)) AS l, freq FROM w{p}))),
+    b{r} AS MATERIALIZED (
+      SELECT a, b, SUM(freq) AS cnt FROM p{r} GROUP BY a, b
+      ORDER BY cnt DESC, a, b LIMIT 1),
+    w{r} AS MATERIALIZED (
+      SELECT word, freq,
+             replace(replace(seq,
+               (SELECT chr(1) || a || chr(1) || b || chr(1) FROM b{r}),
+               (SELECT chr(1) || a || b || chr(1) FROM b{r})),
+               (SELECT chr(1) || a || chr(1) || b || chr(1) FROM b{r}),
+               (SELECT chr(1) || a || b || chr(1) FROM b{r})) AS seq
+      FROM w{p})"""
+
+#: w0: distinct corpus words with frequency; seq = the word's symbol
+#: sequence in delimited form \x01c\x01c\x01 (every symbol wrapped in
+#: delimiters so merge-rewrite can never match across symbol borders).
+_BPE_BASE_SQL = (
+    "w0 AS MATERIALIZED (\n"
+    "  SELECT w AS word, COUNT(*) AS freq,\n"
+    "         chr(1) || regexp_replace(w, '(.)', '\\1' || chr(1), 'g')"
+    " AS seq\n"
+    "  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)\n"
+    "  WHERE w <> '' GROUP BY w)"
+)
+
+
+def _bpe_rounds_sql() -> str:
+    return ",".join(
+        _BPE_ROUND_SQL.format(r=r, p=r - 1) for r in range(1, _BPE_MERGES + 1)
+    )
+
+
+def _bpe_words(spark, sf_dir):
+    """(word, freq, seq): distinct-word frequency table with the
+    delimited initial symbol sequence."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.col("w").alias("word"),
+            "freq",
+            F.concat(
+                F.lit(_BPE_D), F.regexp_replace("w", "(.)", "$1" + _BPE_D)
+            ).alias("seq"),
+        )
+    )
+
+
+def _bpe_train(spark, sf_dir):
+    """Deterministic BPE merge training, distributed where it counts.
+
+    Corpus → ONE groupBy(word) shuffle produces the distinct-word
+    frequency table (vocab ≪ corpus — the only corpus-sized pass).
+    Then _BPE_MERGES fixed rounds over that vocab table: count adjacent
+    symbol pairs weighted by word frequency (map-side-combinable agg),
+    pick the argmax with an exact integer count and (cnt DESC, lhs,
+    rhs) tie-break — a 1-row bounded collect per round, the same shape
+    as the pipeline's ≤N_BUCKETS collects — and rewrite every word's
+    symbol sequence. Merge-rewrite is SPEC'D as a two-pass
+    non-overlapping string replace on the delimiter-wrapped form
+    (\x01lhs\x01rhs\x01 → \x01lhsrhs\x01, applied twice so instances
+    that share a boundary delimiter with an already-taken match get
+    merged by the second pass): plain replace() has identical
+    left-to-right semantics in Spark and DuckDB, and all counts are
+    integers, so training is bit-identical across engines with no
+    float rounding anywhere. Returns (merges, final_words) where
+    merges = [(rank, lhs, rhs, pair_freq)] and final_words is the
+    vocab table carrying the fully-merged seq (the apply side
+    broadcast-joins it back to the corpus)."""
+    words = _persist(_bpe_words(spark, sf_dir).coalesce(1))
+    seq = F.col("seq")
+    merges = []
+    for r in range(1, _BPE_MERGES + 1):
+        cur = words.select("freq", seq.alias("seq"))
+        syms = F.filter(F.split("seq", _BPE_D), lambda x: x != F.lit(""))
+        pairs = (
+            cur.select("freq", syms.alias("syms"))
+            .select(
+                "freq",
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (x, i) -> struct(x AS a, syms[i + 1] AS b))"
+                ).alias("ps"),
+            )
+            .select("freq", F.explode("ps").alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not best:
+            break
+        row = best[0]
+        merges.append((r, row["a"], row["b"], int(row["cnt"])))
+        pat = _BPE_D + row["a"] + _BPE_D + row["b"] + _BPE_D
+        rep = _BPE_D + row["a"] + row["b"] + _BPE_D
+        seq = F.replace(
+            F.replace(seq, F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep)
+        )
+    return merges, words.select("word", "freq", seq.alias("seq"))
+
+
+@q(
+    "q_bpe_train",
+    f"""
+    WITH {_BPE_BASE_SQL},
+    {_bpe_rounds_sql()}
+    SELECT * FROM ({" UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,"
+        f" CAST(cnt AS BIGINT) AS pair_freq FROM b{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )})
+    """,
+)
+def q_bpe_train(spark, sf_dir):
+    """BPE merge-table training (see _bpe_train): the learned top-16
+    merges with their pair frequencies. The oracle unrolls the same 16
+    rounds as MATERIALIZED DuckDB CTEs — training is integer-exact, so
+    the tables match hash-for-hash with no rounding."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, pair_freq long"
+    )
+
+
+@q(
+    "q_bpe_tokenize",
+    f"""
+    WITH {_BPE_BASE_SQL},
+    {_bpe_rounds_sql()},
+    dw AS MATERIALIZED (
+      SELECT doc_id, i AS widx, w FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents) WHERE w <> ''),
+    tw AS (
+      SELECT dw.doc_id, dw.widx,
+             replace(trim(wn.seq, chr(1)), chr(1), ' ') AS toks,
+             len(string_split(wn.seq, chr(1))) - 2 AS n
+      FROM dw JOIN w{_BPE_MERGES} wn ON dw.w = wn.word)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bpe_tokens,
+           md5(string_agg(toks, ' ' ORDER BY widx)) AS tokens_md5
+    FROM tw GROUP BY doc_id
+    """,
+)
+def q_bpe_tokenize(spark, sf_dir):
+    """Apply the trained BPE merges to the corpus: train once on the
+    vocab table (_bpe_train), then BROADCAST the fully-merged vocab
+    (word → final symbol seq) back onto the corpus token stream — the
+    train-then-broadcast-apply shape of a production tokenizer. Per
+    doc: BPE token count + md5 of the space-joined token stream in
+    word order. At 100 TB the broadcast side is the vocab (bounded),
+    the corpus side is one explode + one groupBy(doc_id) — no extra
+    shuffle beyond the doc rollup."""
+    _, final_words = _bpe_train(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    dw = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")))
+        .withColumnsRenamed({"pos": "widx", "col": "w"})
+        .filter(F.col("w") != "")
+    )
+    j = dw.join(
+        F.broadcast(
+            final_words.select(F.col("word").alias("w"), "seq")
+        ),
+        "w",
+    )
+    tok = F.replace(
+        F.btrim(F.col("seq"), F.lit(_BPE_D)), F.lit(_BPE_D), F.lit(" ")
+    )
+    n = (F.size(F.split("seq", _BPE_D)) - F.lit(2)).cast("long")
+    per_word = j.select("doc_id", "widx", tok.alias("toks"), n.alias("n"))
+    return per_word.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bpe_tokens"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("widx", "toks"))),
+                        lambda s: s["toks"],
+                    ),
+                    " ",
+                ),
+                "UTF-8",
+            )
+        ).alias("tokens_md5"),
+    )

@@ -232,3 +232,66 @@ def test_substring_removal_cuts_span_from_later_doc_only(spark, tmp_path):
     assert rows[3]["n_removed"] == 0
     assert rows[3]["clean_md5"] == md5(c)
     release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r03 #2 — deterministic BPE train + broadcast-apply
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_merge_table_shape(spark):
+    """16 merges, ranks 1..16, pair frequencies non-increasing (greedy
+    argmax can never find a later pair more frequent than an earlier
+    pick), every merged symbol non-trivial."""
+    rows = (
+        REGISTRY["q_bpe_train"]
+        .spark(spark, SF_MED)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    assert [r["merge_rank"] for r in rows] == list(range(1, 17))
+    freqs = [r["pair_freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True), freqs
+    assert all(r["lhs"] and r["rhs"] for r in rows)
+    release_caches(spark)
+
+
+def test_bpe_seq_reassembles_word_and_shrinks(spark):
+    """Invariant: concatenating a word's final symbols reproduces the
+    word exactly; merges strictly shrink the corpus-wide symbol count
+    vs character count."""
+    _, final_words = textops._bpe_train(spark, SF_MED)
+    rows = final_words.select(
+        "word",
+        "freq",
+        F.replace("seq", F.lit(textops._BPE_D), F.lit("")).alias("joined"),
+        (F.size(F.split("seq", textops._BPE_D)) - 2).alias("n_syms"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["joined"] == r["word"], r
+        assert 1 <= r["n_syms"] <= len(r["word"])
+    total_syms = sum(r["n_syms"] * r["freq"] for r in rows)
+    total_chars = sum(len(r["word"]) * r["freq"] for r in rows)
+    assert total_syms < total_chars
+    release_caches(spark)
+
+
+def test_bpe_tokenize_counts_bounded_by_words_and_chars(spark):
+    """Per-doc BPE token count lies strictly between the whitespace
+    word count (merges can't cross word borders) and the char count."""
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in REGISTRY["q_bpe_tokenize"].spark(spark, SF_SMALL).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("nw"),
+        F.length(F.replace("text", F.lit(" "), F.lit(""))).alias("nc"),
+    )
+    bounds = {r["doc_id"]: (r["nw"], r["nc"]) for r in docs.collect()}
+    assert set(got) == set(bounds)
+    for did, n in got.items():
+        nw, nc = bounds[did]
+        assert nw <= n <= nc, (did, n, nw, nc)
+    release_caches(spark)
