@@ -4229,3 +4229,259 @@ def q_bpe_tokenize(spark, sf_dir):
             )
         ).alias("tokens_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed quality-classifier TRAINING (VERDICT r03 #3)
+# ---------------------------------------------------------------------------
+
+_LRN_ROUNDS = 10
+_LRN_RATE = 8.0  # power of two → exactly representable, no decimal fuzz
+
+#: fixed-point scales: features and weights carry 6 decimal digits as
+#: BIGINTs (xq = x·1e6, w = w·1e6), so dot products, error terms and
+#: gradient sums are EXACT integer arithmetic — no float-summation
+#: order dependence anywhere in the distributed aggregates. The only
+#: float ops (squash + update step) are single correctly-rounded IEEE
+#: expressions over identical integers, so Spark and DuckDB train
+#: bit-identical weights. The squash is the rational fast-sigmoid
+#: 0.5 + 0.5·x/(1+|x|): unlike exp(), every op in it is correctly
+#: rounded by IEEE-754, which exp() is not guaranteed to be across
+#: libm implementations.
+_LRN_X = "(CAST({dot} AS DOUBLE) / 1000000000000.0)"
+_LRN_P = "(0.5 + 0.5 * {x} / (1.0 + abs({x})))"
+
+
+def _lrn_round_sql(r: int) -> str:
+    x = _LRN_X.format(dot="d.dot")
+    p = _LRN_P.format(x=x)
+    return f"""
+    d{r} AS MATERIALIZED (
+      SELECT f.doc_id, CAST(SUM(f.xq * w.w) AS BIGINT) AS dot
+      FROM feats f JOIN w{r - 1} w USING (b) GROUP BY f.doc_id),
+    e{r} AS MATERIALIZED (
+      SELECT l.doc_id,
+             CAST(ROUND(({p} - l.y) * 1000000.0) AS BIGINT) AS errq
+      FROM lab l JOIN d{r} d USING (doc_id)),
+    g{r} AS MATERIALIZED (
+      SELECT f.b, CAST(SUM(f.xq * e.errq) AS BIGINT) AS g
+      FROM feats f JOIN e{r} e USING (doc_id) GROUP BY f.b),
+    w{r} AS MATERIALIZED (
+      SELECT w.b,
+             CAST(w.w - CAST(ROUND(CAST(g.g AS DOUBLE) * {_LRN_RATE}
+               / (SELECT CAST(n AS DOUBLE) FROM nn)
+               / 1000000.0) AS BIGINT) AS BIGINT) AS w
+      FROM w{r - 1} w JOIN g{r} g USING (b))"""
+
+
+#: shared oracle prelude: labels (the gopher pass rule — an existing
+#: deterministic green query — as supervision), hashed-bucket features
+#: normalized per doc in fixed point, plus bias and doc-length columns.
+_LRN_BASE_SQL = """
+    toks AS MATERIALIZED (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+    lab AS MATERIALIZED (
+      SELECT doc_id, n_tok,
+             CAST(mwl BETWEEN 3 AND 10
+                  AND n_tok BETWEEN 50 AND 100000 AS INT) AS y
+      FROM (SELECT doc_id, COUNT(*) AS n_tok, AVG(length(w)) AS mwl
+            FROM toks GROUP BY doc_id)),
+    feats AS MATERIALIZED (
+      SELECT f.doc_id, f.b,
+             CAST(ROUND(f.c * 1000000.0 / l.n_tok) AS BIGINT) AS xq
+      FROM (SELECT doc_id, substr(md5(w), 1, 2) AS b, COUNT(*) AS c
+            FROM toks GROUP BY doc_id, b) f
+      JOIN lab l USING (doc_id)
+      UNION ALL
+      SELECT doc_id, 'bias', CAST(1000000 AS BIGINT) FROM lab
+      UNION ALL
+      SELECT doc_id, 'len',
+             CAST(ROUND(n_tok * 1000000.0 / 100) AS BIGINT) FROM lab),
+    nn AS (SELECT COUNT(*) AS n FROM lab),
+    w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM feats)"""
+
+
+def _lrn_rounds_sql() -> str:
+    return ",".join(_lrn_round_sql(r) for r in range(1, _LRN_ROUNDS + 1))
+
+
+def _lrn_feats_labels(spark, sf_dir):
+    """(feats, labels): per-doc hashed-bucket features (fixed-point
+    normalized counts + bias + length column) and the gopher-pass
+    label. One explode + two groupBy(doc_id) shuffles, all map-side
+    combinable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    lab = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.avg(F.length("w")).alias("mwl"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            (
+                F.col("mwl").between(3, 10)
+                & F.col("n_tok").between(50, 100000)
+            )
+            .cast("int")
+            .alias("y"),
+        )
+    )
+    bf = (
+        toks.select(
+            "doc_id",
+            F.substring(F.md5(F.encode("w", "UTF-8")), 1, 2).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    feats = (
+        bf.join(lab.select("doc_id", "n_tok"), "doc_id")
+        .select(
+            "doc_id",
+            "b",
+            F.round(F.col("c") * F.lit(1000000.0) / F.col("n_tok"))
+            .cast("long")
+            .alias("xq"),
+        )
+        .unionAll(
+            lab.select(
+                "doc_id", F.lit("bias").alias("b"), F.lit(1000000).cast("long").alias("xq")
+            )
+        )
+        .unionAll(
+            lab.select(
+                "doc_id",
+                F.lit("len").alias("b"),
+                F.round(F.col("n_tok") * F.lit(1000000.0) / F.lit(100))
+                .cast("long")
+                .alias("xq"),
+            )
+        )
+    )
+    return feats, lab
+
+
+def _lrn_p(dot_col):
+    x = F.col(dot_col).cast("double") / F.lit(1000000000000.0)
+    return F.lit(0.5) + F.lit(0.5) * x / (F.lit(1.0) + F.abs(x))
+
+
+def _lrn_train(spark, sf_dir):
+    """Fixed-round distributed logistic-style training (the
+    quality-classifier TRAINING half of q_model_score's apply): per
+    round, (1) dot = feats ⋈ broadcast(weights) + groupBy(doc_id) SUM
+    of exact BIGINT products, (2) errq = quantized (squash(dot) −
+    label), (3) grad = feats ⋈ errs + groupBy(bucket) SUM — both
+    map-side-combinable single shuffles over the doc-feature table —
+    (4) w ← w − round(lr·grad/n), a (#buckets)-row table that is
+    localCheckpoint'ed per round (k-means-loop shape). Returns the
+    final weights DataFrame (b, w). At 100 TB: per-round cost is two
+    doc-keyed shuffles; the weight table stays broadcast-sized (≤258
+    rows). Gradient products stay within BIGINT here; a trillion-doc
+    corpus would switch the two SUMs to DECIMAL(38,0)."""
+    feats, lab = _lrn_feats_labels(spark, sf_dir)
+    feats = _persist(feats)
+    nn = F.broadcast(lab.groupBy().agg(F.count("*").alias("n")))
+    w = feats.select("b").distinct().select(
+        "b", F.lit(0).cast("long").alias("w")
+    )
+    for _ in range(_LRN_ROUNDS):
+        dots = (
+            feats.join(F.broadcast(w), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("xq") * F.col("w")).alias("dot"))
+        )
+        errs = lab.join(dots, "doc_id").select(
+            "doc_id",
+            F.round(
+                (_lrn_p("dot") - F.col("y")) * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("errq"),
+        )
+        grads = (
+            feats.join(errs, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("xq") * F.col("errq")).alias("g"))
+        )
+        w = _local_checkpoint(
+            w.join(grads, "b")
+            .crossJoin(nn)
+            .select(
+                "b",
+                (
+                    F.col("w")
+                    - F.round(
+                        F.col("g").cast("double")
+                        * F.lit(_LRN_RATE)
+                        / F.col("n").cast("double")
+                        / F.lit(1000000.0)
+                    ).cast("long")
+                ).alias("w"),
+            )
+        )
+    return feats, lab, w
+
+
+@q(
+    "q_model_train",
+    f"""
+    WITH {_LRN_BASE_SQL},
+    {_lrn_rounds_sql()}
+    SELECT b AS bucket, CAST(w AS BIGINT) AS weight_micro
+    FROM w{_LRN_ROUNDS}
+    """,
+)
+def q_model_train(spark, sf_dir):
+    """Learned classifier weights after _LRN_ROUNDS fixed rounds (see
+    _lrn_train). Integer-exact training → the weight table hash-matches
+    DuckDB's unrolled iterations with no tolerance."""
+    _, _, w = _lrn_train(spark, sf_dir)
+    return w.select(
+        F.col("b").alias("bucket"), F.col("w").alias("weight_micro")
+    )
+
+
+@q(
+    "q_model_score_trained",
+    f"""
+    WITH {_LRN_BASE_SQL},
+    {_lrn_rounds_sql()},
+    sc AS (
+      SELECT f.doc_id, CAST(SUM(f.xq * w.w) AS BIGINT) AS dot
+      FROM feats f JOIN w{_LRN_ROUNDS} w USING (b) GROUP BY f.doc_id)
+    SELECT l.doc_id,
+           ROUND({_LRN_P.format(x=_LRN_X.format(dot="sc.dot"))}, 6) AS score,
+           {_LRN_P.format(x=_LRN_X.format(dot="sc.dot"))} > 0.5 AS pred,
+           CAST(l.y AS BOOLEAN) AS label,
+           ({_LRN_P.format(x=_LRN_X.format(dot="sc.dot"))} > 0.5)
+             = CAST(l.y AS BOOLEAN) AS correct
+    FROM lab l JOIN sc USING (doc_id)
+    """,
+)
+def q_model_score_trained(spark, sf_dir):
+    """q_model_score consuming the TRAINED weights (VERDICT r03 #3):
+    score every doc with the learned model — same broadcast-join +
+    one groupBy(doc_id) apply plan as q_model_score, but the weight
+    table now comes out of _lrn_train instead of a fixed rule."""
+    feats, lab, w = _lrn_train(spark, sf_dir)
+    sc = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("xq") * F.col("w")).alias("dot"))
+    )
+    p = _lrn_p("dot")
+    return lab.join(sc, "doc_id").select(
+        "doc_id",
+        F.round(p, 6).alias("score"),
+        (p > F.lit(0.5)).alias("pred"),
+        F.col("y").cast("boolean").alias("label"),
+        ((p > F.lit(0.5)) == F.col("y").cast("boolean")).alias("correct"),
+    )

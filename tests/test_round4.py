@@ -295,3 +295,41 @@ def test_bpe_tokenize_counts_bounded_by_words_and_chars(spark):
         nw, nc = bounds[did]
         assert nw <= n <= nc, (did, n, nw, nc)
     release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r03 #3 — distributed classifier training
+# ---------------------------------------------------------------------------
+
+
+def test_model_train_learns_the_label(spark):
+    """Training must actually work: accuracy of the learned model on
+    its deterministic gopher-pass labels beats the majority class by a
+    wide margin (majority ≈ 0.554 at sf0.01; trained ≈ 0.99)."""
+    rows = REGISTRY["q_model_score_trained"].spark(spark, SF_MED).collect()
+    n = len(rows)
+    assert n == 500
+    maj = max(
+        sum(1 for r in rows if r["label"]),
+        sum(1 for r in rows if not r["label"]),
+    ) / n
+    acc = sum(1 for r in rows if r["correct"]) / n
+    assert acc >= 0.95, (acc, maj)
+    assert acc > maj + 0.2, (acc, maj)
+    release_caches(spark)
+
+
+def test_model_train_weights_nontrivial_and_integer(spark):
+    """The weight table covers every observed bucket plus bias and
+    length columns, is exactly integer-valued (fixed-point BIGINT),
+    and moved away from the zero init."""
+    rows = REGISTRY["q_model_train"].spark(spark, SF_MED).collect()
+    names = {r["bucket"] for r in rows}
+    assert "bias" in names and "len" in names
+    assert len(names) > 10
+    assert any(r["weight_micro"] != 0 for r in rows)
+    # the length feature must dominate: the label is a token-count
+    # rule, so |w_len| should be the largest learned weight
+    by = {r["bucket"]: r["weight_micro"] for r in rows}
+    assert abs(by["len"]) == max(abs(v) for v in by.values())
+    release_caches(spark)
