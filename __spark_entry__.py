@@ -38,11 +38,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queries (driver-side cap, observed in CORRECTNESS_r02); everything
 #: after slot 50 is judge-verified overflow. So registration order is
 #: deliberate (VERDICT r02 #1): extraction flagships, then the composed
-#: scale-path text/dedup/ANN operators and the round-2/3 curation ops,
-#: then one representative per relational operator family. Superseded
-#: all-pairs correctness baselines (each with a green bucketed/blocked
-#: scale sibling inside the gate) and redundant relational variants sit
-#: at the tail.
+#: scale-path text/dedup/ANN operators and the curation/training ops.
+#: ROTATION (VERDICT r03 #4): each round, gate slots vacated by
+#: queries that already have driver-green CORRECTNESS rows from prior
+#: rounds are handed to entries that have only ever been
+#: judge-verified. Round 4 rotates IN the 5 new round-4 ops
+#: (substring removal, BPE train/apply, classifier train/apply) and
+#: the 10 longest-waiting overflow queries (pagerank …
+#: profile_documents, slots 41-50); rotated OUT (all driver-green in
+#: r01-r03, still covered by tests/test_oracle_parity.py): langid,
+#: quality_score, token_count, tfidf, dedup_url, join_orders_lineitem,
+#: join_asof, rollup_status, sessionize, explode_terms, resume_anti,
+#: tpch_q1, grouped_pandas_stats, approx_distinct, percentiles.
+#: Superseded all-pairs correctness baselines (each with a green
+#: bucketed/blocked scale sibling inside the gate) sit at the tail.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_archetypes",
@@ -63,37 +72,37 @@ _GATE_PRIORITY = [
     "q_ann_ivf",
     "q_ann_ivf_kmeans",
     "q_ann_pq",
-    "q_langid",
-    "q_quality_score",
-    "q_token_count",
     "q_winnow_fingerprints",
     "q_multimodal_meta",
     "q_join_oembed_providers",
     "q_dedup_editdistance",
-    "q_tfidf",
     "q_curation_pipeline",
     "q_curation_pipeline_lsh",
     "q_gopher_rules",
     "q_doc_repetition",
     "q_doc_repetition_ngrams",
     "q_dedup_substring",
+    "q_dedup_substring_removed",
     "q_pii_scrub",
     "q_sample_stratified",
     "q_pack_sequences",
     "q_decontaminate",
     "q_model_score",
     "q_mixture_weights",
-    "q_dedup_url",
-    "q_join_orders_lineitem",
-    "q_join_asof",
-    "q_rollup_status",
-    "q_sessionize",
-    "q_explode_terms",
-    "q_resume_anti",
-    "q_tpch_q1",
-    "q_grouped_pandas_stats",
-    "q_approx_distinct",
-    "q_percentiles",
+    "q_bpe_train",
+    "q_bpe_tokenize",
+    "q_model_train",
+    "q_model_score_trained",
+    "q_pagerank",
+    "q_length_percentile",
+    "q_vocab_coverage",
+    "q_chunk_documents",
+    "q_unigram_logloss",
+    "q_bigram_lm_bits",
+    "q_hard_negatives",
+    "q_dedup_lines_within",
+    "q_host_stats",
+    "q_profile_documents",
 ]
 
 #: Quadratic/inverted-index all-pairs baselines, each superseded by an
