@@ -195,3 +195,44 @@ def ensure_corpus(dir_path: str | Path, n_pages: int, seed: int = 42) -> Path:
     if not path.exists():
         generate_pages(path, n_pages, seed)
     return path
+
+
+def generate_multiline_docs(
+    path: str | Path, n_docs: int = 60, seed: int = 7
+) -> Path:
+    """Newline-bearing `documents` fixture (DEVIATIONS D-14): each doc
+    is a genuine multi-line text (4-12 lines of 3-9 words joined by
+    '\\n'); ~40% of docs repeat one of their own lines 1-3 extra times
+    at deterministic positions, so within-doc line dedup has real work
+    to do. Seed-stable like generate_pages. Schema matches the driver's
+    documents table (doc_id, text, lang, source, n_chars)."""
+    rng = random.Random(seed)
+    path = Path(path)
+    doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
+    for i in range(n_docs):
+        n_lines = rng.randint(4, 12)
+        lines = [
+            " ".join(rng.choice(_WORDS) for _ in range(rng.randint(3, 9)))
+            for _ in range(n_lines)
+        ]
+        if rng.random() < 0.4:
+            dup = rng.randrange(len(lines))
+            for _ in range(rng.randint(1, 3)):
+                lines.insert(rng.randrange(len(lines) + 1), lines[dup])
+        text = "\n".join(lines)
+        doc_ids.append(i)
+        texts.append(text)
+        langs.append("en")
+        sources.append("synthml")
+        n_chars.append(len(text))
+    table = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+    pq.write_table(table, path)
+    return path

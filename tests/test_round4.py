@@ -333,3 +333,92 @@ def test_model_train_weights_nontrivial_and_integer(spark):
     by = {r["bucket"]: r["weight_micro"] for r in rows}
     assert abs(by["len"]) == max(abs(v) for v in by.values())
     release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r03 #5 — multiline corpus + real '\n' line ops (D-14 closed)
+# ---------------------------------------------------------------------------
+
+
+def test_multiline_fixture_has_real_newlines_and_planted_dups(tmp_path):
+    from readembedability_spark.sources.synth import generate_multiline_docs
+
+    p = generate_multiline_docs(tmp_path / "documents.parquet")
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(p).column("text").to_pylist()
+    assert all("\n" in t for t in texts)
+    dups = [
+        t for t in texts if len(t.split("\n")) != len(set(t.split("\n")))
+    ]
+    assert len(dups) >= 10, len(dups)
+
+
+def test_lines_within_ml_removes_planted_duplicate_lines(spark, tmp_path):
+    """On a REAL newline corpus the op must use the newlines verbatim:
+    keep-first per duplicated line, cleaned_md5 = md5 of the
+    first-occurrence reconstruction."""
+    import hashlib
+
+    from readembedability_spark.sources.synth import generate_multiline_docs
+
+    generate_multiline_docs(tmp_path / "documents.parquet")
+    import pyarrow.parquet as pq
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(tmp_path / "documents.parquet").to_pylist()
+    }
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["q_dedup_lines_within_ml"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(rows) == set(docs)
+    removed_any = False
+    for did, text in docs.items():
+        lines = text.split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        r = rows[did]
+        assert r["n_lines"] == len(lines)
+        assert r["n_removed"] == len(lines) - len(kept)
+        removed_any |= r["n_removed"] > 0
+        want = hashlib.md5("\n".join(kept).encode()).hexdigest()
+        assert r["cleaned_md5"] == want, did
+    assert removed_any
+    release_caches(spark)
+
+
+def test_repetition_lines_ml_counts_real_lines(spark, tmp_path):
+    from readembedability_spark.sources.synth import generate_multiline_docs
+
+    generate_multiline_docs(tmp_path / "documents.parquet")
+    import pyarrow.parquet as pq
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(tmp_path / "documents.parquet").to_pylist()
+    }
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["q_doc_repetition_lines_ml"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    for did, text in docs.items():
+        lines = text.split("\n")
+        want_dup = len(lines) - len(set(lines))
+        assert rows[did]["n_lines"] == len(lines)
+        assert rows[did]["n_dup_lines"] == want_dup
+    release_caches(spark)
+
+
+def test_repetition_lines_ml_is_row_local(spark):
+    """The dup-line fraction is a pure map: no Exchange in the plan."""
+    plan = _plan(REGISTRY["q_doc_repetition_lines_ml"].spark(spark, SF_MED))
+    assert "Exchange" not in plan, plan
