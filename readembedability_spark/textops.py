@@ -4380,19 +4380,25 @@ def _lrn_train(spark, sf_dir):
     of exact BIGINT products, (2) errq = quantized (squash(dot) −
     label), (3) grad = feats ⋈ errs + groupBy(bucket) SUM — both
     map-side-combinable single shuffles over the doc-feature table —
-    (4) w ← w − round(lr·grad/n), a (#buckets)-row table that is
-    localCheckpoint'ed per round (k-means-loop shape). Returns the
-    final weights DataFrame (b, w). At 100 TB: per-round cost is two
-    doc-keyed shuffles; the weight table stays broadcast-sized (≤258
-    rows). Gradient products stay within BIGINT here; a trillion-doc
-    corpus would switch the two SUMs to DECIMAL(38,0)."""
+    (4) w ← w − round(lr·grad/n). Each round is ONE Spark action: the
+    updated (#buckets)-row weight table is collected to the driver (a
+    bounded ≤258-row collect, the same class as the pipeline's
+    ≤N_BUCKETS collects — the update arithmetic itself stays in SQL so
+    the half-up rounding matches the oracle) and re-broadcast as a
+    literal table for the next round. Returns the final weights
+    DataFrame (b, w). At 100 TB: per-round cost is two doc-keyed
+    shuffles; the weight table stays broadcast-sized. Gradient
+    products stay within BIGINT here; a trillion-doc corpus would
+    switch the two SUMs to DECIMAL(38,0)."""
     feats, lab = _lrn_feats_labels(spark, sf_dir)
-    feats = _persist(feats)
+    feats = _persist(feats.coalesce(8))
+    lab = _persist(lab.coalesce(8))
     nn = F.broadcast(lab.groupBy().agg(F.count("*").alias("n")))
-    w = feats.select("b").distinct().select(
-        "b", F.lit(0).cast("long").alias("w")
-    )
+    w_rows = [
+        (r["b"], 0) for r in feats.select("b").distinct().collect()
+    ]
     for _ in range(_LRN_ROUNDS):
+        w = spark.createDataFrame(w_rows, "b string, w long")
         dots = (
             feats.join(F.broadcast(w), "b")
             .groupBy("doc_id")
@@ -4411,8 +4417,10 @@ def _lrn_train(spark, sf_dir):
             .groupBy("b")
             .agg(F.sum(F.col("xq") * F.col("errq")).alias("g"))
         )
-        w = _local_checkpoint(
-            w.join(grads, "b")
+        w_rows = [
+            (r["b"], r["w"])
+            for r in F.broadcast(w)
+            .join(grads, "b")
             .crossJoin(nn)
             .select(
                 "b",
@@ -4426,8 +4434,10 @@ def _lrn_train(spark, sf_dir):
                     ).cast("long")
                 ).alias("w"),
             )
-        )
-    return feats, lab, w
+            .collect()
+        ]
+        w_rows.sort()
+    return feats, lab, spark.createDataFrame(w_rows, "b string, w long")
 
 
 @q(
