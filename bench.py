@@ -92,6 +92,13 @@ HEADLINE = [
     "q_dedup_lines_within",
     "q_dedup_lines_within_ml",
     "q_doc_repetition_lines_ml",
+    "q_dedup_lines_global",
+    "q_badwords_filter",
+    "q_host_quota",
+    "q_decontaminate_bloom",
+    "q_bigram_pmi",
+    "q_inverted_index",
+    "q_paragraph_quality",
     "q_bigram_lm_bits",
     "q_vocab_coverage",
     "q_length_percentile",

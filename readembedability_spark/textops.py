@@ -4612,3 +4612,473 @@ def q_doc_repetition_lines_ml(spark, sf_dir):
             "dup_line_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 curation widening: global line dedup, blocklist filter,
+# per-host quota, Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_dedup_lines_global",
+    f"""
+    WITH ml AS (
+      SELECT doc_id, string_split({_ML_TEXT_SQL}, chr(10)) AS lines
+      FROM documents),
+    lx AS (
+      SELECT doc_id, generate_subscripts(lines, 1) AS li,
+             unnest(lines) AS line
+      FROM ml),
+    lh AS (SELECT doc_id, li, line, md5(line) AS h,
+                  doc_id * 1000000 + li AS k FROM lx),
+    own AS (SELECT h, MIN(k) AS ok FROM lh GROUP BY h),
+    flagged AS (
+      SELECT lh.doc_id, lh.li, lh.line, lh.k = own.ok AS kept
+      FROM lh JOIN own USING (h))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(array_to_string(
+                 list(line ORDER BY li) FILTER (WHERE kept), chr(10)),
+               '')) AS clean_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q_dedup_lines_global(spark, sf_dir):
+    """CROSS-document line-level dedup with removal (the C4 rule:
+    every line/paragraph is kept exactly once corpus-wide; later
+    occurrences — in other docs or further down the same doc — are
+    excised). Owner = lexicographically first (doc_id, line_idx).
+    Plan: lines are md5-hashed map-side (fixed-size shuffle keys, the
+    q_dedup_substring trick), one map-side-combining groupBy(h) MIN
+    finds each line's owner, one h-keyed join flags occurrences, one
+    doc rollup reconstructs the cleaned text in line order.
+    Boilerplate-hot lines skew the h key at 100 TB — AQE skew-split
+    covers the join, and the owner agg combines map-side by
+    construction."""
+    docs = _t(spark, sf_dir, "documents")
+    lx = (
+        docs.select("doc_id", F.posexplode(F.split(_ml_text_col(), "\n")))
+        .withColumnsRenamed({"pos": "li0", "col": "line"})
+        .select(
+            "doc_id",
+            (F.col("li0") + 1).alias("li"),
+            "line",
+            F.md5(F.encode("line", "UTF-8")).alias("h"),
+        )
+        .withColumn("k", F.col("doc_id") * F.lit(1000000) + F.col("li"))
+    )
+    own = lx.groupBy("h").agg(F.min("k").alias("ok"))
+    flagged = lx.join(own, "h").select(
+        "doc_id", "li", "line", (F.col("k") == F.col("ok")).alias("kept")
+    )
+    kept_lines = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("kept"), F.struct("li", "line"))
+            )
+        ),
+        lambda s: s["line"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_removed"),
+        F.md5(F.encode(F.array_join(kept_lines, "\n"), "UTF-8")).alias(
+            "clean_md5"
+        ),
+    )
+
+
+#: stand-in content blocklist (C4's badwords filtering shape); chosen
+#: from the synthetic vocabulary so the filter has real work here — in
+#: production this is the actual blocklist, same broadcast plan.
+_BADWORDS = ("slow", "skew", "spill", "crash")
+
+_BADWORDS_SQL = ", ".join(f"'{w}'" for w in _BADWORDS)
+
+
+@q(
+    "q_badwords_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> '')
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN w IN ({_BADWORDS_SQL}) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad,
+           ROUND(SUM(CASE WHEN w IN ({_BADWORDS_SQL}) THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS bad_frac,
+           CAST(SUM(CASE WHEN w IN ({_BADWORDS_SQL}) THEN 1 ELSE 0 END) = 0
+                AS BOOLEAN) AS keep
+    FROM toks GROUP BY doc_id
+    """,
+)
+def q_badwords_filter(spark, sf_dir):
+    """Blocklist token filtering (the C4 badwords rule): per doc,
+    count blocklisted tokens and keep only clean docs. The blocklist
+    is a tiny broadcast-able literal set folded into the aggregate —
+    one explode + one map-side-combining groupBy(doc_id), no joins at
+    all; at 100 TB this is a pure single-shuffle map."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    bad = F.when(F.col("w").isin(*_BADWORDS), 1).otherwise(0)
+    return toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(bad).cast("long").alias("n_bad"),
+        F.round(F.sum(bad) * F.lit(1.0) / F.count("*"), 4).alias(
+            "bad_frac"
+        ),
+        (F.sum(bad) == 0).alias("keep"),
+    )
+
+
+_QUOTA_K = 5
+
+
+@q(
+    "q_host_quota",
+    f"""
+    SELECT doc_id, host, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id,
+             'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+               AS host,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id % 50
+               ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {_QUOTA_K}
+    """,
+)
+def q_host_quota(spark, sf_dir):
+    """Per-host document quota (anti-domination curation rule: cap any
+    single host's contribution at _QUOTA_K docs, keeping its best by
+    size with a deterministic doc_id tie-break). One host-partitioned
+    row_number window — Spark plans the rank-≤-K filter as a
+    WindowGroupLimit, so each map task pre-prunes to its local top-K
+    before the shuffle and hot hosts cannot flood the exchange at
+    100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.col("doc_id") % 50).orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("host"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _QUOTA_K)
+    )
+
+
+@q(
+    "q_decontaminate_bloom",
+    f"""
+    WITH evalset AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    {_grams_sql("evalset", 13)},
+    epos AS (
+      SELECT DISTINCT j, substr(md5(g), j * 4 + 1, 4) AS pos
+      FROM grams, unnest([0, 1, 2, 3]) AS t(j)),
+    train AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+    tarr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM train),
+    tgrams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(arr) - 11),
+                    k -> array_to_string(list_slice(arr, k, k + 12), ' ')))
+               AS g
+      FROM tarr WHERE len(arr) >= 13),
+    tpos AS (
+      SELECT doc_id, g, j, substr(md5(g), j * 4 + 1, 4) AS pos
+      FROM tgrams, unnest([0, 1, 2, 3]) AS t(j)),
+    hits AS (
+      SELECT tp.doc_id, tp.g
+      FROM tpos tp JOIN epos USING (j, pos)
+      GROUP BY tp.doc_id, tp.g HAVING COUNT(*) = 4)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits_bloom
+    FROM hits GROUP BY doc_id
+    """,
+)
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (the memory-bounded variant of
+    q_decontaminate): instead of broadcasting the full eval 13-gram
+    table, broadcast its BLOOM SIGNATURE — 4 hash bands of 16 bits
+    each, sliced from the gram's md5 (one digest per gram, the
+    digest-slicing trick) — and flag a training gram only when ALL 4
+    of its band positions are set. At 100 TB the broadcast side is a
+    bounded ≤4×65536-entry position set (effectively a 32 KB bitset)
+    no matter how large the eval suite grows, while exact
+    q_decontaminate's broadcast grows with it. False positives are
+    possible (verified tiny in tests) and strictly superset the exact
+    hits — the standard Bloom trade."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bands = F.array(*[F.lit(j) for j in range(4)])
+
+    def with_pos(grams):
+        return grams.select(
+            *grams.columns, F.explode(bands).alias("j")
+        ).select(
+            *grams.columns,
+            "j",
+            F.substring(
+                F.md5(F.encode("g", "UTF-8")), F.col("j") * 4 + 1, 4
+            ).alias("pos"),
+        )
+
+    epos = (
+        with_pos(
+            _grams_from(docs.filter(F.col("doc_id") % 20 == 0), 13).select(
+                "g"
+            ).distinct()
+        )
+        .select("j", "pos")
+        .distinct()
+    )
+    tpos = with_pos(_grams_from(docs.filter(F.col("doc_id") % 20 != 0), 13))
+    hits = (
+        tpos.join(F.broadcast(epos), ["j", "pos"])
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") == 4)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits_bloom")
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+@q(
+    "q_bigram_pmi",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, i, w FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS i,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM uni),
+    big AS (
+      SELECT a.w AS wa, b.w AS wb, COUNT(*) AS cab
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY a.w, b.w HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+    btot AS (SELECT SUM(cab) AS bt FROM big)
+    SELECT wa, wb, CAST(cab AS BIGINT) AS cab,
+           ROUND(ln((cab * 1.0 * t * t) / (1.0 * bt * ca.c * cb.c))
+                 / ln(2), 4) AS pmi
+    FROM big
+    JOIN uni ca ON ca.w = big.wa
+    JOIN uni cb ON cb.w = big.wb
+    CROSS JOIN tot CROSS JOIN btot
+    ORDER BY pmi DESC, wa, wb LIMIT {_PMI_TOP}
+    """,
+)
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation mining: top-20 bigrams by pointwise mutual
+    information (min support 5) — the phrase-discovery pass a
+    tokenizer/vocab pipeline runs before merging multiword units.
+    Spark plan: ONE tagged explode produces positional tokens, bigram
+    counts come from a self-join on (doc_id, i+1) — at 100 TB you'd
+    fuse this into the q_doc_repetition_ngrams single-scan shape —
+    unigram joins are w-keyed (Zipf-skewed: AQE skew-split; the
+    support-≥5 filter already removed the long tail), totals are
+    1-row broadcasts, and the global top-20 is a TakeOrdered (no full
+    sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")))
+        .withColumnsRenamed({"pos": "i0", "col": "w"})
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "w")
+    )
+    toks = _persist(toks)
+    uni = _persist(toks.groupBy("w").agg(F.count("*").alias("c")))
+    tot = F.broadcast(uni.groupBy().agg(F.sum("c").alias("t")))
+    a = toks.select("doc_id", "i", F.col("w").alias("wa"))
+    b = toks.select(
+        "doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("wb")
+    )
+    big = (
+        a.join(b, ["doc_id", "i"])
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= _PMI_MIN_COUNT)
+    )
+    big = _persist(big)
+    btot = F.broadcast(big.groupBy().agg(F.sum("cab").alias("bt")))
+    ca = uni.select(F.col("w").alias("wa"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("wb"), F.col("c").alias("c_b"))
+    pmi = (
+        F.log(
+            (F.col("cab") * F.lit(1.0) * F.col("t") * F.col("t"))
+            / (F.lit(1.0) * F.col("bt") * F.col("c_a") * F.col("c_b"))
+        )
+        / F.log(F.lit(2.0))
+    )
+    return (
+        big.join(ca, "wa")
+        .join(cb, "wb")
+        .crossJoin(tot)
+        .crossJoin(btot)
+        .select(
+            "wa",
+            "wb",
+            F.col("cab").cast("long").alias("cab"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("wa"), F.asc("wb"))
+        .limit(_PMI_TOP)
+    )
+
+
+@q(
+    "q_inverted_index",
+    """
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+    tf AS (SELECT w, doc_id, COUNT(*) AS tf FROM toks GROUP BY w, doc_id),
+    stats AS (SELECT w, COUNT(*) AS df, SUM(tf) AS cf FROM tf GROUP BY w),
+    top3 AS (
+      SELECT w, doc_id, tf FROM tf
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY w ORDER BY tf DESC, doc_id) <= 3),
+    post AS (
+      SELECT w, string_agg(doc_id || ':' || tf, ','
+                           ORDER BY tf DESC, doc_id) AS postings
+      FROM top3 GROUP BY w)
+    SELECT s.w, CAST(s.df AS BIGINT) AS df, CAST(s.cf AS BIGINT) AS cf,
+           p.postings
+    FROM stats s JOIN post p USING (w)
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build (term → document-frequency, collection
+    frequency, top-3 postings by tf) — the retrieval-side artifact of
+    a corpus pipeline. Plan: one (w, doc_id) groupBy for tf (map-side
+    combining), a w-keyed stats agg, and a rank-≤-3 window that Spark
+    plans as WindowGroupLimit — hot terms ('the') pre-prune to each
+    map task's local top-3 before the exchange, so Zipf skew cannot
+    flood the postings shuffle at 100 TB (full postings lists would
+    instead be written partitioned-by-term-prefix, never collected)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = _persist(
+        toks.groupBy("w", "doc_id").agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("w").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    wnd = Window.partitionBy("w").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top3 = (
+        tf.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= 3)
+    )
+    post = top3.groupBy("w").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "rk",
+                            F.concat_ws(
+                                ":",
+                                F.col("doc_id").cast("string"),
+                                F.col("tf").cast("string"),
+                            ).alias("s"),
+                        )
+                    )
+                ),
+                lambda s: s["s"],
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return stats.join(post, "w")
+
+
+@q(
+    "q_paragraph_quality",
+    f"""
+    WITH ml AS (
+      SELECT doc_id, string_split({_ML_TEXT_SQL}, chr(10)) AS lines
+      FROM documents),
+    lx AS (
+      SELECT doc_id, generate_subscripts(lines, 1) AS li,
+             unnest(lines) AS line
+      FROM ml),
+    ltoks AS (
+      SELECT doc_id, li, w FROM (
+        SELECT doc_id, li, unnest(string_split(line, ' ')) AS w
+        FROM lx) WHERE w <> ''),
+    cf AS (SELECT w, COUNT(*) AS c FROM ltoks GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM cf),
+    lb AS (
+      SELECT lt.doc_id, lt.li,
+             AVG(-ln(cf.c * 1.0 / tot.t)) / ln(2) AS bits
+      FROM ltoks lt JOIN cf USING (w) CROSS JOIN tot
+      GROUP BY lt.doc_id, lt.li)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(MIN(bits), 4) AS min_line_bits,
+           ROUND(MAX(bits), 4) AS max_line_bits,
+           ROUND(AVG(bits), 4) AS mean_line_bits
+    FROM lb GROUP BY doc_id
+    """,
+)
+def q_paragraph_quality(spark, sf_dir):
+    """Per-LINE quality scoring (the CCNet shape: perplexity is scored
+    per paragraph, and docs are trimmed/bucketed by their worst and
+    best paragraphs, not only the doc mean). Lines are the real-'\\n'
+    ml lines; each line scores mean -log2 p(token) under the corpus
+    unigram LM; per doc: min/max/mean line bits. Plan: corpus term
+    frequencies once (map-side combining), token→freq join (Zipf skew
+    → AQE; head-broadcast as in q_unigram_logloss is the 100 TB
+    refinement), then two doc-keyed rollups (line, then doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    lx = (
+        docs.select("doc_id", F.posexplode(F.split(_ml_text_col(), "\n")))
+        .withColumnsRenamed({"pos": "li0", "col": "line"})
+        .select("doc_id", (F.col("li0") + 1).alias("li"), "line")
+    )
+    ltoks = (
+        lx.select("doc_id", "li", F.explode(F.split("line", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    ltoks = _persist(ltoks)
+    cf = _persist(ltoks.groupBy("w").agg(F.count("*").alias("c")))
+    tot = F.broadcast(cf.groupBy().agg(F.sum("c").alias("t")))
+    nll = -F.log(F.col("c") * F.lit(1.0) / F.col("t"))
+    lb = (
+        ltoks.join(cf, "w")
+        .crossJoin(tot)
+        .groupBy("doc_id", "li")
+        .agg((F.avg(nll) / F.log(F.lit(2.0))).alias("bits"))
+    )
+    return lb.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.min("bits"), 4).alias("min_line_bits"),
+        F.round(F.max("bits"), 4).alias("max_line_bits"),
+        F.round(F.avg("bits"), 4).alias("mean_line_bits"),
+    )

@@ -422,3 +422,150 @@ def test_repetition_lines_ml_is_row_local(spark):
     """The dup-line fraction is a pure map: no Exchange in the plan."""
     plan = _plan(REGISTRY["q_doc_repetition_lines_ml"].spark(spark, SF_MED))
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: global line dedup, badwords, host quota, Bloom decon
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_lines_global_cross_doc_first_occurrence_wins(spark, tmp_path):
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = "alpha beta gamma"
+    a = f"first unique line\n{shared}\nmore text here"
+    b = f"{shared}\nsecond doc own words\n{shared}"
+    c = "completely different content\nnothing shared at all"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([a, b, c]),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["t"] * 3),
+                "n_chars": pa.array([len(a), len(b), len(c)], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["q_dedup_lines_global"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    md5 = lambda s: __import__("hashlib").md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 1 owns `shared` (first occurrence corpus-wide): untouched
+    assert rows[1]["n_removed"] == 0 and rows[1]["clean_md5"] == md5(a)
+    # doc 2 loses BOTH its occurrences of the shared line
+    assert rows[2]["n_removed"] == 2
+    assert rows[2]["clean_md5"] == md5("second doc own words")
+    assert rows[3]["n_removed"] == 0 and rows[3]["clean_md5"] == md5(c)
+    release_caches(spark)
+
+
+def test_badwords_filter_flags_and_keeps(spark):
+    rows = REGISTRY["q_badwords_filter"].spark(spark, SF_MED).collect()
+    assert len(rows) == 500
+    flagged = [r for r in rows if not r["keep"]]
+    clean = [r for r in rows if r["keep"]]
+    assert flagged and clean  # blocklist words exist in the vocab
+    for r in rows:
+        assert r["keep"] == (r["n_bad"] == 0)
+        assert 0 <= r["n_bad"] <= r["n_tokens"]
+    release_caches(spark)
+
+
+def test_badwords_filter_single_exchange(spark):
+    plan = _plan(REGISTRY["q_badwords_filter"].spark(spark, SF_MED))
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_host_quota_caps_and_keeps_largest(spark):
+    rows = REGISTRY["q_host_quota"].spark(spark, SF_MED).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_MED}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    for host, kept in by_host.items():
+        assert len(kept) <= 5
+        hid = int(host.removeprefix("host").split(".")[0])
+        pool = sorted(
+            (d for d in docs if d % 50 == hid),
+            key=lambda d: (-docs[d], d),
+        )
+        assert sorted(r["doc_id"] for r in kept) == sorted(pool[:5])
+    release_caches(spark)
+
+
+def test_host_quota_plans_window_group_limit(spark):
+    plan = _plan(REGISTRY["q_host_quota"].spark(spark, SF_MED))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_bloom_decontamination_supersets_exact(spark):
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in REGISTRY["q_decontaminate"].spark(spark, SF_MED).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_hits_bloom"]
+        for r in REGISTRY["q_decontaminate_bloom"]
+        .spark(spark, SF_MED)
+        .collect()
+    }
+    # no false negatives: every exact hit is a bloom hit, count >=
+    assert set(exact) <= set(bloom)
+    for did, n in exact.items():
+        assert bloom[did] >= n, did
+    # false-positive overhead is bounded (tiny band collisions)
+    extra_docs = len(set(bloom) - set(exact))
+    assert extra_docs <= max(5, len(exact)), (extra_docs, len(exact))
+    release_caches(spark)
+
+
+def test_bigram_pmi_finds_collocations(spark):
+    rows = REGISTRY["q_bigram_pmi"].spark(spark, SF_MED).collect()
+    assert len(rows) == 20
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    # PMI of a true collocation is positive; the top-20 should all be
+    assert all(p > 0 for p in pmis), pmis
+    assert all(r["cab"] >= 5 for r in rows)
+    release_caches(spark)
+
+
+def test_inverted_index_postings_shape(spark):
+    rows = REGISTRY["q_inverted_index"].spark(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        posts = r["postings"].split(",")
+        assert 1 <= len(posts) <= 3
+        tfs = [int(p.split(":")[1]) for p in posts]
+        assert tfs == sorted(tfs, reverse=True)
+        assert r["df"] >= len(posts)
+        assert r["cf"] >= r["df"]
+    release_caches(spark)
+
+
+def test_inverted_index_plans_window_group_limit(spark):
+    plan = _plan(REGISTRY["q_inverted_index"].spark(spark, SF_MED))
+    assert "WindowGroupLimit" in plan, plan
+    release_caches(spark)
+
+
+def test_paragraph_quality_bounds(spark):
+    rows = REGISTRY["q_paragraph_quality"].spark(spark, SF_MED).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["min_line_bits"] <= r["mean_line_bits"] <= r["max_line_bits"]
+        assert r["n_lines"] >= 1
+    release_caches(spark)
