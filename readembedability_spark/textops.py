@@ -34,6 +34,7 @@ from readembedability_spark.queries import (
     _t,
     _unpersist_rdd_ids,
     q,
+    q_baseline,
 )
 
 # ---------------------------------------------------------------------------
@@ -77,7 +78,7 @@ def _words_df(spark, sf_dir):
     )
 
 
-@q(
+@q_baseline(
     "q_dedup_jaccard",
     f"""
     WITH {_WORDS_SQL},
@@ -801,7 +802,7 @@ def _dot(a, b):
     )
 
 
-@q(
+@q_baseline(
     "q_ann_cosine",
     """
     WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
@@ -2303,7 +2304,7 @@ def q_join_oembed_providers(spark, sf_dir):
     )
 
 
-@q(
+@q_baseline(
     "q_dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLES_SQL},
@@ -2348,7 +2349,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@q(
+@q_baseline(
     "q_dedup_embedding",
     """
     WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

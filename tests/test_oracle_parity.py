@@ -55,17 +55,19 @@ def _canon(cols, rows):
 
 
 def _registry():
+    """Driver registry PLUS the unregistered all-pairs correctness
+    baselines (BASELINE_REGISTRY): the baselines are excluded from the
+    queries()/oracle_sql() surface so no production caller can run a
+    quadratic plan, but their Spark≡DuckDB parity stays gate-tested
+    here every round."""
     import readembedability_spark.textops  # noqa: F401 - registers entries
-    from readembedability_spark.queries import REGISTRY
+    from readembedability_spark.queries import BASELINE_REGISTRY, REGISTRY
 
-    return REGISTRY
+    return {**REGISTRY, **BASELINE_REGISTRY}
 
 
 def _all_names():
-    import readembedability_spark.textops  # noqa: F401
-    from readembedability_spark.queries import REGISTRY
-
-    return sorted(REGISTRY.keys())
+    return sorted(_registry().keys())
 
 
 @pytest.mark.parametrize("name", _all_names())
