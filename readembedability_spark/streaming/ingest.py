@@ -239,3 +239,59 @@ def streaming_crawl_sessions(
         )
         .select("host", "sess.start", "sess.end", "n_pages", "bytes_in")
     )
+
+
+def streaming_quality_filter(
+    pages_stream: DataFrame,
+    weights: dict[str, int],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Serve the TRAINED quality classifier online (O-28 ×
+    q_model_train): score every arriving page with the weight table
+    learned offline by q_model_train and pass only predicted-quality
+    pages downstream — the train-offline / filter-at-ingest shape of a
+    production crawl pipeline.
+
+    The model is embedded as a LITERAL map (the weight table is
+    bounded ≤258 fixed-point entries, exactly what q_model_train
+    emits), so scoring is fully ROW-LOCAL: one higher-order aggregate
+    over the token array computes the bucket-weight sum, plus the bias
+    and length terms, then the same rational fast-sigmoid squash as
+    training. Zero streaming state, zero joins — at any ingest rate
+    this is a pure map. (Scores differ from the batch
+    q_model_score_trained only in fixed-point granularity: batch
+    quantizes per-bucket normalized counts, the row-local form divides
+    once per doc.)"""
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in sorted(weights.items())
+            for x in (k, int(v))
+        ]
+    )
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda w: w != F.lit(""),
+    )
+    n_tok = F.size(toks)
+    bucket_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.coalesce(
+            wmap[F.substring(F.md5(F.encode(w, "UTF-8")), 1, 2)],
+            F.lit(0).cast("long"),
+        ),
+    )
+    w_bias = F.coalesce(wmap[F.lit("bias")], F.lit(0).cast("long"))
+    w_len = F.coalesce(wmap[F.lit("len")], F.lit(0).cast("long"))
+    x = (
+        bucket_sum.cast("double") / n_tok
+        + w_bias.cast("double")
+        + w_len.cast("double") * n_tok / F.lit(100.0)
+    ) / F.lit(1000000.0)
+    p = F.lit(0.5) + F.lit(0.5) * x / (F.lit(1.0) + F.abs(x))
+    scored = pages_stream.withColumn("quality_score", F.round(p, 6))
+    return scored.filter(
+        (F.col("quality_score") > threshold) & (n_tok > 0)
+    )

@@ -569,3 +569,76 @@ def test_paragraph_quality_bounds(spark):
         assert r["min_line_bits"] <= r["mean_line_bits"] <= r["max_line_bits"]
         assert r["n_lines"] >= 1
     release_caches(spark)
+
+
+def test_streaming_quality_filter_serves_trained_weights(spark, tmp_path):
+    """Train offline (q_model_train), serve online: the streaming
+    filter keeps long docs and drops short ones, matching the batch
+    model's predictions on the same corpus (the label is a
+    token-count rule, so length drives the decision)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from readembedability_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_quality_filter,
+    )
+
+    weights = {
+        r["bucket"]: r["weight_micro"]
+        for r in REGISTRY["q_model_train"].spark(spark, SF_MED).collect()
+    }
+    release_caches(spark)
+    batch_pred = {
+        r["doc_id"]: r["pred"]
+        for r in REGISTRY["q_model_score_trained"]
+        .spark(spark, SF_MED)
+        .collect()
+    }
+    release_caches(spark)
+    docs = (
+        spark.read.parquet(f"{SF_MED}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    ts = datetime(2025, 1, 1, 12, 0, 0)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "url": [f"https://x.example.com/{r['doc_id']}" for r in docs],
+                "warc_ts": pa.array([ts] * len(docs), pa.timestamp("us")),
+                "html": pa.array([None] * len(docs), pa.binary()),
+                "text": [r["text"] for r in docs],
+                "lang": ["en"] * len(docs),
+            }
+        ),
+        in_dir / "batch1.parquet",
+    )
+    out = streaming_quality_filter(
+        read_pages_stream(spark, str(in_dir)), weights
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quality_filter")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {
+        int(r["url"].rsplit("/", 1)[1])
+        for r in spark.sql("select url from quality_filter").collect()
+    }
+    batch_kept = {d for d, p in batch_pred.items() if p}
+    # row-local fixed-point granularity differs slightly from the
+    # batch featurization → allow a small disagreement band
+    sym_diff = kept ^ batch_kept
+    assert len(sym_diff) <= max(5, len(batch_kept) // 20), (
+        len(sym_diff),
+        len(batch_kept),
+    )
+    release_caches(spark)
