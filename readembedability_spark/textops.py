@@ -1719,21 +1719,35 @@ def q_pagerank(spark, sf_dir):
         .distinct()
         .transform(_local_checkpoint)  # tiny; frozen across iterations
     )
-    nodes = (
+    # nodes/deg/sinks are iteration-invariant and referenced inside
+    # every iteration's lineage — persisted once so no per-iteration
+    # recompute (each carries a shuffle of its own)
+    nodes = _persist(
         edges.select(F.col("src").alias("v"))
         .union(edges.select(F.col("dst").alias("v")))
         .distinct()
+        .coalesce(1)
     )
     nn = nodes.agg(F.count("*").alias("n"))
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    deg = _persist(
+        edges.groupBy("src").agg(F.count("*").alias("d")).coalesce(1)
+    )
     # sink set is iteration-invariant: nodes with no out-edges
-    sinks = nodes.join(
-        deg.select(F.col("src").alias("v")), "v", "left_anti"
+    sinks = _persist(
+        nodes.join(deg.select(F.col("src").alias("v")), "v", "left_anti")
     )
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "v", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(_PR_ITERS):
+        # each iteration reads r TWICE (contrib + dangling mass), so r
+        # is localCheckpoint'ed per round — without it the lazy plan
+        # re-derives r_{t-1} once per reference (2^iters subtree
+        # copies; measured 13× wall at sf0.1). Same shape as the CC
+        # loop; the rank table is node-count-sized (coalesced so the
+        # checkpoint is a single tiny task — at web-graph scale drop
+        # the coalesce and let it stay partitioned).
+        r = _local_checkpoint(r.coalesce(1))
         contrib = (
             edges.join(r.select(F.col("v").alias("src"), "r"), "src")
             .join(deg, "src")
@@ -2710,9 +2724,11 @@ def q_unigram_logloss(spark, sf_dir):
     (groupBy w, map-side combining), then the w-keyed join back and a
     doc_id rollup; the corpus total is a 1-row broadcast."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
+    toks = _persist(
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        ).filter(F.col("w") != "")
+    )
     cf = _persist(toks.groupBy("w").agg(F.count("*").alias("c")))
     tot = cf.agg(F.sum("c").alias("t"))
     # The token→frequency join is keyed by Zipf-skewed words (VERDICT
@@ -2721,8 +2737,10 @@ def q_unigram_logloss(spark, sf_dir):
     # head tokens cover most of the mass — and send ONLY tail tokens
     # through the shuffle join, whose key distribution is then flat.
     # Values are identical whichever side a token lands on (same c/t),
-    # so the split is a pure plan change.
-    head = cf.orderBy(F.desc("c"), F.asc("w")).limit(_PPLX_HEAD_K)
+    # so the split is a pure plan change. head is persisted (it feeds
+    # three joins) and toks is persisted (hit + miss branches) so the
+    # sort and the corpus explode each run once.
+    head = _persist(cf.orderBy(F.desc("c"), F.asc("w")).limit(_PPLX_HEAD_K))
     tail_cf = cf.join(F.broadcast(head.select("w")), "w", "left_anti")
     hit = toks.join(F.broadcast(head), "w")
     miss = toks.join(
@@ -2805,9 +2823,9 @@ def q_bigram_lm_bits(spark, sf_dir):
             (-F.log(F.col("c") / F.col("t"))).alias("nll"),
         )
     )
-    headp = p.orderBy(
-        F.desc("c"), F.asc("w1"), F.asc("w2")
-    ).limit(_PPLX_HEAD_K)
+    headp = _persist(
+        p.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2")).limit(_PPLX_HEAD_K)
+    )
     tail_p = p.join(
         F.broadcast(headp.select("w1", "w2")), ["w1", "w2"], "left_anti"
     )
@@ -5082,4 +5100,87 @@ def q_paragraph_quality(spark, sf_dir):
         F.round(F.min("bits"), 4).alias("min_line_bits"),
         F.round(F.max("bits"), 4).alias("max_line_bits"),
         F.round(F.avg("bits"), 4).alias("mean_line_bits"),
+    )
+
+
+_PR_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@q(
+    "q_model_pr_curve",
+    f"""
+    WITH {_LRN_BASE_SQL},
+    {_lrn_rounds_sql()},
+    sc AS (
+      SELECT f.doc_id, CAST(SUM(f.xq * w.w) AS BIGINT) AS dot
+      FROM feats f JOIN w{_LRN_ROUNDS} w USING (b) GROUP BY f.doc_id),
+    scored AS (
+      SELECT l.doc_id, l.y,
+             {_LRN_P.format(x=_LRN_X.format(dot="sc.dot"))} AS p
+      FROM lab l JOIN sc USING (doc_id)),
+    sweep AS (
+      SELECT t, y, p FROM scored,
+            unnest([{", ".join(str(t) for t in _PR_THRESHOLDS)}]) AS u(t))
+    SELECT CAST(t AS DOUBLE) AS threshold,
+           CAST(SUM(CASE WHEN p > t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS tp,
+           CAST(SUM(CASE WHEN p > t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fp,
+           CAST(SUM(CASE WHEN p <= t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fn,
+           COALESCE(ROUND(SUM(CASE WHEN p > t AND y = 1 THEN 1 ELSE 0 END)
+                 * 1.0
+                 / NULLIF(SUM(CASE WHEN p > t THEN 1 ELSE 0 END), 0), 4),
+                 1.0) AS precision,
+           ROUND(SUM(CASE WHEN p > t AND y = 1 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END), 0), 4)
+             AS recall
+    FROM sweep GROUP BY t
+    """,
+)
+def q_model_pr_curve(spark, sf_dir):
+    """Threshold sweep for the trained classifier (the eval artifact a
+    filtering pipeline tunes its cutoff from): for each decision
+    threshold, TP/FP/FN plus precision and recall against the
+    gopher-pass labels. Plan: score once (the q_model_score_trained
+    apply), explode each scored doc across the 9-entry literal
+    threshold array (a bounded constant fan-out, no join), and one
+    map-side-combining groupBy(threshold) — at 100 TB this adds a
+    single 9-key aggregate on top of the scoring pass. Precision of an
+    empty prediction set is reported as 1.0 (the sklearn PR-curve
+    convention; also keeps the result NULL-free for the hash
+    compare)."""
+    feats, lab, w = _lrn_train(spark, sf_dir)
+    sc = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("xq") * F.col("w")).alias("dot"))
+    )
+    scored = lab.join(sc, "doc_id").select(
+        "y", _lrn_p("dot").alias("p")
+    )
+    thresholds = F.array(*[F.lit(t) for t in _PR_THRESHOLDS])
+    sweep = scored.select(
+        "y", "p", F.explode(thresholds).alias("t")
+    )
+    pred_pos = F.when(F.col("p") > F.col("t"), 1).otherwise(0)
+    tp = F.sum(F.when((F.col("p") > F.col("t")) & (F.col("y") == 1), 1).otherwise(0))
+    fp = F.sum(F.when((F.col("p") > F.col("t")) & (F.col("y") == 0), 1).otherwise(0))
+    fn = F.sum(F.when((F.col("p") <= F.col("t")) & (F.col("y") == 1), 1).otherwise(0))
+    return sweep.groupBy(F.col("t").alias("threshold")).agg(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.coalesce(
+            F.round(
+                tp * F.lit(1.0) / F.nullif(F.sum(pred_pos), F.lit(0)), 4
+            ),
+            F.lit(1.0),
+        ).alias("precision"),
+        F.round(
+            tp
+            * F.lit(1.0)
+            / F.nullif(F.sum(F.when(F.col("y") == 1, 1).otherwise(0)), F.lit(0)),
+            4,
+        ).alias("recall"),
     )

@@ -642,3 +642,24 @@ def test_streaming_quality_filter_serves_trained_weights(spark, tmp_path):
         len(batch_kept),
     )
     release_caches(spark)
+
+
+def test_model_pr_curve_monotone_recall(spark):
+    """Recall is non-increasing in the threshold; precision at the
+    operating point (0.5) matches the scored accuracy picture; counts
+    are consistent (tp+fn = positives at every threshold)."""
+    rows = sorted(
+        REGISTRY["q_model_pr_curve"].spark(spark, SF_MED).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert len(rows) == 9
+    recalls = [r["recall"] for r in rows]
+    assert all(
+        a >= b for a, b in zip(recalls, recalls[1:])
+    ), recalls
+    pos = {r["tp"] + r["fn"] for r in rows}
+    assert len(pos) == 1  # total positives invariant across thresholds
+    mid = next(r for r in rows if abs(r["threshold"] - 0.5) < 1e-9)
+    assert mid["precision"] is not None and mid["precision"] > 0.9
+    assert mid["recall"] > 0.9
+    release_caches(spark)
