@@ -54,6 +54,7 @@ HEADLINE = [
     "q_dedup_embedding_bucketed",
     "q_dedup_embedding_clusters",
     "q_dedup_clusters",
+    "q_dedup_clusters_best",
     "q_dedup_editdistance",
     "q_tfidf",
     "q_curation_pipeline",

@@ -5184,3 +5184,57 @@ def q_model_pr_curve(spark, sf_dir):
             4,
         ).alias("recall"),
     )
+
+
+@q(
+    "q_dedup_clusters_best",
+    f"""
+    WITH RECURSIVE {_VERIFIED_PAIRS_SQL},
+    edges AS (SELECT a, b FROM vpairs UNION SELECT b, a FROM vpairs),
+    walk(node, reach) AS (
+      SELECT a AS node, a AS reach FROM edges
+      UNION
+      SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a),
+    reps AS (SELECT node, MIN(reach) AS rep FROM walk GROUP BY node),
+    quality AS (
+      SELECT r.node, r.rep, d.n_chars
+      FROM reps r JOIN documents d ON d.doc_id = r.node)
+    SELECT node AS doc_id, rep,
+           CAST(COUNT(*) OVER (PARTITION BY rep) AS BIGINT)
+             AS component_size,
+           FIRST_VALUE(node) OVER (
+             PARTITION BY rep ORDER BY n_chars DESC, node) AS keeper,
+           node = FIRST_VALUE(node) OVER (
+             PARTITION BY rep ORDER BY n_chars DESC, node) AS kept
+    FROM quality
+    """,
+)
+def q_dedup_clusters_best(spark, sf_dir):
+    """Quality-keeper dedup clustering: same near-dup connected
+    components as q_dedup_clusters, but the survivor per cluster is
+    the HIGHEST-QUALITY member (largest n_chars, doc_id tie-break) —
+    the rule production dedup actually ships, since the earliest-id
+    doc is often the worst-extracted copy. One doc-keyed join of the
+    component labels against the documents table plus one
+    rep-partitioned window; components are near-dup clusters, so the
+    window partitions are tiny by construction (no skew risk)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    edges = _verified_pairs_df(spark, sf_dir).select("a", "b")
+    labels = _connected_components(spark, edges)
+    q_ = labels.join(
+        docs, labels["node"] == docs["doc_id"]
+    ).select("node", F.col("label").alias("rep"), "n_chars")
+    w_sz = Window.partitionBy("rep")
+    w_best = (
+        Window.partitionBy("rep")
+        .orderBy(F.desc("n_chars"), F.asc("node"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    keeper = F.first("node").over(w_best)
+    return q_.select(
+        F.col("node").alias("doc_id"),
+        "rep",
+        F.count("*").over(w_sz).cast("long").alias("component_size"),
+        keeper.alias("keeper"),
+        (F.col("node") == keeper).alias("kept"),
+    )

@@ -663,3 +663,28 @@ def test_model_pr_curve_monotone_recall(spark):
     assert mid["precision"] is not None and mid["precision"] > 0.9
     assert mid["recall"] > 0.9
     release_caches(spark)
+
+
+def test_dedup_clusters_best_keeps_highest_quality(spark):
+    """The keeper per component is its largest-n_chars member; exactly
+    one kept per component; components match q_dedup_clusters."""
+    rows = REGISTRY["q_dedup_clusters_best"].spark(spark, SF_MED).collect()
+    release_caches(spark)
+    nchars = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_MED}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    by_rep = {}
+    for r in rows:
+        by_rep.setdefault(r["rep"], []).append(r)
+    assert by_rep
+    for rep, members in by_rep.items():
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == 1
+        best = max(members, key=lambda m: (nchars[m["doc_id"]], -m["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
+        assert all(m["keeper"] == kept[0]["doc_id"] for m in members)
+        assert all(m["component_size"] == len(members) for m in members)
+    release_caches(spark)
