@@ -733,3 +733,22 @@ def test_pretrain_prep_stages_compose(spark):
     # and the bin count is the information-theoretic minimum
     assert len(sums) == -(-total // 512)
     release_caches(spark)
+
+
+def test_bigram_pmi_top_k_is_take_ordered(spark):
+    """The global top-20 must plan as TakeOrderedAndProject (per-
+    partition top-k + driver merge), never a full global Sort."""
+    plan = _plan(REGISTRY["q_bigram_pmi"].spark(spark, SF_MED))
+    assert "TakeOrdered" in plan, plan
+    release_caches(spark)
+
+
+def test_dedup_lines_global_two_exchanges_no_cartesian(spark):
+    """Owner agg + flag join + doc rollup collapse to two exchanges
+    (AQE reuses the h-partitioning for the join); no cartesian or
+    nested-loop join may appear."""
+    plan = _plan(REGISTRY["q_dedup_lines_global"].spark(spark, SF_MED))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    n_exchange = len(re.findall(r"\n\(\d+\) Exchange", plan))
+    assert n_exchange <= 3, plan
+    release_caches(spark)
