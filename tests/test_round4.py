@@ -752,3 +752,29 @@ def test_dedup_lines_global_two_exchanges_no_cartesian(spark):
     n_exchange = len(re.findall(r"\n\(\d+\) Exchange", plan))
     assert n_exchange <= 3, plan
     release_caches(spark)
+
+
+def test_partitioned_sink_enables_partition_pruning(spark, tmp_path):
+    """Curated output written partitioned by lang is read back with
+    the lang filter resolved by PARTITION PRUNING: the parquet scan's
+    PartitionFilters carries the predicate and only the matching
+    directory is listed — at 100 TB the non-matching partitions are
+    never opened."""
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "curated_by_lang")
+    docs.repartition("lang").write.partitionBy("lang").parquet(out)
+    rd = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = _plan(rd)
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
+    # and the pushed-down data filters do NOT contain lang (it is a
+    # partition column, resolved before the scan)
+    pf = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pf is None or "lang" not in pf.group(1), plan
+    n = rd.count()
+    want = docs.filter(F.col("lang") == "en").count()
+    assert n == want
+    release_caches(spark)
