@@ -39,3 +39,22 @@ def test_flagship_matches_oracle(spark):
         entrymod.oracle_sql()["q_extract_flagship"]
     ).fetchall())
     assert rows == drows
+
+
+def test_gate_priority_invariants():
+    """The driver hash-checks the first 50 registered queries: the
+    priority list must be exactly 50 unique names, every one
+    registered (or the flagship) and oracle-backed, and the quarantined
+    all-pairs baselines must be unreachable through the surface."""
+    import __spark_entry__ as e
+    from readembedability_spark.queries import BASELINE_REGISTRY
+
+    gate = e._GATE_PRIORITY
+    assert len(gate) == 50 and len(set(gate)) == 50
+    qs = e.queries()
+    osql = e.oracle_sql()
+    assert list(qs)[:50] == gate
+    for name in gate:
+        assert name in osql, f"gate entry {name} lacks an oracle"
+    for name in BASELINE_REGISTRY:
+        assert name not in qs and name not in osql

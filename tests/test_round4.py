@@ -778,3 +778,38 @@ def test_partitioned_sink_enables_partition_pruning(spark, tmp_path):
     want = docs.filter(F.col("lang") == "en").count()
     assert n == want
     release_caches(spark)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_dedup_lines_global",
+        "q_badwords_filter",
+        "q_host_quota",
+        "q_bpe_train",
+        "q_model_train",
+        "q_dedup_substring_removed",
+    ],
+)
+def test_new_ops_handle_empty_table(spark, tmp_path, name):
+    """Zero-row input must yield zero rows (or an empty merge/weight
+    table), never an exception — the resume/partial-run path replays
+    queries over possibly-empty buckets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = REGISTRY[name].spark(spark, str(tmp_path)).collect()
+    assert rows == []
+    release_caches(spark)
