@@ -218,7 +218,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
+    # The driver tail-captures stdout with a bounded window: BENCH_r04
+    # came back "parsed": null because the 71-query inline timing map
+    # pushed the line past the capture and truncated its HEAD (VERDICT
+    # r04 #1). So the final line is now COMPACT — total, throughput,
+    # probes, and a short representative query subset — while the full
+    # per-query map lands in BENCH/detail_latest.json (committed
+    # per-round as BENCH/rN_detail.json for the judge).
+    detail_path = Path(
+        os.environ.get("SPARK_GRAFT_DETAIL", str(REPO / "BENCH" / "detail_latest.json"))
+    )
+    detail_path.parent.mkdir(parents=True, exist_ok=True)
+    detail_path.write_text(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
@@ -228,12 +239,43 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "host_probes_m_iters_per_sec": probes,
+                "cpus": int(cpus),
+            },
+            indent=1,
+        )
+        + "\n"
+    )
+    compact_keys = [
+        "q_extract_flagship",
+        "q_extract_archetypes",
+        "q_curation_pipeline_lsh",
+        "q_model_train",
+        "q_bpe_tokenize",
+        "q_dedup_clusters",
+        "q_minhash_lsh",
+        "q_pagerank",
+        "q_ann_ivf_kmeans",
+        "q_dedup_substring",
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: timings[k] for k in compact_keys if k in timings},
+                "n_queries": len(timings),
+                "detail": str(detail_path),
+                "sf": sf,
+                "reps": reps,
+                "host_probes_m_iters_per_sec": probes,
                 "pages_per_sec": round(n_pages / t_extract, 1) if t_extract else None,
                 "pages_per_sec_archetype": (
                     round(n_arch / t_arch, 1) if t_arch else None
                 ),
                 "cpus": int(cpus),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

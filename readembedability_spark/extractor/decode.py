@@ -95,6 +95,7 @@ def gunzip_if_needed(blob: bytes, limit: int | None = None) -> bytes:
     if blob[:2] != b"\x1f\x8b":
         return blob
     out = bytearray()
+    member_end = 0  # bytes of `out` covered by fully-decoded members
     try:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         tail = blob
@@ -108,8 +109,11 @@ def gunzip_if_needed(blob: bytes, limit: int | None = None) -> bytes:
             elif not tail and not d.eof:
                 break
             if d.eof:
-                # member boundary: restart on the next member if the
-                # trailing bytes look like another gzip header
+                # member boundary: the CRC-checked member completed, so
+                # everything decoded so far is trustworthy; restart on
+                # the next member if the trailing bytes look like
+                # another gzip header
+                member_end = len(out)
                 rest = d.unused_data
                 if rest[:2] == b"\x1f\x8b":
                     d = zlib.decompressobj(16 + zlib.MAX_WBITS)
@@ -121,8 +125,12 @@ def gunzip_if_needed(blob: bytes, limit: int | None = None) -> bytes:
         raise
     except Exception:
         # A corrupt LATER member must not discard already-decoded valid
-        # members: keep the decoded prefix when any output exists.
-        return bytes(out) if out else blob
+        # members — but the decompressor may also have emitted a partial
+        # fragment of the corrupt member before hitting the error, so
+        # truncate to the last fully-completed member boundary (ADVICE
+        # r04: callers must never receive a truncated trailing
+        # fragment of a member that failed its CRC).
+        return bytes(out[:member_end]) if member_end else blob
 
 
 def _normalize_encoding(name: str) -> str | None:

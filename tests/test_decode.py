@@ -114,3 +114,24 @@ def test_gunzip_corrupt_later_member_keeps_decoded_prefix():
     bad = b"\x1f\x8b\x08\x00" + b"\xff" * 32  # gzip magic, garbage stream
     out = gunzip_if_needed(good + bad)
     assert out.startswith(b"<html><body>valid first member")
+
+
+def test_gunzip_corrupt_member_partial_fragment_dropped():
+    """The salvage path truncates to the last FULLY-completed member:
+    bytes the decompressor emitted for the corrupt member before the
+    CRC/stream error must not leak to the caller (ADVICE r04)."""
+    from readembedability_spark.extractor.decode import gunzip_if_needed
+
+    good = gzip.compress(b"first-member-payload")
+    # second member: valid gzip header + deflate stream whose TAIL is
+    # corrupted, so some plaintext decodes before the error fires
+    full_bad = bytearray(gzip.compress(b"SECOND" * 500))
+    full_bad[-6:] = b"\x00" * 6  # smash the CRC32/ISIZE trailer
+    out = gunzip_if_needed(bytes(good) + bytes(full_bad))
+    assert out == b"first-member-payload"
+    assert b"SECOND" not in out
+
+    # and a corrupt FIRST member (no completed member at all) still
+    # falls back to the raw blob, unchanged behavior
+    only_bad = bytes(full_bad)
+    assert gunzip_if_needed(only_bad) == only_bad
