@@ -74,6 +74,38 @@ def _local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return out
 
 
+#: Iteration-loop sizing (VERDICT r04 #3): target rows per partition
+#: for tables that iterative trainers (BPE merge loop, classifier
+#: rounds, PageRank) re-read every round. Partition counts are DERIVED
+#: from the table's row count at this density (floor 1) instead of
+#: hard-coded constants — at sandbox scale the loops still run at the
+#: low task-overhead parallelism the constants gave, and at web scale
+#: a 10⁹-row vocab/rank table automatically fans out to thousands of
+#: partitions instead of bottlenecking on a single task per round.
+#: Module-level (not a default arg) so tests can monkeypatch it to
+#: force multi-partition plans on small fixtures.
+ITER_ROWS_PER_PART = 1 << 16
+
+
+def _parts_for(n_rows: int, rows_per_part: Optional[int] = None) -> int:
+    """Partition count for an n_rows-row iteration table (ceil, floor 1)."""
+    if rows_per_part is None:
+        rows_per_part = ITER_ROWS_PER_PART
+    return max(1, -(-int(n_rows) // int(rows_per_part)))
+
+
+def _resize(df: DataFrame, parts: int) -> DataFrame:
+    """Bring df to `parts` partitions: narrow coalesce when shrinking
+    (no shuffle — reads the parent, typically a persisted anchor,
+    in place), full repartition only when growing."""
+    cur = df.rdd.getNumPartitions()
+    if parts < cur:
+        return df.coalesce(parts)
+    if parts > cur:
+        return df.repartition(parts)
+    return df
+
+
 def _scala_iter(obj):
     it = obj.iterator()
     while it.hasNext():

@@ -69,26 +69,29 @@ def test_km_assign_nprobe1_matches_window_branch(spark):
         r["vec_id"]: r["cell"]
         for r in textops._km_assign(emb, cents, nprobe=1).collect()
     }
-    slow = {
+    # the window branch's ACTUAL top-1 (ADVICE r04: set membership in
+    # the nprobe=2 pair was too weak — a tie-break or rounding
+    # divergence between the max_by long encoding and the window's
+    # (desc round(cos,6), asc cid) ordering would have slipped
+    # through): replicate the exact window ordering and take rn == 1.
+    from pyspark.sql import Window
+
+    cos = textops._dot(F.col("v"), F.col("c")) / (
+        F.sqrt(textops._dot(F.col("v"), F.col("v")))
+        * F.sqrt(textops._dot(F.col("c"), F.col("c")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(cos, 6)), F.asc("cid")
+    )
+    top1 = {
         r["vec_id"]: r["cell"]
-        for r in textops._km_assign(emb, cents, nprobe=2)
-        .groupBy("vec_id")
-        .agg(F.min_by("cell", "cell").alias("cell"))
+        for r in emb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
         .collect()
     }
-    # nprobe=2's top-1 is recoverable only via ordering; instead check
-    # the invariant directly: fast's pick is among nprobe=2's 2 picks
-    two = (
-        textops._km_assign(emb, cents, nprobe=2)
-        .groupBy("vec_id")
-        .agg(F.collect_set("cell").alias("cells"))
-        .collect()
-    )
-    two_map = {r["vec_id"]: set(r["cells"]) for r in two}
-    assert set(fast) == set(two_map)
-    for vid, cell in fast.items():
-        assert cell in two_map[vid], (vid, cell, two_map[vid])
-    assert slow  # smoke: the aggregate ran
+    assert fast == top1
     release_caches(spark)
 
 
