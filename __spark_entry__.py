@@ -42,43 +42,53 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ROTATION (VERDICT r03 #4): each round, gate slots vacated by
 #: queries that already have driver-green CORRECTNESS rows from prior
 #: rounds are handed to entries that have only ever been
-#: judge-verified. Round 4 rotates IN the 5 new round-4 ops
-#: (substring removal, BPE train/apply, classifier train/apply) and
-#: the 10 longest-waiting overflow queries (pagerank …
-#: profile_documents, slots 41-50); rotated OUT (all driver-green in
-#: r01-r03, still covered by tests/test_oracle_parity.py): langid,
-#: quality_score, token_count, tfidf, dedup_url, join_orders_lineitem,
-#: join_asof, rollup_status, sessionize, explode_terms, resume_anti,
-#: tpch_q1, grouped_pandas_stats, approx_distinct, percentiles.
+#: judge-verified. Round 5 (VERDICT r04 #2/#5/#6) rotates IN the 15
+#: round-4 queries that never had a driver row (dedup_lines_global,
+#: badwords_filter, host_quota, decontaminate_bloom, bigram_pmi,
+#: inverted_index, paragraph_quality, dedup_clusters_best,
+#: model_pr_curve, dedup_lines_within_ml, doc_repetition_lines_ml,
+#: url_normalize, char_entropy, host_diversity, approx_quantiles)
+#: plus the 8 NEW round-5 ops (shuffle_shards, ann_recall,
+#: extract_links, pagerank_links, mixture_temperature,
+#: pack_efficiency, contamination_report, split_holdout) — after this
+#: round every registry query has lifetime driver evidence and the
+#: rotation discipline can retire. Rotated OUT (all driver-green
+#: r01–r04, still parity-tested every round): metrics_rollup,
+#: dedup_exact, minhash_lsh, dedup_lsh_verified, dedup_incremental,
+#: dedup_clusters, simhash, simhash_pairs, ann_lsh, ann_bucketed,
+#: dedup_embedding_bucketed, dedup_embedding_clusters, ann_ivf,
+#: ann_ivf_kmeans, ann_pq, winnow_fingerprints, multimodal_meta,
+#: join_oembed_providers, dedup_editdistance, curation_pipeline,
+#: gopher_rules, doc_repetition, doc_repetition_ngrams.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_archetypes",
     "q_extract_blocks",
     "q_extract_table",
-    "q_metrics_rollup",
-    "q_dedup_exact",
-    "q_minhash_lsh",
-    "q_dedup_lsh_verified",
-    "q_dedup_incremental",
-    "q_dedup_clusters",
-    "q_simhash",
-    "q_simhash_pairs",
-    "q_ann_lsh",
-    "q_ann_bucketed",
-    "q_dedup_embedding_bucketed",
-    "q_dedup_embedding_clusters",
-    "q_ann_ivf",
-    "q_ann_ivf_kmeans",
-    "q_ann_pq",
-    "q_winnow_fingerprints",
-    "q_multimodal_meta",
-    "q_join_oembed_providers",
-    "q_dedup_editdistance",
-    "q_curation_pipeline",
+    "q_dedup_lines_global",
+    "q_badwords_filter",
+    "q_host_quota",
+    "q_decontaminate_bloom",
+    "q_bigram_pmi",
+    "q_inverted_index",
+    "q_paragraph_quality",
+    "q_dedup_clusters_best",
+    "q_model_pr_curve",
+    "q_dedup_lines_within_ml",
+    "q_doc_repetition_lines_ml",
+    "q_url_normalize",
+    "q_char_entropy",
+    "q_host_diversity",
+    "q_approx_quantiles",
+    "q_shuffle_shards",
+    "q_ann_recall",
+    "q_extract_links",
+    "q_pagerank_links",
+    "q_mixture_temperature",
+    "q_pack_efficiency",
+    "q_contamination_report",
+    "q_split_holdout",
     "q_curation_pipeline_lsh",
-    "q_gopher_rules",
-    "q_doc_repetition",
-    "q_doc_repetition_ngrams",
     "q_dedup_substring",
     "q_dedup_substring_removed",
     "q_pii_scrub",

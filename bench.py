@@ -67,6 +67,14 @@ HEADLINE = [
     "q_pii_scrub",
     "q_sample_stratified",
     "q_pack_sequences",
+    "q_shuffle_shards",
+    "q_pack_efficiency",
+    "q_ann_recall",
+    "q_extract_links",
+    "q_pagerank_links",
+    "q_mixture_temperature",
+    "q_split_holdout",
+    "q_contamination_report",
     "q_decontaminate",
     "q_url_normalize",
     "q_host_stats",

@@ -1,14 +1,17 @@
 """spark-submit entry point for FULL pretraining-data preparation:
 quality gates (gopher + blocklist) → cross-document line-dedup with
-REMOVAL (cleaned text flows downstream) → exact dedup → LSH near-dup
-clustering with a best-quality keeper → 13-gram decontamination →
-sequence packing — written as curated-docs + packed-sequences parquet
-plus a JSON stats line per stage.
+REMOVAL (cleaned text flows downstream) → [optional cross-doc
+duplicated-substring removal] → exact dedup → LSH near-dup clustering
+with a best-quality keeper → 13-gram decontamination → sequence
+packing → seeded global shuffle + sharded write — written as
+curated-docs, packed-sequences and trainer-ready shard parquet plus a
+JSON stats line per stage (including per-shard row balance).
 
-This chains the round-4 transform operators (q_badwords_filter,
-q_dedup_lines_global, q_dedup_exact, q_dedup_clusters_best,
-q_decontaminate, q_pack_sequences) into the one job a pretraining
-corpus actually runs, over any (doc_id, text, lang) parquet table.
+This chains the registry transform operators (q_badwords_filter,
+q_dedup_lines_global, q_dedup_substring_removed, q_dedup_exact,
+q_dedup_clusters_best, q_decontaminate, q_pack_sequences,
+q_shuffle_shards) into the one job a pretraining corpus actually
+runs, over any (doc_id, text, lang) parquet table.
 
 Local smoke:
     python jobs/pretrain_prep.py --input documents.parquet \\
@@ -157,20 +160,108 @@ def decontaminate(docs, eval_docs, n: int = 13):
     return docs.join(contaminated, "doc_id", "left_anti")
 
 
+def remove_dup_substrings(docs, n: int = 8):
+    """Optional stage 2b — cross-document duplicated-substring REMOVAL
+    (the q_dedup_substring_removed transform wired into the funnel,
+    VERDICT r04 #7): token spans covered by any word n-gram that first
+    occurred in a lower-id document are excised; the owner doc keeps
+    all its occurrences. Same plan: positional grams md5'd map-side,
+    one combining groupBy(gh) MIN owner, one gh-keyed join kept to
+    duplicated starts only, excision ROW-LOCAL via an indexed HOF
+    filter — no token-level shuffle. Returns (doc_id, lang, text)
+    with the cleaned text flowing downstream."""
+    arrs = docs.select("doc_id", "lang", F.split("text", " ").alias("arr"))
+    seq = F.sequence(F.lit(1), F.size("arr") - (n - 1))
+    posg = (
+        arrs.filter(F.size("arr") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    seq,
+                    lambda k: F.md5(
+                        F.encode(
+                            F.concat_ws(" ", F.slice("arr", k, n)), "UTF-8"
+                        )
+                    ),
+                )
+            ),
+        )
+        .select(
+            "doc_id", (F.col("pos") + 1).alias("k"), F.col("col").alias("gh")
+        )
+    )
+    owner = posg.groupBy("gh").agg(F.min("doc_id").alias("owner"))
+    dup = (
+        posg.join(owner, "gh")
+        .filter(F.col("owner") < F.col("doc_id"))
+        .select("doc_id", "k")
+    )
+    starts = dup.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("k")).alias("starts")
+    )
+    st = F.coalesce("starts", F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("arr"),
+        lambda w, i: ~F.exists(
+            st, lambda s: (s <= i + 1) & (i + 1 <= s + (n - 1))
+        ),
+    )
+    return (
+        arrs.join(starts, "doc_id", "left")
+        .select("doc_id", "lang", F.concat_ws(" ", kept).alias("text"))
+        .filter(F.length(F.trim("text")) > 0)
+    )
+
+
 def pack_sequences(docs, budget: int = 1024):
-    """Stage 6 — greedy sequence packing in doc_id order (the
-    q_pack_sequences single-exchange running-sum shape): assign docs
-    to fixed-token-budget bins; oversized docs get a bin alone."""
-    w = Window.orderBy("doc_id")
+    """Stage 6 — greedy streaming sequence packing, the exact
+    q_pack_sequences shape: per-LANGUAGE stream in doc_id order,
+    seq_id = floor(tokens-before / budget). The window partitions by
+    lang, so there is no single-partition global window anywhere in
+    the job (ADVICE r04 — at 100 TB the stream key becomes
+    (lang, shard) so each window stays executor-sized). Bins TARGET
+    `budget` tokens and may overflow by less than one document
+    (running-sum semantics: the doc that crosses a bin boundary lands
+    in the bin where its preceding tokens ended); an oversized doc
+    spans bins rather than strictly getting one alone. seq_id is
+    unique per (lang, seq_id)."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     toks = docs.select(
-        "doc_id", F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tok")
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "n_tok"
+        ),
     )
-    cum = toks.withColumn(
-        "cum", F.sum(F.least(F.col("n_tok"), F.lit(budget))).over(w)
+    return toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget).cast(
+            "long"
+        ),
+    ).select("doc_id", "lang", "n_tok", "seq_id")
+
+
+def shuffle_shards(packed, n_shards: int = 8, seed: str = "r5seed"):
+    """Stage 7 — deterministic global training-order shuffle + shard
+    assignment (the q_shuffle_shards rule, VERDICT r04 #5): every
+    packed sequence gets the seeded hash key
+    k = md5(seed ‖ lang ‖ seq_id); shard = hex-prefix(k) mod
+    n_shards, within-shard read order = ascending k. Together these
+    realize a seeded global permutation of the training corpus with
+    NO global sort — the writer repartitions by shard and sorts
+    within partitions only. Returns packed rows + (k, shard)."""
+    sid = F.concat("lang", F.lit(":"), F.col("seq_id").cast("string"))
+    return packed.withColumn(
+        "k", F.md5(F.encode(F.concat(F.lit(seed), sid), "UTF-8"))
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("k", 1, 6), 16, 10).cast("long") % n_shards),
     )
-    return cum.withColumn(
-        "seq_id", F.floor((F.col("cum") - 1) / budget).cast("long")
-    ).select("doc_id", "n_tok", "seq_id")
 
 
 def main() -> None:
@@ -184,6 +275,13 @@ def main() -> None:
         "--eval-mod", type=int, default=20,
         help="doc_id %% MOD == 0 slice acts as the eval set",
     )
+    ap.add_argument(
+        "--dup-substrings", action="store_true",
+        help="also excise cross-doc duplicated 8-gram spans "
+        "(q_dedup_substring_removed) after line dedup",
+    )
+    ap.add_argument("--n-shards", type=int, default=8)
+    ap.add_argument("--shuffle-seed", default="r5seed")
     args = ap.parse_args()
 
     builder = SparkSession.builder.appName("pretrain-prep")
@@ -204,6 +302,10 @@ def main() -> None:
 
     cleaned = dedup_lines_global(spark, gated)
     stats["after_line_dedup"] = cleaned.count()
+
+    if args.dup_substrings:
+        cleaned = remove_dup_substrings(cleaned)
+        stats["after_substring_removal"] = cleaned.count()
 
     exact = (
         cleaned.withColumn("h", F.md5(F.encode("text", "UTF-8")))
@@ -233,7 +335,29 @@ def main() -> None:
     final.repartition(4).write.mode("overwrite").parquet(str(out / "curated"))
     packed = pack_sequences(final, args.seq_budget)
     packed.write.mode("overwrite").parquet(str(out / "packed"))
-    stats["n_sequences"] = packed.select("seq_id").distinct().count()
+    stats["n_sequences"] = (
+        packed.select("lang", "seq_id").distinct().count()
+    )
+
+    # stage 7: seeded global shuffle + sharded write — the trainer-
+    # facing layout. repartition(shard) + sortWithinPartitions(k):
+    # each shard is one hash partition written in key order; no
+    # global sort or single-partition window anywhere.
+    shards = shuffle_shards(packed, args.n_shards, args.shuffle_seed)
+    (
+        shards.repartition(args.n_shards, "shard")
+        .sortWithinPartitions("k")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(str(out / "shards"))
+    )
+    balance = {
+        int(r["shard"]): r["n"]
+        for r in shards.groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    stats["shard_rows"] = dict(sorted(balance.items()))
     stats["wall_sec"] = round(time.time() - t0, 1)
     release_caches(spark)
     print(json.dumps(stats))

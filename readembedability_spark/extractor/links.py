@@ -1,0 +1,70 @@
+"""Outbound-link extraction (A-23) — the crawl-graph surface.
+
+The reference corpus is unavailable (SURVEY.md §0), so the rule set is
+frozen here, in the repo's own spec style (cf. textify A-8):
+
+  L-1  Candidates are every ``<a>`` carrying an ``href`` attribute, in
+       document order (depth-first pre-order), collected from the RAW
+       dom BEFORE cleanup — nav/boilerplate links are part of the
+       out-link graph a crawler consumes, even though they are not
+       part of the readable content.
+  L-2  The href is stripped of leading/trailing ASCII whitespace;
+       empty and fragment-only (``#…``) hrefs are dropped.
+  L-3  Resolution: against the first ``<base href>`` when present
+       (itself resolved against the page url — the HTML standard's
+       base-URI rule), else the page url, via ``urllib.parse.urljoin``
+       (RFC 3986 reference resolution — deterministic stdlib).
+  L-4  Only ``http``/``https`` results survive (``javascript:``,
+       ``mailto:``, ``data:`` … dropped — the same scheme allowlist
+       policy as sanitize A-7).
+  L-5  The fragment is removed from the resolved url (fragments never
+       reach a server; keeping them would split graph nodes).
+  L-6  Ordered dedup: first occurrence wins.
+
+The result feeds the link-graph queries (q_extract_links,
+q_pagerank_links): host-level edges for domain-authority PageRank over
+EXTRACTED edges rather than a synthetic rule graph.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+from readembedability_spark.extractor.dom import Element, find_first
+
+_ALLOWED_PREFIXES = ("http://", "https://")
+
+
+def _strip_fragment(url: str) -> str:
+    i = url.find("#")
+    return url if i < 0 else url[:i]
+
+
+def extract_links(root: Element, page_url: str) -> list[str]:
+    """Ordered, absolutized, deduped outbound links (rules L-1..L-6)."""
+    base = page_url
+    base_el = find_first(root, "base")
+    if base_el is not None:
+        bh = (base_el.get("href") or "").strip()
+        if bh:
+            try:
+                base = urljoin(page_url, bh)
+            except ValueError:
+                base = page_url
+    out: list[str] = []
+    seen: set[str] = set()
+    for el in root.iter():
+        if el.tag != "a":
+            continue
+        href = (el.get("href") or "").strip()
+        if not href or href.startswith("#"):
+            continue
+        try:
+            resolved = _strip_fragment(urljoin(base, href))
+        except ValueError:
+            continue
+        if not resolved.startswith(_ALLOWED_PREFIXES) or resolved in seen:
+            continue
+        seen.add(resolved)
+        out.append(resolved)
+    return out

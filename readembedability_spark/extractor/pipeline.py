@@ -1,4 +1,4 @@
-"""Per-document extraction pipeline: A-1..A-22 wired in chain order.
+"""Per-document extraction pipeline: A-1..A-23 wired in chain order.
 
 ``extract_page`` is the single implementation used by BOTH the pytest
 oracle and the Spark ``mapInPandas`` stage (SURVEY.md §5.2) — that
@@ -21,6 +21,7 @@ from readembedability_spark.extractor.dom import free_tree, parse_html
 from readembedability_spark.extractor.images import extract_image
 from readembedability_spark.extractor.jsonld import parse_jsonld_texts
 from readembedability_spark.extractor.keywords import extract_keywords, extract_summary
+from readembedability_spark.extractor.links import extract_links
 from readembedability_spark.extractor.meta import (
     collect_meta,
     extract_canonical,
@@ -52,6 +53,7 @@ def _empty_row(url: str, status: str) -> dict[str, Any]:
         "summary": None,
         "canonical_url": url,
         "embed": False,
+        "links": None,
         "confidences": {},
         "status": status,
     }
@@ -106,6 +108,7 @@ def _extract_from_dom(url: str, root) -> dict[str, Any]:
     ld = parse_jsonld_texts(pm.jsonld_texts)  # A-15
     embed, _endpoint = detect_embed(pm, root, url)  # A-16/A-17
     canonical = extract_canonical(pm, url)  # A-12
+    links = extract_links(root, url)  # A-23 (raw dom, pre-cleanup)
 
     result = ParseResult()
     for value, conf in extract_title(pm, ld.headline, url):  # A-9/13/14
@@ -146,6 +149,7 @@ def _extract_from_dom(url: str, root) -> dict[str, Any]:
         "summary": result.get("summary"),
         "canonical_url": canonical,
         "embed": embed,
+        "links": links or None,
         "confidences": result.confidences,
         "status": "ok",
     }

@@ -51,6 +51,9 @@ EXTRACTED_SCHEMA = StructType(
         StructField("summary", StringType(), True),
         StructField("canonical_url", StringType(), True),
         StructField("embed", BooleanType(), True),
+        # outbound links (A-23): ordered/absolutized/deduped, raw-dom
+        # surface — feeds the extracted link-graph queries
+        StructField("links", ArrayType(StringType()), True),
         StructField("confidences", MapType(StringType(), DoubleType()), True),
         # ok|empty|non_html|parse_error|pdf|oversize
         StructField("status", StringType(), False),

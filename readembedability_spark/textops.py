@@ -28,6 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from readembedability_spark.queries import (
+    REGISTRY,
     _local_checkpoint,
     _parts_for,
     _persist,
@@ -1719,8 +1720,15 @@ def q_pagerank(spark, sf_dir):
             (F.col("src") != F.col("dst")) & (F.col("src") % 11 != 0)
         )
         .distinct()
-        .transform(_local_checkpoint)  # tiny; frozen across iterations
     )
+    return _pagerank(spark, edges)
+
+
+def _pagerank(spark, edges):
+    """The PageRank power-iteration loop over any (src, dst) edge
+    table — shared by q_pagerank (synthetic rule graph) and
+    q_pagerank_links (the graph EXTRACTED from pages by A-23)."""
+    edges = _local_checkpoint(edges)  # tiny; frozen across iterations
     # nodes/deg/sinks are iteration-invariant and referenced inside
     # every iteration's lineage — persisted once so no per-iteration
     # recompute (each carries a shuffle of its own). Partitioning is
@@ -1785,6 +1793,154 @@ def q_pagerank(spark, sf_dir):
             )
         )
     return r.select(F.col("v").alias("node"), F.round("r", 6).alias("pr"))
+
+
+# ---------------------------------------------------------------------------
+# Extracted link graph (A-23 → graph analytics)
+# ---------------------------------------------------------------------------
+
+#: link-pages synthesis constants: 20 hosts, dst host = (7·doc+3) mod 20
+#: (6d ≡ 17 (mod 20) has no solution, so src host ≠ dst host for every
+#: doc); hosts ≡ 0 (mod 7) publish no out-links → real sinks at the
+#: host level, exercising the dangling-mass term on EXTRACTED edges.
+_LINK_HOSTS = 20
+
+
+def _link_pages(spark, sf_dir):
+    """Host-varied pages carrying four anchors per doc — one relative
+    (resolves against the page url, L-3), one absolute cross-host, one
+    mailto: and one fragment-only (both dropped, L-2/L-4) — so the
+    driver gate exercises every L-rule through the REAL mapInPandas
+    extractor, the same oracle trick as the flagship wrapper."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    src = (F.col("doc_id") % _LINK_HOSTS).cast("string")
+    dst = ((F.col("doc_id") * 7 + 3) % _LINK_HOSTS).cast("string")
+    url = F.concat(F.lit("https://h"), src, F.lit(".example.com/d/"), did)
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            did,
+            F.lit('</title></head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit('</p></div><a href="/local/'),
+            did,
+            F.lit('">l</a> <a href="https://h'),
+            dst,
+            F.lit(".example.com/d/"),
+            did,
+            F.lit('">x</a> <a href="mailto:u@example.com">m</a>'
+                  ' <a href="#top">t</a></body></html>'),
+        ),
+        "UTF-8",
+    )
+    return docs.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        html.alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def _extracted_links(spark, sf_dir):
+    """(url, li, link) through the full extraction stage."""
+    from readembedability_spark.operators.extract import extract_stage
+    from readembedability_spark.operators.salt import salt_repartition
+
+    pages = salt_repartition(
+        _link_pages(spark, sf_dir),
+        max(spark.sparkContext.defaultParallelism * 2, 16),
+    )
+    return (
+        extract_stage(pages)
+        .select("url", F.posexplode("links"))
+        .select(
+            "url",
+            (F.col("pos") + 1).cast("long").alias("li"),
+            F.col("col").alias("link"),
+        )
+    )
+
+
+@q(
+    "q_extract_links",
+    f"""
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % {_LINK_HOSTS} AS VARCHAR) AS s,
+             CAST((doc_id * 7 + 3) % {_LINK_HOSTS} AS VARCHAR) AS t
+      FROM documents)
+    SELECT 'https://h' || s || '.example.com/d/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           CAST(1 AS BIGINT) AS li,
+           'https://h' || s || '.example.com/local/'
+             || CAST(doc_id AS VARCHAR) AS link
+    FROM base
+    UNION ALL
+    SELECT 'https://h' || s || '.example.com/d/'
+             || CAST(doc_id AS VARCHAR),
+           CAST(2 AS BIGINT),
+           'https://h' || t || '.example.com/d/'
+             || CAST(doc_id AS VARCHAR)
+    FROM base
+    """,
+)
+def q_extract_links(spark, sf_dir):
+    """Outbound-link extraction (A-23) through the REAL extractor,
+    driver-hash-checked: every page carries a relative anchor (must
+    resolve against the page url), an absolute cross-host anchor
+    (kept verbatim minus fragment) and two junk anchors (mailto:,
+    '#top' — must be dropped), so the oracle states the exact
+    (url, position, link) rows in pure SQL. The links column rides
+    the existing Arrow batch — zero extra passes over the corpus."""
+    return _extracted_links(spark, sf_dir)
+
+
+@q(
+    "q_pagerank_links",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT doc_id % {_LINK_HOSTS} AS src,
+             (doc_id * 7 + 3) % {_LINK_HOSTS} AS dst
+      FROM documents
+      WHERE doc_id % {_LINK_HOSTS} <> (doc_id * 7 + 3) % {_LINK_HOSTS}
+        AND (doc_id % {_LINK_HOSTS}) % 7 <> 0),
+    nodes AS (SELECT DISTINCT src AS v FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    sinks AS (
+      SELECT nodes.v FROM nodes LEFT JOIN deg ON deg.src = nodes.v
+      WHERE deg.src IS NULL),
+    r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    {_pr_iters_sql()}
+    SELECT v AS node, ROUND(r, 6) AS pr FROM r{_PR_ITERS}
+    """,
+)
+def q_pagerank_links(spark, sf_dir):
+    """Domain-authority PageRank over the link graph EXTRACTED by A-23
+    (not a synthetic rule graph): host-level edges come from the
+    extractor's links column — src host parsed from the page url, dst
+    host from each outbound link, self-loops dropped, hosts ≡ 0 mod 7
+    suppressed as publishers so the graph has real sinks — then the
+    exact _pagerank loop (damping 0.85, dangling-mass redistribution,
+    rank-table partitions derived from node count). This is the
+    end-to-end pipeline a crawl-curation prior ships: extract →
+    host-edge projection → power iteration, all driver-hash-checked
+    against DuckDB replaying the synthesis arithmetic."""
+    host_re = r"https://h(\d+)\.example\.com/"
+    links = _extracted_links(spark, sf_dir)
+    edges = (
+        links.select(
+            F.regexp_extract("url", host_re, 1).cast("long").alias("src"),
+            F.regexp_extract("link", host_re, 1).cast("long").alias("dst"),
+        )
+        .filter(
+            (F.col("src") != F.col("dst")) & (F.col("src") % 7 != 0)
+        )
+        .distinct()
+    )
+    return _pagerank(spark, edges)
 
 
 _CHUNK_TOKENS = 100
@@ -2050,6 +2206,132 @@ def q_ann_pq(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("qid", "cid", F.round("sim", 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall regression gate (VERDICT r04 #6)
+# ---------------------------------------------------------------------------
+
+#: per-method recall@k floors — set ~0.1 under the measured sf0.01
+#: recall so LSH/quantizer parameter tuning that silently degrades
+#: retrieval trips the driver hash gate (recall claims used to live
+#: only in test asserts).
+_ANN_RECALL_FLOORS = {
+    "ann_bucketed": (5, 0.80),  # measured 0.94 at sf0.01
+    "ann_ivf_kmeans": (3, 0.75),  # measured 0.90
+    "ann_pq": (3, 0.65),  # measured 0.80
+}
+
+#: exact ground truth shared by the recall gate: brute-force cosine
+#: top-5 WITH rank, over the bounded 10-query probe side (cost is
+#: 10 × N — linear in the corpus, not the quarantined all-pairs N²).
+_ANN_EXACT_SQL = """
+      SELECT qid, cid, rn FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(sim, 6) DESC, cid) AS rn
+        FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 list_dot_product(q.qe, c.ce)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(c.ce, c.ce))) AS sim
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 10) q
+          CROSS JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                      FROM embeddings) c
+          WHERE q.vec_id <> c.vec_id)) WHERE rn <= 5"""
+
+
+def _ann_recall_method_sql(method: str) -> str:
+    k, thr = _ANN_RECALL_FLOORS[method]
+    return f"""
+      SELECT '{method}' AS method,
+             (SELECT COUNT(*) FROM m_{method} m
+              JOIN gt ON gt.qid = m.qid AND gt.cid = m.cid
+              WHERE gt.rn <= {k}) * 1.0
+             / (SELECT COUNT(*) FROM gt WHERE rn <= {k}) AS recall,
+             {thr} AS thr"""
+
+
+@q(
+    "q_ann_recall",
+    f"""
+    WITH gt AS ({_ANN_EXACT_SQL}),
+    m_ann_bucketed AS (
+      SELECT qid, cid FROM ({REGISTRY["q_ann_bucketed"].sql})),
+    m_ann_ivf_kmeans AS (
+      SELECT qid, cid FROM ({REGISTRY["q_ann_ivf_kmeans"].sql})),
+    m_ann_pq AS (
+      SELECT qid, cid FROM ({REGISTRY["q_ann_pq"].sql})),
+    stats AS ({" UNION ALL ".join(
+        _ann_recall_method_sql(m) for m in _ANN_RECALL_FLOORS
+    )})
+    SELECT method, ROUND(recall, 4) AS recall, recall >= thr AS passed
+    FROM stats
+    """,
+)
+def q_ann_recall(spark, sf_dir):
+    """Recall@k of every in-registry ANN method against the exact
+    brute-force ground truth, as a DRIVER-CHECKED number (VERDICT r04
+    #6): per method, recall = |approx top-k ∩ exact top-k| / (10·k),
+    plus a boolean floor check — the q_approx_distinct
+    tolerance-oracle pattern. The ground truth is the bounded-probe
+    brute force (10 queries × corpus — linear; the all-pairs baseline
+    stays quarantined), computed once and shared by the three method
+    comparisons. Each method runs its own production plan
+    (q_ann_bucketed banded LSH, q_ann_ivf_kmeans trained coarse
+    quantizer, q_ann_pq ADC + re-rank), so a parameter tune that
+    silently degrades retrieval flips recall/passed and hash-fails
+    the gate."""
+    emb = _persist(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    cs = emb.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    sims = (
+        cs.crossJoin(F.broadcast(qs))
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                _dot(F.col("qe"), F.col("ce"))
+                / (
+                    F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+                )
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("sim", 6)), F.asc("cid")
+    )
+    gt = _persist(
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", "rn")
+    )
+    out = None
+    for method, (k, thr) in _ANN_RECALL_FLOORS.items():
+        approx = REGISTRY[f"q_{method}"].spark(spark, sf_dir)
+        hits = (
+            approx.select("qid", "cid")
+            .join(gt.filter(F.col("rn") <= k), ["qid", "cid"])
+            .agg(F.count("*").alias("hits"))
+        )
+        tot = gt.filter(F.col("rn") <= k).agg(F.count("*").alias("tot"))
+        recall = F.col("hits").cast("double") / F.col("tot")
+        row = hits.crossJoin(tot).select(
+            F.lit(method).alias("method"),
+            F.round(recall, 4).alias("recall"),
+            (recall >= F.lit(thr)).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -3343,6 +3625,79 @@ def q_sample_stratified(spark, sf_dir):
     return docs.filter(u < th).select("doc_id", "lang")
 
 
+#: holdout split boundaries over md5(doc_id) hex-prefix mod 100:
+#: [0,90) train / [90,95) val / [95,100) test.
+_SPLIT_TRAIN_PCT = 90
+_SPLIT_VAL_PCT = 95
+
+
+@q(
+    "q_split_holdout",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                                 1, 6) AS BIGINT) % 100 AS b
+      FROM documents)
+    SELECT CASE WHEN b < {_SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN b < {_SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def q_split_holdout(spark, sf_dir):
+    """Deterministic train/val/test holdout split (90/5/5) by seeded
+    content-hash bucket — the split every training run needs before
+    shards are written: bucket = hex-prefix(md5('split' ‖ doc_id))
+    mod 100, so membership is reproducible across engines, runs and
+    cluster sizes, docs never migrate between splits as the corpus
+    grows, and the rule is a pure row-local map (pushes into the
+    scan — zero shuffle before the per-(split, lang) rollup). Swap
+    doc_id for a url/content fingerprint in production so re-crawled
+    pages keep their split."""
+    docs = _t(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.lit("split"), F.col("doc_id").cast("string")
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < _SPLIT_TRAIN_PCT, "train")
+        .when(b < _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 _PACK_SEQ_TOKENS = 4096
 
 
@@ -3397,6 +3752,182 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+_SHUFFLE_SHARDS = 8
+_SHUFFLE_SEED = "r5seed"
+
+
+@q(
+    "q_shuffle_shards",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT lang, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // {_PACK_SEQ_TOKENS} AS BIGINT) AS seq_id
+      FROM toks),
+    seqs AS (
+      SELECT lang, seq_id, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+      FROM packed GROUP BY lang, seq_id),
+    keyed AS (
+      SELECT lang, seq_id, seq_tokens,
+             md5('{_SHUFFLE_SEED}' || lang || ':'
+                 || CAST(seq_id AS VARCHAR)) AS k
+      FROM seqs)
+    SELECT CAST(CAST('0x' || substr(k, 1, 6) AS BIGINT)
+                % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(seq_tokens) AS BIGINT) AS shard_tokens,
+           md5(string_agg(lang || ':' || CAST(seq_id AS VARCHAR),
+                          '|' ORDER BY k)) AS order_md5
+    FROM keyed GROUP BY 1
+    """,
+)
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global training-order shuffle + shard assignment
+    (VERDICT r04 #5) — the last stage between curated parquet and
+    trainer input: every packed sequence gets a seeded hash key
+    k = md5(seed ‖ lang ‖ seq_id); its SHARD is the key's hex prefix
+    mod {_SHUFFLE_SHARDS}, and the within-shard read order is
+    ascending k. Shard assignment + within-shard hash order realize a
+    seeded global permutation of the corpus WITHOUT any global sort:
+    the plan is the q_pack_sequences lang-stream window, one
+    groupBy(shard) whose per-shard order_md5 (md5 of the 'lang:seq_id'
+    stream joined in k order) hash-locks the exact read order a
+    trainer would consume, so the gate catches both balance and ORDER
+    regressions. At 100 TB shards are written partitionBy(shard)
+    (jobs/pretrain_prep.py does) and each shard sorts locally by k —
+    per-shard sortWithinPartitions, never a single global window."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / _PACK_SEQ_TOKENS
+        ).alias("seq_id"),
+    )
+    seqs = packed.groupBy("lang", "seq_id").agg(
+        F.sum("n_tokens").cast("long").alias("seq_tokens")
+    )
+    sid = F.concat("lang", F.lit(":"), F.col("seq_id").cast("string"))
+    keyed = seqs.select(
+        "seq_tokens",
+        sid.alias("sid"),
+        F.md5(F.encode(F.concat(F.lit(_SHUFFLE_SEED), sid), "UTF-8")).alias(
+            "k"
+        ),
+    )
+    shard = (
+        F.conv(F.substring("k", 1, 6), 16, 10).cast("long")
+        % _SHUFFLE_SHARDS
+    )
+    return (
+        keyed.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_seqs"),
+            F.sum("seq_tokens").cast("long").alias("shard_tokens"),
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("k", "sid"))
+                            ),
+                            lambda s: s["sid"],
+                        ),
+                        "|",
+                    ),
+                    "UTF-8",
+                )
+            ).alias("order_md5"),
+        )
+    )
+
+
+@q(
+    "q_pack_efficiency",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT lang, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // {_PACK_SEQ_TOKENS} AS BIGINT) AS seq_id
+      FROM toks),
+    seqs AS (
+      SELECT lang, seq_id, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+      FROM packed GROUP BY lang, seq_id)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(seq_tokens) * 1.0
+                 / (COUNT(*) * {_PACK_SEQ_TOKENS}), 6) AS fill_rate,
+           CAST(MAX(seq_tokens) AS BIGINT) AS max_seq_tokens,
+           ROUND(AVG(n_docs), 6) AS avg_docs_per_seq
+    FROM seqs GROUP BY lang
+    """,
+)
+def q_pack_efficiency(spark, sf_dir):
+    """Packing-efficiency audit per language stream: sequence count,
+    fill rate (tokens packed / bin capacity — >1 means running-sum
+    overflow bins, <1 means tail waste), the largest bin, and mean
+    docs per sequence. This is the number a pretraining team watches
+    when choosing the packing budget: wasted capacity is wasted
+    compute at training time. Same lang-stream window as
+    q_pack_sequences (no single-partition window), one extra tiny
+    groupBy(lang) rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / _PACK_SEQ_TOKENS
+        ).alias("seq_id"),
+    )
+    seqs = packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+    )
+    return seqs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_seqs"),
+        F.sum("seq_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("seq_tokens")
+            * F.lit(1.0)
+            / (F.count("*") * F.lit(_PACK_SEQ_TOKENS)),
+            6,
+        ).alias("fill_rate"),
+        F.max("seq_tokens").cast("long").alias("max_seq_tokens"),
+        F.round(F.avg("n_docs"), 6).alias("avg_docs_per_seq"),
+    )
+
+
 @q(
     "q_decontaminate",
     f"""
@@ -3437,6 +3968,67 @@ def q_decontaminate(spark, sf_dir):
         tgrams.join(F.broadcast(egrams), "g")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+@q(
+    "q_contamination_report",
+    f"""
+    WITH evalset AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    {_grams_sql("evalset", 13)},
+    egrams AS (SELECT DISTINCT doc_id, g FROM grams),
+    train AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+    tarr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM train),
+    tgrams AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, len(arr) - 11),
+                    k -> array_to_string(list_slice(arr, k, k + 12), ' ')))
+               AS g
+      FROM tarr WHERE len(arr) >= 13),
+    hits AS (
+      SELECT e.doc_id, COUNT(*) AS n_hit
+      FROM egrams e JOIN tgrams t ON e.g = t.g GROUP BY e.doc_id),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM egrams GROUP BY doc_id)
+    SELECT t.doc_id AS eval_doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_leaked,
+           ROUND(COALESCE(h.n_hit, 0) * 1.0 / t.n_grams, 6) AS leak_frac
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_contamination_report(spark, sf_dir):
+    """The REVERSE direction of q_decontaminate — the leakage report a
+    benchmark owner reads: for every EVAL document, what fraction of
+    its 13-grams also appears anywhere in the training corpus. (The
+    decontaminate query flags train docs to drop; this one quantifies
+    how compromised each eval item already is — both run off the same
+    gram tables.) Per-eval-doc gram sets are tiny → broadcast into
+    the train-gram stream; the only shuffles are the DISTINCT on
+    train grams and the eval-doc-keyed hit count."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id", "text"
+    )
+    train_docs = docs.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", "text"
+    )
+    egrams = _grams_from(eval_docs, 13)
+    tgrams = _grams_from(train_docs, 13).select("g").distinct()
+    hits = (
+        tgrams.join(F.broadcast(egrams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = egrams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return totals.join(hits, "doc_id", "left").select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_leaked"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)) * F.lit(1.0) / F.col("n_grams"), 6
+        ).alias("leak_frac"),
     )
 
 
@@ -3666,6 +4258,51 @@ def q_mixture_weights(spark, sf_dir):
                 F.col("share") / (F.col("n") / F.col("t")), 4
             ).alias("sample_weight"),
         )
+    )
+
+
+@q(
+    "q_mixture_temperature",
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    sq AS (
+      SELECT lang, n,
+             CAST(ROUND(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq
+      FROM counts),
+    tot AS (SELECT SUM(sq) AS t, SUM(n) AS nt FROM sq)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           ROUND(n * 1.0 / tt.nt, 6) AS raw_share,
+           ROUND(sq * 1.0 / tt.t, 6) AS temp_share
+    FROM sq CROSS JOIN tot tt
+    """,
+)
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled domain mixture (the multilingual-sampling
+    rule: upweight tail domains by flattening shares, w_l ∝
+    (n_l/N)^(1/T)): T = 2, so the exponent is 1/2 and the only
+    transcendental is sqrt — the ONE power function IEEE-754 requires
+    correctly rounded, so both engines compute identical values (the
+    same reason the classifier squash avoids exp, DEVIATIONS D-19).
+    Each sqrt share is quantized to 1e-6 fixed point BEFORE the
+    normalizing sum, making that sum an exact BIGINT — no
+    float-summation order dependence across partitions at any scale.
+    One groupBy(lang) (a handful of rows) + a broadcast total: the
+    corpus itself never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    sq = counts.select(
+        "lang",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("sq"),
+    )
+    tot = sq.agg(F.sum("sq").alias("t"), F.sum("n").alias("nt"))
+    return sq.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("n") * F.lit(1.0) / F.col("nt"), 6).alias("raw_share"),
+        F.round(F.col("sq") * F.lit(1.0) / F.col("t"), 6).alias("temp_share"),
     )
 
 

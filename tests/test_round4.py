@@ -725,16 +725,24 @@ def test_pretrain_prep_stages_compose(spark):
     assert lines.count() > 0
     packed = pp.pack_sequences(kept, budget=512)
     rows = packed.collect()
-    max_doc = max(min(r["n_tok"], 512) for r in rows)
-    total = sum(min(r["n_tok"], 512) for r in rows)
+    # the spec (ADVICE r04: tokens-before per-lang streams, exactly
+    # q_pack_sequences): recompute seq_ids independently in python
+    before: dict = {}
+    for r in sorted(rows, key=lambda r: (r["lang"], r["doc_id"])):
+        assert r["seq_id"] == before.get(r["lang"], 0) // 512, r
+        before[r["lang"]] = before.get(r["lang"], 0) + r["n_tok"]
+    # running-sum packing: a boundary-crossing doc lands entirely in
+    # the bin of its last preceding token, so bins may overflow by
+    # < one doc (and an oversized doc spans bins)
     sums: dict = {}
     for r in rows:
-        sums[r["seq_id"]] = sums.get(r["seq_id"], 0) + min(r["n_tok"], 512)
-    # running-sum packing: a boundary-crossing doc lands entirely in
-    # the bin of its last token, so bins may overflow by < one doc
+        key = (r["lang"], r["seq_id"])
+        sums[key] = sums.get(key, 0) + r["n_tok"]
+    max_doc = max(r["n_tok"] for r in rows)
     assert all(s < 512 + max_doc for s in sums.values()), sums
-    # and the bin count is the information-theoretic minimum
-    assert len(sums) == -(-total // 512)
+    # no single-partition global window anywhere in the packing plan
+    plan = _plan(packed)
+    assert "SinglePartition" not in plan, plan
     release_caches(spark)
 
 

@@ -140,6 +140,237 @@ def test_lrn_feats_parallelism_derived_from_rows(spark, monkeypatch):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# A-23 — outbound-link extraction rules (L-1..L-6)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_rules():
+    from readembedability_spark.extractor.dom import parse_html
+    from readembedability_spark.extractor.links import extract_links
+
+    html = """<html><head><base href="/sub/"></head><body>
+      <nav><a href="/">home</a></nav>
+      <a href="page.html">rel-to-base</a>
+      <a href="https://other.example.org/x#frag">abs-frag</a>
+      <a href="#top">frag-only</a>
+      <a href="mailto:u@example.com">mail</a>
+      <a href="javascript:void(0)">js</a>
+      <a href="  https://other.example.org/x  ">dup-after-strip</a>
+      <a name="anchor-no-href">skip</a>
+      <a href="">empty</a>
+    </body></html>"""
+    links = extract_links(
+        parse_html(html), "https://host.example.com/a/b.html"
+    )
+    assert links == [
+        # L-1 document order; L-3 base-href resolution
+        "https://host.example.com/",
+        "https://host.example.com/sub/page.html",
+        # L-5 fragment stripped; L-6 second occurrence deduped
+        "https://other.example.org/x",
+    ]
+
+
+def test_extract_links_no_base_resolves_against_page_url():
+    from readembedability_spark.extractor.dom import parse_html
+    from readembedability_spark.extractor.links import extract_links
+
+    html = '<html><body><a href="c.html">x</a><a href="/r">y</a></body></html>'
+    links = extract_links(parse_html(html), "https://h.example.com/a/b.html")
+    assert links == [
+        "https://h.example.com/a/c.html",
+        "https://h.example.com/r",
+    ]
+
+
+def test_pagerank_links_mass_conserved(spark):
+    """PageRank over the EXTRACTED link graph: ranks sum to ~1 (the
+    dangling-mass term holds on host-level sinks) and every node is a
+    host index in range."""
+    rows = REGISTRY["q_pagerank_links"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    assert abs(sum(r["pr"] for r in rows) - 1.0) < 1e-3
+    assert all(0 <= r["node"] < 20 for r in rows)
+
+
+def _job(name="pretrain_prep"):
+    import importlib
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "jobs"))
+    return importlib.import_module(name)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r04 #5 — seeded global shuffle + sharded write
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    """Shard assignment and within-shard order follow the seeded md5
+    key exactly (recomputed independently in python); a different
+    seed yields a different permutation; shard ids stay in range."""
+    import hashlib
+
+    pp = _job()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    packed = pp.pack_sequences(docs, budget=512)
+    rows = pp.shuffle_shards(packed, n_shards=4, seed="s1").collect()
+    assert rows
+    for r in rows:
+        k = hashlib.md5(
+            f"s1{r['lang']}:{r['seq_id']}".encode()
+        ).hexdigest()
+        assert r["k"] == k
+        assert r["shard"] == int(k[:6], 16) % 4
+        assert 0 <= r["shard"] < 4
+    # a different seed permutes: at least one sequence changes shard
+    rows2 = pp.shuffle_shards(packed, n_shards=4, seed="s2").collect()
+    m1 = {(r["lang"], r["seq_id"], r["doc_id"]): r["shard"] for r in rows}
+    m2 = {(r["lang"], r["seq_id"], r["doc_id"]): r["shard"] for r in rows2}
+    assert set(m1) == set(m2)
+    assert m1 != m2
+    release_caches(spark)
+
+
+def test_q_shuffle_shards_no_single_partition_plan(spark):
+    """The registered shard query never plans a single-partition
+    exchange: the packing window is lang-partitioned and the shard
+    rollup is hash-keyed — the seeded permutation needs no global
+    sort."""
+    df = REGISTRY["q_shuffle_shards"].spark(spark, SF_SMALL)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan, plan
+    # every shard's sequences are disjoint and the totals close
+    rows = df.collect()
+    assert sum(r["n_seqs"] for r in rows) > 0
+    assert len({r["shard"] for r in rows}) == len(rows)
+    release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r04 #7 — substring removal wired into the prep funnel
+# ---------------------------------------------------------------------------
+
+
+def test_prep_remove_dup_substrings_planted_span(spark):
+    """Doc A (lower id) keeps the planted 8-gram span; doc B loses
+    exactly that span; untouched docs pass through byte-identical."""
+    pp = _job()
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (1, f"own {span} tail one", "en"),
+            (2, f"prefix {span} suffix", "en"),
+            (3, "totally unrelated words only here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r["text"] for r in pp.remove_dup_substrings(docs).collect()}
+    assert span in out[1]
+    assert span not in out[2]
+    assert out[2] == "prefix suffix"
+    assert out[3] == "totally unrelated words only here"
+
+
+def test_pretrain_prep_substring_stage_composes(spark):
+    """The optional stage slots between line dedup and exact dedup:
+    output count is ≤ its input count and downstream stages still
+    run on the cleaned text."""
+    pp = _job()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    gated = pp.gate(docs, 20, pp.DEFAULT_BADWORDS)
+    cleaned = pp.dedup_lines_global(spark, gated)
+    n_before = cleaned.count()
+    scrubbed = pp.remove_dup_substrings(cleaned)
+    n_after = scrubbed.count()
+    assert 0 < n_after <= n_before
+    # cleaned text flows on: packing still works over the scrubbed set
+    packed = pp.pack_sequences(scrubbed, budget=512)
+    assert packed.count() == n_after
+    release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 analytics ops — semantic checks beyond oracle parity
+# ---------------------------------------------------------------------------
+
+
+def test_split_holdout_proportions_and_determinism(spark):
+    """~90/5/5 split, stable across runs, partitions the corpus."""
+    rows1 = REGISTRY["q_split_holdout"].spark(spark, SF_SMALL).collect()
+    rows2 = REGISTRY["q_split_holdout"].spark(spark, SF_SMALL).collect()
+    as_map = lambda rows: {  # noqa: E731
+        (r["split"], r["lang"]): (r["n_docs"], r["n_tokens"]) for r in rows
+    }
+    assert as_map(rows1) == as_map(rows2)
+    by_split: dict = {}
+    for r in rows1:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    total = sum(by_split.values())
+    assert total == 500  # sf0.001 corpus partitioned exactly
+    assert 0.80 <= by_split["train"] / total <= 0.97
+    assert 0 < by_split.get("val", 0) < 0.15 * total
+    assert 0 < by_split.get("test", 0) < 0.15 * total
+    release_caches(spark)
+
+
+def test_contamination_report_planted_leak(spark, tmp_path):
+    """An eval doc sharing a 13-gram with a train doc reports the
+    leak; a clean eval doc reports 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    leak = " ".join(f"w{i}" for i in range(13))
+    clean = " ".join(f"c{i}" for i in range(14))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([20, 40, 7], type=pa.int64()),
+            "text": pa.array(
+                [f"{leak} tail", clean, f"head {leak} end"],
+            ),
+            "lang": pa.array(["en", "en", "en"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {
+        r["eval_doc_id"]: r
+        for r in REGISTRY["q_contamination_report"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # doc 20 (eval) leaks both its 13-grams ("w0..w12", "w1..w12 tail"
+    # is not a train gram — only the planted one matches doc 7)
+    assert rows[20]["n_leaked"] >= 1
+    assert rows[20]["leak_frac"] > 0
+    assert rows[40]["n_leaked"] == 0 and rows[40]["leak_frac"] == 0.0
+    release_caches(spark)
+
+
+def test_mixture_temperature_flattens_shares(spark):
+    """Temperature scaling moves every share toward uniform: the
+    dominant lang's temp share is below its raw share, tail langs
+    rise; shares still sum to ~1."""
+    rows = REGISTRY["q_mixture_temperature"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    top = max(rows, key=lambda r: r["n_docs"])
+    bottom = min(rows, key=lambda r: r["n_docs"])
+    assert top["temp_share"] < top["raw_share"]
+    assert bottom["temp_share"] > bottom["raw_share"]
+
+
 def test_pagerank_partitioning_invariant(spark, monkeypatch):
     """Forcing the rank table multi-partition (density below the node
     count) must leave every node's PageRank unchanged — the resize is
