@@ -48,9 +48,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: inverted_index, paragraph_quality, dedup_clusters_best,
 #: model_pr_curve, dedup_lines_within_ml, doc_repetition_lines_ml,
 #: url_normalize, char_entropy, host_diversity, approx_quantiles)
-#: plus the 8 NEW round-5 ops (shuffle_shards, ann_recall,
-#: extract_links, pagerank_links, mixture_temperature,
-#: pack_efficiency, contamination_report, split_holdout) — after this
+#: plus the 9 NEW round-5 ops (shuffle_shards, ann_recall,
+#: extract_links, pagerank_links, crawl_frontier,
+#: mixture_temperature, pack_efficiency, contamination_report,
+#: split_holdout) — after this
 #: round every registry query has lifetime driver evidence and the
 #: rotation discipline can retire. Rotated OUT (all driver-green
 #: r01–r04, still parity-tested every round): metrics_rollup,
@@ -59,7 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: dedup_embedding_bucketed, dedup_embedding_clusters, ann_ivf,
 #: ann_ivf_kmeans, ann_pq, winnow_fingerprints, multimodal_meta,
 #: join_oembed_providers, dedup_editdistance, curation_pipeline,
-#: gopher_rules, doc_repetition, doc_repetition_ngrams.
+#: gopher_rules, doc_repetition, doc_repetition_ngrams, pii_scrub.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_archetypes",
@@ -88,10 +89,10 @@ _GATE_PRIORITY = [
     "q_pack_efficiency",
     "q_contamination_report",
     "q_split_holdout",
+    "q_crawl_frontier",
     "q_curation_pipeline_lsh",
     "q_dedup_substring",
     "q_dedup_substring_removed",
-    "q_pii_scrub",
     "q_sample_stratified",
     "q_pack_sequences",
     "q_decontaminate",

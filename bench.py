@@ -72,6 +72,7 @@ HEADLINE = [
     "q_ann_recall",
     "q_extract_links",
     "q_pagerank_links",
+    "q_crawl_frontier",
     "q_mixture_temperature",
     "q_split_holdout",
     "q_contamination_report",

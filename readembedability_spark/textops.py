@@ -1807,15 +1807,21 @@ _LINK_HOSTS = 20
 
 
 def _link_pages(spark, sf_dir):
-    """Host-varied pages carrying four anchors per doc — one relative
-    (resolves against the page url, L-3), one absolute cross-host, one
-    mailto: and one fragment-only (both dropped, L-2/L-4) — so the
-    driver gate exercises every L-rule through the REAL mapInPandas
-    extractor, the same oracle trick as the flagship wrapper."""
+    """Host-varied pages carrying five anchors per doc — one relative
+    (resolves against the page url, L-3), one absolute cross-host
+    (never an existing page: 6d ≡ 17 (mod 20) has no solution), one
+    absolute pointing at the NEXT doc's real page url (doc_id+1 —
+    exists for every doc but the last, so the frontier query has both
+    seen and unseen targets), one mailto: and one fragment-only (both
+    dropped, L-2/L-4) — so the driver gate exercises every L-rule
+    through the REAL mapInPandas extractor, the same oracle trick as
+    the flagship wrapper."""
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     src = (F.col("doc_id") % _LINK_HOSTS).cast("string")
     dst = ((F.col("doc_id") * 7 + 3) % _LINK_HOSTS).cast("string")
+    nxt_host = ((F.col("doc_id") + 1) % _LINK_HOSTS).cast("string")
+    nxt_id = (F.col("doc_id") + 1).cast("string")
     url = F.concat(F.lit("https://h"), src, F.lit(".example.com/d/"), did)
     html = F.encode(
         F.concat(
@@ -1829,7 +1835,11 @@ def _link_pages(spark, sf_dir):
             dst,
             F.lit(".example.com/d/"),
             did,
-            F.lit('">x</a> <a href="mailto:u@example.com">m</a>'
+            F.lit('">x</a> <a href="https://h'),
+            nxt_host,
+            F.lit(".example.com/d/"),
+            nxt_id,
+            F.lit('">n</a> <a href="mailto:u@example.com">m</a>'
                   ' <a href="#top">t</a></body></html>'),
         ),
         "UTF-8",
@@ -1868,7 +1878,8 @@ def _extracted_links(spark, sf_dir):
     f"""
     WITH base AS (
       SELECT doc_id, CAST(doc_id % {_LINK_HOSTS} AS VARCHAR) AS s,
-             CAST((doc_id * 7 + 3) % {_LINK_HOSTS} AS VARCHAR) AS t
+             CAST((doc_id * 7 + 3) % {_LINK_HOSTS} AS VARCHAR) AS t,
+             CAST((doc_id + 1) % {_LINK_HOSTS} AS VARCHAR) AS u
       FROM documents)
     SELECT 'https://h' || s || '.example.com/d/'
              || CAST(doc_id AS VARCHAR) AS url,
@@ -1882,6 +1893,13 @@ def _extracted_links(spark, sf_dir):
            CAST(2 AS BIGINT),
            'https://h' || t || '.example.com/d/'
              || CAST(doc_id AS VARCHAR)
+    FROM base
+    UNION ALL
+    SELECT 'https://h' || s || '.example.com/d/'
+             || CAST(doc_id AS VARCHAR),
+           CAST(3 AS BIGINT),
+           'https://h' || u || '.example.com/d/'
+             || CAST(doc_id + 1 AS VARCHAR)
     FROM base
     """,
 )
@@ -1900,11 +1918,15 @@ def q_extract_links(spark, sf_dir):
     "q_pagerank_links",
     f"""
     WITH edges AS (
-      SELECT DISTINCT doc_id % {_LINK_HOSTS} AS src,
-             (doc_id * 7 + 3) % {_LINK_HOSTS} AS dst
-      FROM documents
-      WHERE doc_id % {_LINK_HOSTS} <> (doc_id * 7 + 3) % {_LINK_HOSTS}
-        AND (doc_id % {_LINK_HOSTS}) % 7 <> 0),
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id % {_LINK_HOSTS} AS src,
+               (doc_id * 7 + 3) % {_LINK_HOSTS} AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id % {_LINK_HOSTS} AS src,
+               (doc_id + 1) % {_LINK_HOSTS} AS dst
+        FROM documents)
+      WHERE src <> dst AND src % 7 <> 0),
     nodes AS (SELECT DISTINCT src AS v FROM edges
               UNION SELECT DISTINCT dst FROM edges),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
@@ -1941,6 +1963,59 @@ def q_pagerank_links(spark, sf_dir):
         .distinct()
     )
     return _pagerank(spark, edges)
+
+
+@q(
+    "q_crawl_frontier",
+    f"""
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % {_LINK_HOSTS} AS VARCHAR) AS s,
+             CAST((doc_id * 7 + 3) % {_LINK_HOSTS} AS VARCHAR) AS t,
+             CAST((doc_id + 1) % {_LINK_HOSTS} AS VARCHAR) AS u
+      FROM documents),
+    links AS (
+      SELECT 'https://h' || s || '.example.com/local/'
+               || CAST(doc_id AS VARCHAR) AS link FROM base
+      UNION ALL
+      SELECT 'https://h' || t || '.example.com/d/'
+               || CAST(doc_id AS VARCHAR) FROM base
+      UNION ALL
+      SELECT 'https://h' || u || '.example.com/d/'
+               || CAST(doc_id + 1 AS VARCHAR) FROM base),
+    pages AS (
+      SELECT 'https://h' || s || '.example.com/d/'
+               || CAST(doc_id AS VARCHAR) AS url FROM base),
+    frontier AS (
+      SELECT DISTINCT l.link FROM links l
+      LEFT JOIN pages p ON p.url = l.link
+      WHERE p.url IS NULL)
+    SELECT regexp_extract(link, 'https://(h[0-9]+\\.example\\.com)/', 1)
+             AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_unseen
+    FROM frontier GROUP BY 1
+    """,
+)
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier discovery over EXTRACTED links — the third
+    member of the extract→graph family and the op a crawler scheduler
+    actually runs: distinct outbound links minus the urls already in
+    the corpus (left-anti join on url), rolled up per target host.
+    The synthesis plants one link per doc at the NEXT doc's real page
+    url, so the anti-join genuinely separates seen (doc_id+1 exists)
+    from unseen targets (/local/ paths, the cross-host rule with no
+    fixed point, and the last doc's successor). At 100 TB both sides
+    are url-keyed: the anti-join shuffles on url and AQE handles the
+    frontier's host skew; no broadcast assumption on either side."""
+    links = _extracted_links(spark, sf_dir).select("link").distinct()
+    pages = _link_pages(spark, sf_dir).select("url")
+    frontier = links.join(
+        pages, links["link"] == pages["url"], "left_anti"
+    )
+    return frontier.groupBy(
+        F.regexp_extract(
+            "link", r"https://(h\d+\.example\.com)/", 1
+        ).alias("host")
+    ).agg(F.count("*").cast("long").alias("n_unseen"))
 
 
 _CHUNK_TOKENS = 100
