@@ -48,8 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: inverted_index, paragraph_quality, dedup_clusters_best,
 #: model_pr_curve, dedup_lines_within_ml, doc_repetition_lines_ml,
 #: url_normalize, char_entropy, host_diversity, approx_quantiles)
-#: plus the 9 NEW round-5 ops (shuffle_shards, ann_recall,
-#: extract_links, pagerank_links, crawl_frontier,
+#: plus the 10 NEW round-5 ops (shuffle_shards, ann_recall,
+#: extract_links, pagerank_links, crawl_frontier, anchor_text_index,
 #: mixture_temperature, pack_efficiency, contamination_report,
 #: split_holdout) — after this
 #: round every registry query has lifetime driver evidence and the
@@ -60,7 +60,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: dedup_embedding_bucketed, dedup_embedding_clusters, ann_ivf,
 #: ann_ivf_kmeans, ann_pq, winnow_fingerprints, multimodal_meta,
 #: join_oembed_providers, dedup_editdistance, curation_pipeline,
-#: gopher_rules, doc_repetition, doc_repetition_ngrams, pii_scrub.
+#: gopher_rules, doc_repetition, doc_repetition_ngrams, pii_scrub,
+#: sample_stratified.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_archetypes",
@@ -90,10 +91,10 @@ _GATE_PRIORITY = [
     "q_contamination_report",
     "q_split_holdout",
     "q_crawl_frontier",
+    "q_anchor_text_index",
     "q_curation_pipeline_lsh",
     "q_dedup_substring",
     "q_dedup_substring_removed",
-    "q_sample_stratified",
     "q_pack_sequences",
     "q_decontaminate",
     "q_model_score",

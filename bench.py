@@ -73,6 +73,7 @@ HEADLINE = [
     "q_extract_links",
     "q_pagerank_links",
     "q_crawl_frontier",
+    "q_anchor_text_index",
     "q_mixture_temperature",
     "q_split_holdout",
     "q_contamination_report",

@@ -20,10 +20,15 @@ frozen here, in the repo's own spec style (cf. textify A-8):
   L-5  The fragment is removed from the resolved url (fragments never
        reach a server; keeping them would split graph nodes).
   L-6  Ordered dedup: first occurrence wins.
+  L-7  Anchor text: the whitespace-collapsed ``text_content()`` of the
+       ``<a>`` element at the link's FIRST occurrence (the one L-6
+       keeps); may be the empty string (image links, icon anchors).
 
 The result feeds the link-graph queries (q_extract_links,
-q_pagerank_links): host-level edges for domain-authority PageRank over
-EXTRACTED edges rather than a synthetic rule graph.
+q_pagerank_links, q_anchor_text_index): host-level edges for
+domain-authority PageRank over EXTRACTED edges rather than a
+synthetic rule graph, and the anchor-text corpus retrieval training
+mines for query-document pairs.
 """
 
 from __future__ import annotations
@@ -40,8 +45,9 @@ def _strip_fragment(url: str) -> str:
     return url if i < 0 else url[:i]
 
 
-def extract_links(root: Element, page_url: str) -> list[str]:
-    """Ordered, absolutized, deduped outbound links (rules L-1..L-6)."""
+def extract_anchors(root: Element, page_url: str) -> list[tuple[str, str]]:
+    """Ordered, absolutized, deduped (link, anchor_text) pairs
+    (rules L-1..L-7)."""
     base = page_url
     base_el = find_first(root, "base")
     if base_el is not None:
@@ -51,7 +57,7 @@ def extract_links(root: Element, page_url: str) -> list[str]:
                 base = urljoin(page_url, bh)
             except ValueError:
                 base = page_url
-    out: list[str] = []
+    out: list[tuple[str, str]] = []
     seen: set[str] = set()
     for el in root.iter():
         if el.tag != "a":
@@ -66,5 +72,10 @@ def extract_links(root: Element, page_url: str) -> list[str]:
         if not resolved.startswith(_ALLOWED_PREFIXES) or resolved in seen:
             continue
         seen.add(resolved)
-        out.append(resolved)
+        out.append((resolved, " ".join(el.text_content().split())))
     return out
+
+
+def extract_links(root: Element, page_url: str) -> list[str]:
+    """Ordered, absolutized, deduped outbound links (rules L-1..L-6)."""
+    return [link for link, _ in extract_anchors(root, page_url)]

@@ -21,7 +21,7 @@ from readembedability_spark.extractor.dom import free_tree, parse_html
 from readembedability_spark.extractor.images import extract_image
 from readembedability_spark.extractor.jsonld import parse_jsonld_texts
 from readembedability_spark.extractor.keywords import extract_keywords, extract_summary
-from readembedability_spark.extractor.links import extract_links
+from readembedability_spark.extractor.links import extract_anchors
 from readembedability_spark.extractor.meta import (
     collect_meta,
     extract_canonical,
@@ -54,6 +54,7 @@ def _empty_row(url: str, status: str) -> dict[str, Any]:
         "canonical_url": url,
         "embed": False,
         "links": None,
+        "anchor_texts": None,
         "confidences": {},
         "status": status,
     }
@@ -108,7 +109,7 @@ def _extract_from_dom(url: str, root) -> dict[str, Any]:
     ld = parse_jsonld_texts(pm.jsonld_texts)  # A-15
     embed, _endpoint = detect_embed(pm, root, url)  # A-16/A-17
     canonical = extract_canonical(pm, url)  # A-12
-    links = extract_links(root, url)  # A-23 (raw dom, pre-cleanup)
+    anchors = extract_anchors(root, url)  # A-23 (raw dom, pre-cleanup)
 
     result = ParseResult()
     for value, conf in extract_title(pm, ld.headline, url):  # A-9/13/14
@@ -149,7 +150,8 @@ def _extract_from_dom(url: str, root) -> dict[str, Any]:
         "summary": result.get("summary"),
         "canonical_url": canonical,
         "embed": embed,
-        "links": links or None,
+        "links": [a for a, _ in anchors] or None,
+        "anchor_texts": [t for _, t in anchors] or None,
         "confidences": result.confidences,
         "status": "ok",
     }

@@ -52,8 +52,10 @@ EXTRACTED_SCHEMA = StructType(
         StructField("canonical_url", StringType(), True),
         StructField("embed", BooleanType(), True),
         # outbound links (A-23): ordered/absolutized/deduped, raw-dom
-        # surface — feeds the extracted link-graph queries
+        # surface — feeds the extracted link-graph queries;
+        # anchor_texts is positionally aligned with links (L-7)
         StructField("links", ArrayType(StringType()), True),
+        StructField("anchor_texts", ArrayType(StringType()), True),
         StructField("confidences", MapType(StringType(), DoubleType()), True),
         # ok|empty|non_html|parse_error|pdf|oversize
         StructField("status", StringType(), False),

@@ -1835,7 +1835,12 @@ def _link_pages(spark, sf_dir):
             dst,
             F.lit(".example.com/d/"),
             did,
-            F.lit('">x</a> <a href="https://h'),
+            # the cross-host anchor's TEXT is the doc's first word —
+            # gives q_anchor_text_index a non-trivial per-host term
+            # distribution the oracle can replay from the text column
+            F.lit('">'),
+            F.split("text", " ").getItem(0),
+            F.lit('</a> <a href="https://h'),
             nxt_host,
             F.lit(".example.com/d/"),
             nxt_id,
@@ -2016,6 +2021,65 @@ def q_crawl_frontier(spark, sf_dir):
             "link", r"https://(h\d+\.example\.com)/", 1
         ).alias("host")
     ).agg(F.count("*").cast("long").alias("n_unseen"))
+
+
+@q(
+    "q_anchor_text_index",
+    f"""
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % {_LINK_HOSTS} AS VARCHAR) AS s,
+             CAST((doc_id * 7 + 3) % {_LINK_HOSTS} AS VARCHAR) AS t,
+             CAST((doc_id + 1) % {_LINK_HOSTS} AS VARCHAR) AS u,
+             string_split(text, ' ')[1] AS w1
+      FROM documents),
+    anchors AS (
+      SELECT 'h' || t || '.example.com' AS host, w1 AS term
+      FROM base WHERE t <> s
+      UNION ALL
+      SELECT 'h' || u || '.example.com', 'n' FROM base WHERE u <> s)
+    SELECT host, term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM anchors GROUP BY host, term
+    """,
+)
+def q_anchor_text_index(spark, sf_dir):
+    """Anchor-text index over EXTRACTED cross-host anchors (L-7) —
+    the classic web-scale retrieval signal: what OTHER sites' link
+    text says about a host is a labeled (query, document) pair for
+    training retrieval/ranking models. Same-host (navigational)
+    anchors and empty texts are excluded; the rollup is
+    (target host, term) → count. The synthesis gives each cross-host
+    anchor the linking doc's first word, so the oracle replays the
+    term distribution from the text column while Spark reads it off
+    the REAL extractor's anchor_texts array (positionally aligned
+    with links). At 100 TB: one extraction pass (the column rides the
+    existing Arrow batch), one explode, one (host, term)-keyed
+    map-side-combining shuffle."""
+    from readembedability_spark.operators.extract import extract_stage
+    from readembedability_spark.operators.salt import salt_repartition
+
+    pages = salt_repartition(
+        _link_pages(spark, sf_dir),
+        max(spark.sparkContext.defaultParallelism * 2, 16),
+    )
+    host_re = r"https://(h\d+\.example\.com)/"
+    z = (
+        extract_stage(pages)
+        .select("url", F.explode(F.arrays_zip("links", "anchor_texts")).alias("z"))
+        .select(
+            F.regexp_extract("url", host_re, 1).alias("src"),
+            F.regexp_extract(F.col("z.links"), host_re, 1).alias("host"),
+            F.col("z.anchor_texts").alias("term"),
+        )
+    )
+    return (
+        z.filter(
+            (F.col("host") != "")
+            & (F.col("host") != F.col("src"))
+            & (F.col("term") != "")
+        )
+        .groupBy("host", "term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
 
 
 _CHUNK_TOKENS = 100

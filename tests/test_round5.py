@@ -172,6 +172,25 @@ def test_extract_links_rules():
     ]
 
 
+def test_extract_anchors_text_rule():
+    """L-7: anchor text is the whitespace-collapsed text_content of
+    the FIRST occurrence of each deduped link; empty for contentless
+    anchors."""
+    from readembedability_spark.extractor.dom import parse_html
+    from readembedability_spark.extractor.links import extract_anchors
+
+    html = """<html><body>
+      <a href="https://a.example.com/x">  First   <b>bold</b> text </a>
+      <a href="https://a.example.com/x">second occurrence ignored</a>
+      <a href="https://b.example.com/y"><img src="i.png"></a>
+    </body></html>"""
+    anchors = extract_anchors(parse_html(html), "https://h.example.com/")
+    assert anchors == [
+        ("https://a.example.com/x", "First bold text"),
+        ("https://b.example.com/y", ""),
+    ]
+
+
 def test_extract_links_no_base_resolves_against_page_url():
     from readembedability_spark.extractor.dom import parse_html
     from readembedability_spark.extractor.links import extract_links
