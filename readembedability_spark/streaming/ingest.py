@@ -295,3 +295,33 @@ def streaming_quality_filter(
     return scored.filter(
         (F.col("quality_score") > threshold) & (n_tok > 0)
     )
+
+
+def streaming_link_frontier(
+    pages_stream: DataFrame,
+    known_urls: DataFrame,
+) -> DataFrame:
+    """Crawl-frontier discovery AT INGEST (O-28 × A-23 ×
+    q_crawl_frontier): each arriving micro-batch runs the full
+    mapInPandas extraction, explodes the links column, and left-ANTI
+    joins against the STATIC known-url catalog — emitting only links
+    pointing outside the current corpus, i.e. the next crawl round's
+    candidates, while the batch that discovered them is still in
+    flight.
+
+    Stream-static anti-joins are stateless in Structured Streaming
+    (the static side is re-scanned per micro-batch and is broadcast
+    when small; at web scale the catalog side would be a bucketed
+    table so the per-batch probe stays partition-pruned). No
+    watermark state is needed: dedup of re-discovered frontier urls
+    is the DOWNSTREAM admission job's responsibility
+    (q_dedup_incremental's O(batch) shape), keeping this operator a
+    pure map + join at any ingest rate."""
+    links = extract_stage(pages_stream).select(
+        "url", F.explode("links").alias("link")
+    )
+    return links.join(
+        known_urls.select(F.col("url").alias("known_url")),
+        F.col("link") == F.col("known_url"),
+        "left_anti",
+    )

@@ -237,3 +237,57 @@ def test_streaming_contamination_flags(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select url from contamination_flags").collect()
     assert [r["url"] for r in rows] == ["https://x.example.com/dirty"]
+
+
+def test_streaming_link_frontier(spark, tmp_path):
+    """Stream-static anti-join frontier: links extracted from arriving
+    pages that point OUTSIDE the known-url catalog are emitted; links
+    to known urls are suppressed."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from readembedability_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_link_frontier,
+    )
+
+    ts = datetime(2025, 1, 1, 12, 0, 0)
+    html = (
+        b'<html><body><p>x</p>'
+        b'<a href="https://known.example.com/a">k</a>'
+        b'<a href="https://new.example.com/b">n</a>'
+        b"</body></html>"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "url": ["https://src.example.com/p"],
+                "warc_ts": pa.array([ts], pa.timestamp("us")),
+                "html": pa.array([html], pa.binary()),
+                "text": ["x"],
+                "lang": ["en"],
+            }
+        ),
+        in_dir / "batch1.parquet",
+    )
+    known = spark.createDataFrame(
+        [("https://known.example.com/a",), ("https://src.example.com/p",)],
+        "url string",
+    )
+    out = streaming_link_frontier(read_pages_stream(spark, str(in_dir)), known)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("link_frontier")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select url, link from link_frontier").collect()
+    assert len(rows) == 1, rows
+    assert rows[0]["link"] == "https://new.example.com/b"
+    assert rows[0]["url"] == "https://src.example.com/p"
