@@ -48,10 +48,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: inverted_index, paragraph_quality, dedup_clusters_best,
 #: model_pr_curve, dedup_lines_within_ml, doc_repetition_lines_ml,
 #: url_normalize, char_entropy, host_diversity, approx_quantiles)
-#: plus the 10 NEW round-5 ops (shuffle_shards, ann_recall,
-#: extract_links, pagerank_links, crawl_frontier, anchor_text_index,
-#: mixture_temperature, pack_efficiency, contamination_report,
-#: split_holdout) — after this
+#: plus the 11 NEW round-5 ops (shuffle_shards, ann_recall,
+#: dedup_recall, extract_links, pagerank_links, crawl_frontier,
+#: anchor_text_index, mixture_temperature, pack_efficiency,
+#: contamination_report, split_holdout) — after this
 #: round every registry query has lifetime driver evidence and the
 #: rotation discipline can retire. Rotated OUT (all driver-green
 #: r01–r04, still parity-tested every round): metrics_rollup,
@@ -61,7 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ann_ivf_kmeans, ann_pq, winnow_fingerprints, multimodal_meta,
 #: join_oembed_providers, dedup_editdistance, curation_pipeline,
 #: gopher_rules, doc_repetition, doc_repetition_ngrams, pii_scrub,
-#: sample_stratified.
+#: sample_stratified, decontaminate.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_archetypes",
@@ -84,6 +84,7 @@ _GATE_PRIORITY = [
     "q_approx_quantiles",
     "q_shuffle_shards",
     "q_ann_recall",
+    "q_dedup_recall",
     "q_extract_links",
     "q_pagerank_links",
     "q_mixture_temperature",
@@ -96,7 +97,6 @@ _GATE_PRIORITY = [
     "q_dedup_substring",
     "q_dedup_substring_removed",
     "q_pack_sequences",
-    "q_decontaminate",
     "q_model_score",
     "q_mixture_weights",
     "q_bpe_train",

@@ -70,6 +70,7 @@ HEADLINE = [
     "q_shuffle_shards",
     "q_pack_efficiency",
     "q_ann_recall",
+    "q_dedup_recall",
     "q_extract_links",
     "q_pagerank_links",
     "q_crawl_frontier",

@@ -405,6 +405,90 @@ def _verified_pairs_from(shingles):
     )
 
 
+#: dedup-recall gate: probe-doc bound (exact side cost = probe docs ×
+#: shingle postings — linear, NOT the quarantined all-pairs shape) and
+#: the recall floor vs the measured sf0.01 value.
+_DEDUP_RECALL_PROBE = 100
+_DEDUP_RECALL_FLOOR = 0.75
+
+
+@q(
+    "q_dedup_recall",
+    f"""
+    WITH {_VERIFIED_PAIRS_SQL},
+    pint AS (
+      SELECT sp.doc_id AS a, st.doc_id AS b, COUNT(*) AS i
+      FROM shingles sp JOIN shingles st ON sp.sh = st.sh
+      WHERE sp.doc_id < {_DEDUP_RECALL_PROBE}
+        AND (st.doc_id >= {_DEDUP_RECALL_PROBE}
+             OR st.doc_id > sp.doc_id)
+      GROUP BY 1, 2),
+    exactp AS (
+      SELECT a, b FROM pint
+      JOIN sizes za ON za.doc_id = a
+      JOIN sizes zb ON zb.doc_id = b
+      WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.2),
+    lshp AS (
+      SELECT a, b FROM vpairs
+      WHERE a < {_DEDUP_RECALL_PROBE} OR b < {_DEDUP_RECALL_PROBE}),
+    hit AS (SELECT COUNT(*) AS nh FROM lshp JOIN exactp USING (a, b)),
+    tot AS (SELECT COUNT(*) AS nt FROM exactp)
+    SELECT 'dedup_lsh_verified' AS method,
+           CAST(nt AS BIGINT) AS n_exact,
+           CAST(nh AS BIGINT) AS n_found,
+           ROUND(nh * 1.0 / nt, 4) AS recall,
+           nh * 1.0 / nt >= {_DEDUP_RECALL_FLOOR} AS passed
+    FROM hit CROSS JOIN tot
+    """,
+)
+def q_dedup_recall(spark, sf_dir):
+    """Recall of the production LSH-verified dedup path vs EXACT
+    Jaccard ground truth, as a driver-checked number (the
+    q_ann_recall pattern applied to dedup): ground truth = all exact
+    Jaccard ≥ 0.2 pairs touching the first {_DEDUP_RECALL_PROBE}
+    probe docs, computed by an inverted-shingle join whose probe side
+    is BOUNDED (cost = probe docs × postings — linear in the corpus,
+    never the quarantined all-pairs shape); found = q_dedup_lsh_
+    verified's pairs restricted to the same probe set. A banding or
+    bucket-cap parameter tune that silently starts missing true
+    near-dups flips recall/passed and hash-fails the gate — recall
+    claims no longer live only in test asserts."""
+    shingles = _persist(_shingles_df(spark, sf_dir))
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    p = _DEDUP_RECALL_PROBE
+    sp = shingles.filter(F.col("doc_id") < p).select(
+        F.col("doc_id").alias("a"), "sh"
+    )
+    st = shingles.select(F.col("doc_id").alias("b"), "sh")
+    pint = (
+        sp.join(st, "sh")
+        .filter((F.col("b") >= p) | (F.col("b") > F.col("a")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    jac = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
+    exact = (
+        pint.join(za, "a").join(zb, "b").filter(jac >= 0.2).select("a", "b")
+    )
+    lsh = (
+        _verified_pairs_from(shingles)
+        .filter((F.col("a") < p) | (F.col("b") < p))
+        .select("a", "b")
+    )
+    hits = lsh.join(exact, ["a", "b"]).agg(F.count("*").alias("nh"))
+    tot = exact.agg(F.count("*").alias("nt"))
+    recall = F.col("nh").cast("double") / F.col("nt")
+    return hits.crossJoin(tot).select(
+        F.lit("dedup_lsh_verified").alias("method"),
+        F.col("nt").cast("long").alias("n_exact"),
+        F.col("nh").cast("long").alias("n_found"),
+        F.round(recall, 4).alias("recall"),
+        (recall >= F.lit(_DEDUP_RECALL_FLOOR)).alias("passed"),
+    )
+
+
 @q(
     "q_dedup_clusters",
     f"""
