@@ -165,51 +165,18 @@ def remove_dup_substrings(docs, n: int = 8):
     (the q_dedup_substring_removed transform wired into the funnel,
     VERDICT r04 #7): token spans covered by any word n-gram that first
     occurred in a lower-id document are excised; the owner doc keeps
-    all its occurrences. Same plan: positional grams md5'd map-side,
-    one combining groupBy(gh) MIN owner, one gh-keyed join kept to
-    duplicated starts only, excision ROW-LOCAL via an indexed HOF
-    filter — no token-level shuffle. Returns (doc_id, lang, text)
-    with the cleaned text flowing downstream."""
+    all its occurrences. The plan is textops.dup_substring_excised —
+    the SAME implementation the registry query runs (positional grams
+    md5'd map-side, combining groupBy(gh) MIN owner, gh-keyed join
+    kept to duplicated starts only, row-local indexed HOF excision).
+    Returns (doc_id, lang, text) with the cleaned text flowing
+    downstream."""
+    from readembedability_spark.textops import dup_substring_excised
+
     arrs = docs.select("doc_id", "lang", F.split("text", " ").alias("arr"))
-    seq = F.sequence(F.lit(1), F.size("arr") - (n - 1))
-    posg = (
-        arrs.filter(F.size("arr") >= n)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    seq,
-                    lambda k: F.md5(
-                        F.encode(
-                            F.concat_ws(" ", F.slice("arr", k, n)), "UTF-8"
-                        )
-                    ),
-                )
-            ),
-        )
-        .select(
-            "doc_id", (F.col("pos") + 1).alias("k"), F.col("col").alias("gh")
-        )
-    )
-    owner = posg.groupBy("gh").agg(F.min("doc_id").alias("owner"))
-    dup = (
-        posg.join(owner, "gh")
-        .filter(F.col("owner") < F.col("doc_id"))
-        .select("doc_id", "k")
-    )
-    starts = dup.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("k")).alias("starts")
-    )
-    st = F.coalesce("starts", F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("arr"),
-        lambda w, i: ~F.exists(
-            st, lambda s: (s <= i + 1) & (i + 1 <= s + (n - 1))
-        ),
-    )
+    joined, kept = dup_substring_excised(arrs, n)
     return (
-        arrs.join(starts, "doc_id", "left")
-        .select("doc_id", "lang", F.concat_ws(" ", kept).alias("text"))
+        joined.select("doc_id", "lang", F.concat_ws(" ", kept).alias("text"))
         .filter(F.length(F.trim("text")) > 0)
     )
 
@@ -261,6 +228,22 @@ def shuffle_shards(packed, n_shards: int = 8, seed: str = "r5seed"):
     ).withColumn(
         "shard",
         (F.conv(F.substring("k", 1, 6), 16, 10).cast("long") % n_shards),
+    )
+
+
+def write_shards(shards, out_path: str, n_shards: int):
+    """Shard writer: one hash partition per shard, rows in (k, doc_id)
+    order — k ties WITHIN a sequence (every doc row of a packed
+    sequence shares its sequence's key), so doc_id is the required
+    in-sequence tiebreak; without it the written order inside each
+    training sequence would follow shuffle-fetch arrival and differ
+    run to run."""
+    (
+        shards.repartition(n_shards, "shard")
+        .sortWithinPartitions("k", "doc_id")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_path)
     )
 
 
@@ -332,25 +315,24 @@ def main() -> None:
     stats["after_decontamination"] = final.count()
 
     out = Path(args.output)
+    # final/packed anchor MULTIPLE downstream actions (curated write,
+    # packed write, sequence count, shard write, balance rollup) —
+    # without the persists each action re-runs the whole funnel
+    # (gates → line dedup → LSH clustering → CC → decontamination)
+    from readembedability_spark.queries import _persist
+
+    final = _persist(final)
     final.repartition(4).write.mode("overwrite").parquet(str(out / "curated"))
-    packed = pack_sequences(final, args.seq_budget)
+    packed = _persist(pack_sequences(final, args.seq_budget))
     packed.write.mode("overwrite").parquet(str(out / "packed"))
     stats["n_sequences"] = (
         packed.select("lang", "seq_id").distinct().count()
     )
 
     # stage 7: seeded global shuffle + sharded write — the trainer-
-    # facing layout. repartition(shard) + sortWithinPartitions(k):
-    # each shard is one hash partition written in key order; no
-    # global sort or single-partition window anywhere.
+    # facing layout; no global sort or single-partition window.
     shards = shuffle_shards(packed, args.n_shards, args.shuffle_seed)
-    (
-        shards.repartition(args.n_shards, "shard")
-        .sortWithinPartitions("k")
-        .write.partitionBy("shard")
-        .mode("overwrite")
-        .parquet(str(out / "shards"))
-    )
+    write_shards(shards, str(out / "shards"), args.n_shards)
     balance = {
         int(r["shard"]): r["n"]
         for r in shards.groupBy("shard")

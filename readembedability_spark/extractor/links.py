@@ -10,13 +10,16 @@ frozen here, in the repo's own spec style (cf. textify A-8):
        part of the readable content.
   L-2  The href is stripped of leading/trailing ASCII whitespace;
        empty and fragment-only (``#…``) hrefs are dropped.
-  L-3  Resolution: against the first ``<base href>`` when present
-       (itself resolved against the page url — the HTML standard's
-       base-URI rule), else the page url, via ``urllib.parse.urljoin``
-       (RFC 3986 reference resolution — deterministic stdlib).
-  L-4  Only ``http``/``https`` results survive (``javascript:``,
-       ``mailto:``, ``data:`` … dropped — the same scheme allowlist
-       policy as sanitize A-7).
+  L-3  Resolution: against the first ``<base>`` element THAT HAS an
+       href (itself resolved against the page url — the HTML
+       standard's base-URI rule), else the page url, via
+       ``urllib.parse.urljoin`` (RFC 3986 reference resolution —
+       deterministic stdlib).
+  L-4  Only ``http``/``https`` results survive, matched
+       case-insensitively (schemes are case-insensitive per RFC 3986;
+       sanitize A-7 lowercases before matching too) and emitted with
+       the scheme normalized to lowercase; ``javascript:``,
+       ``mailto:``, ``data:`` … are dropped.
   L-5  The fragment is removed from the resolved url (fragments never
        reach a server; keeping them would split graph nodes).
   L-6  Ordered dedup: first occurrence wins.
@@ -35,7 +38,7 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-from readembedability_spark.extractor.dom import Element, find_first
+from readembedability_spark.extractor.dom import Element
 
 _ALLOWED_PREFIXES = ("http://", "https://")
 
@@ -49,14 +52,14 @@ def extract_anchors(root: Element, page_url: str) -> list[tuple[str, str]]:
     """Ordered, absolutized, deduped (link, anchor_text) pairs
     (rules L-1..L-7)."""
     base = page_url
-    base_el = find_first(root, "base")
-    if base_el is not None:
+    for base_el in root.find_all("base"):
         bh = (base_el.get("href") or "").strip()
         if bh:
             try:
                 base = urljoin(page_url, bh)
             except ValueError:
                 base = page_url
+            break
     out: list[tuple[str, str]] = []
     seen: set[str] = set()
     for el in root.iter():
@@ -69,6 +72,11 @@ def extract_anchors(root: Element, page_url: str) -> list[tuple[str, str]]:
             resolved = _strip_fragment(urljoin(base, href))
         except ValueError:
             continue
+        # scheme match is case-insensitive; canonical output lowercases
+        # the scheme (RFC 3986 §6.2.2.1)
+        colon = resolved.find(":")
+        if colon > 0:
+            resolved = resolved[:colon].lower() + resolved[colon:]
         if not resolved.startswith(_ALLOWED_PREFIXES) or resolved in seen:
             continue
         seen.add(resolved)

@@ -2117,8 +2117,11 @@ def q_crawl_frontier(spark, sf_dir):
              string_split(text, ' ')[1] AS w1
       FROM documents),
     anchors AS (
+      -- the COALESCE/<>'' guard mirrors the Spark side's term <> ''
+      -- filter: a doc whose text is empty (or starts with a space)
+      -- yields an empty first word and must not index
       SELECT 'h' || t || '.example.com' AS host, w1 AS term
-      FROM base WHERE t <> s
+      FROM base WHERE t <> s AND COALESCE(w1, '') <> ''
       UNION ALL
       SELECT 'h' || u || '.example.com', 'n' FROM base WHERE u <> s)
     SELECT host, term, CAST(COUNT(*) AS BIGINT) AS n
@@ -3703,16 +3706,35 @@ def q_dedup_substring_removed(spark, sf_dir):
     md5, not just counts."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     arrs = docs.select("doc_id", F.split("text", " ").alias("arr"))
-    seq = F.sequence(F.lit(1), F.size("arr") - 7)
+    joined, kept = dup_substring_excised(arrs)
+    return joined.select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n_tokens"),
+        (F.size("arr") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.encode(F.concat_ws(" ", kept), "UTF-8")).alias("clean_md5"),
+    )
+
+
+def dup_substring_excised(arrs, n: int = 8):
+    """(joined, kept): the cross-doc duplicated-substring excision
+    plan over any (doc_id, arr, …) DF — owner = corpus-min doc_id per
+    gram, duplicated starts per doc, row-local indexed HOF excision.
+    Returns the arrs⋈starts DF (all arrs columns preserved) plus the
+    `kept` column expression (the excised token array). The SINGLE
+    implementation behind q_dedup_substring_removed and
+    jobs/pretrain_prep.remove_dup_substrings — the _pagerank sharing
+    pattern, so a future change to the span rule cannot diverge the
+    two call sites."""
+    seq = F.sequence(F.lit(1), F.size("arr") - (n - 1))
     posg = (
-        arrs.filter(F.size("arr") >= 8)
+        arrs.filter(F.size("arr") >= n)
         .select(
             "doc_id",
             F.posexplode(
                 F.transform(
                     seq,
                     lambda k: F.md5(
-                        F.encode(F.concat_ws(" ", F.slice("arr", k, 8)), "UTF-8")
+                        F.encode(F.concat_ws(" ", F.slice("arr", k, n)), "UTF-8")
                     ),
                 )
             ),
@@ -3732,18 +3754,10 @@ def q_dedup_substring_removed(spark, sf_dir):
     kept = F.filter(
         F.col("arr"),
         lambda w, i: ~F.exists(
-            st, lambda s: (s <= i + 1) & (i + 1 <= s + 7)
+            st, lambda s: (s <= i + 1) & (i + 1 <= s + (n - 1))
         ),
     )
-    return (
-        arrs.join(starts, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("arr").cast("long").alias("n_tokens"),
-            (F.size("arr") - F.size(kept)).cast("long").alias("n_removed"),
-            F.md5(F.encode(F.concat_ws(" ", kept), "UTF-8")).alias("clean_md5"),
-        )
-    )
+    return arrs.join(starts, "doc_id", "left"), kept
 
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

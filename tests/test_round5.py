@@ -172,6 +172,26 @@ def test_extract_links_rules():
     ]
 
 
+def test_extract_links_scheme_case_and_base_selection():
+    """L-4: scheme matching is case-insensitive and the output scheme
+    is lowercased; L-3: the base is the first <base> WITH an href —
+    an hrefless <base target=...> before it must not mask it."""
+    from readembedability_spark.extractor.dom import parse_html
+    from readembedability_spark.extractor.links import extract_links
+
+    html = """<html><head>
+      <base target="_blank"><base href="/sub/"><base href="/ignored/">
+    </head><body>
+      <a href="HTTP://Upper.example.com/X">u</a>
+      <a href="rel.html">r</a>
+    </body></html>"""
+    links = extract_links(parse_html(html), "https://h.example.com/a/b")
+    assert links == [
+        "http://Upper.example.com/X",  # scheme lowercased, rest intact
+        "https://h.example.com/sub/rel.html",  # second base (with href) wins
+    ]
+
+
 def test_extract_anchors_text_rule():
     """L-7: anchor text is the whitespace-collapsed text_content of
     the FIRST occurrence of each deduped link; empty for contentless
@@ -483,5 +503,10 @@ def test_pagerank_partitioning_invariant(spark, monkeypatch):
         for r in REGISTRY["q_pagerank"].spark(spark, SF_SMALL).collect()
     }
     release_caches(spark)
-    assert base == wide
+    # tolerance, not ==: summation ORDER changes with partitioning, so
+    # a rank sitting exactly on a round-6 boundary could legally flip
+    # its last digit (ulp-level float association)
+    assert set(base) == set(wide)
+    for v in base:
+        assert abs(base[v] - wide[v]) <= 1e-6, (v, base[v], wide[v])
     assert abs(sum(wide.values()) - 1.0) < 1e-3
