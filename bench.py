@@ -121,10 +121,10 @@ HEADLINE = [
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4
 # they are not even in the driver registry (queries.BASELINE_REGISTRY,
-# parity-tested only); their scale siblings are timed above. q_bpe_train and
-# q_model_score_trained and q_model_pr_curve are also skipped: each
-# re-runs the same training loop its timed sibling (q_bpe_tokenize /
-# q_model_train) already covers end-to-end.
+# parity-tested only); their scale siblings are timed above. q_bpe_train,
+# q_bpe_train64, q_model_score_trained and q_model_pr_curve are also
+# skipped: each re-runs the same training loop its timed sibling
+# (q_bpe_tokenize / q_model_train) already covers end-to-end.
 
 
 def _probe_single() -> float:

@@ -237,10 +237,14 @@ def write_shards(shards, out_path: str, n_shards: int):
     sequence shares its sequence's key), so doc_id is the required
     in-sequence tiebreak; without it the written order inside each
     training sequence would follow shuffle-fetch arrival and differ
-    run to run."""
+    run to run. The sort LEADS with the partition column: a
+    partitionBy writer re-sorts un-partition-sorted input by `shard`
+    with a NON-stable sort (observed scrambling the k order); with
+    shard as the sort prefix the writer sees already-sorted input and
+    preserves (k, doc_id) within every shard file."""
     (
         shards.repartition(n_shards, "shard")
-        .sortWithinPartitions("k", "doc_id")
+        .sortWithinPartitions("shard", "k", "doc_id")
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(out_path)

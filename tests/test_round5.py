@@ -329,6 +329,72 @@ def test_shuffle_shards_deterministic_permutation(spark):
     release_caches(spark)
 
 
+def test_written_shards_match_query_order_md5(spark, tmp_path):
+    """End-to-end consistency: the shard files write_shards produces
+    carry EXACTLY the per-shard sequence order that q_shuffle_shards'
+    order_md5 hash-locks — the registered query is a faithful oracle
+    of the trainer-facing layout."""
+    import hashlib
+
+    import pyarrow.parquet as pq_
+    from pyspark.sql import functions as F
+
+    import readembedability_spark.textops as textops
+
+    pp = _job()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    # mirror the registered query's parameters exactly
+    budget = textops._PACK_SEQ_TOKENS
+    seed = textops._SHUFFLE_SEED
+    n_shards = textops._SHUFFLE_SHARDS
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget).cast(
+            "long"
+        ),
+    )
+    shards = pp.shuffle_shards(packed, n_shards, seed)
+    out = tmp_path / "shards"
+    pp.write_shards(shards, str(out), n_shards)
+
+    expected = {
+        r["shard"]: (r["n_seqs"], r["order_md5"])
+        for r in REGISTRY["q_shuffle_shards"].spark(spark, SF_SMALL).collect()
+    }
+    seen_shards = set()
+    for d in sorted(out.glob("shard=*")):
+        shard = int(d.name.split("=")[1])
+        seen_shards.add(shard)
+        tbl = pq_.read_table(str(d)).to_pylist()  # file order preserved
+        stream = []
+        for row in tbl:
+            sid = f"{row['lang']}:{row['seq_id']}"
+            if not stream or stream[-1] != sid:
+                stream.append(sid)
+        md5 = hashlib.md5("|".join(stream).encode()).hexdigest()
+        assert shard in expected, (shard, expected)
+        assert expected[shard] == (len(stream), md5), (
+            shard,
+            expected[shard],
+            (len(stream), md5),
+        )
+    assert seen_shards == set(expected)
+    release_caches(spark)
+
+
 def test_q_shuffle_shards_no_single_partition_plan(spark):
     """The registered shard query never plans a single-partition
     exchange: the packing window is lang-partitioned and the shard
