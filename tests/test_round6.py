@@ -1,0 +1,136 @@
+"""Round-6 guarantees (VERDICT r05 tasks): authority-prioritized
+crawl schedule (q_frontier_schedule + the crawl-graph job stage), no
+forced broadcast in the job's annotate stage, the scale-safe shard
+audit, and BPE-token-based sequence packing in the prep funnel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import readembedability_spark.textops  # noqa: F401 - registers entries
+from readembedability_spark.queries import REGISTRY, release_caches
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _job(name="crawl_graph"):
+    import importlib
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "jobs"))
+    return importlib.import_module(name)
+
+
+def _plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r05 #3 — authority-prioritized frontier schedule
+# ---------------------------------------------------------------------------
+
+
+def test_frontier_schedule_plan_and_cap(spark):
+    """The schedule query plans the politeness cap as a
+    WindowGroupLimit (map-side pre-prune), contains no cartesian
+    product, and never forces a broadcast hint on the host-cardinality
+    joins (counts/authority — VERDICT r05 wrong #1 class)."""
+    df = REGISTRY["q_frontier_schedule"].spark(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    logical = str(df._jdf.queryExecution().logical())  # noqa: SLF001
+    assert "UnresolvedHint" not in logical
+    rows = df.collect()
+    assert rows
+    from collections import Counter
+
+    per_host = Counter(r["host"] for r in rows)
+    from readembedability_spark.textops import _SCHEDULE_K
+
+    assert max(per_host.values()) <= _SCHEDULE_K
+    # slots are 1..min(K, n_unseen) per host, dense
+    for h in per_host:
+        slots = sorted(r["slot"] for r in rows if r["host"] == h)
+        assert slots == list(range(1, len(slots) + 1))
+    release_caches(spark)
+
+
+def test_frontier_schedule_priority_is_authority_times_unseen(spark):
+    """priority recomputes exactly as round(authority * n_unseen, 6)
+    from the two parent queries' own outputs; hosts absent from the
+    rank table get priority 0 (the left join keeps discovery alive)."""
+    sched = REGISTRY["q_frontier_schedule"].spark(spark, SF_SMALL).collect()
+    pr = {
+        f"h{r['node']}.example.com": r["pr"]
+        for r in REGISTRY["q_pagerank_links"].spark(spark, SF_SMALL).collect()
+    }
+    unseen = {
+        r["host"]: r["n_unseen"]
+        for r in REGISTRY["q_crawl_frontier"].spark(spark, SF_SMALL).collect()
+    }
+    assert sched
+    for r in sched:
+        assert r["n_unseen"] == unseen[r["host"]]
+        expect = round(pr.get(r["host"], 0.0) * r["n_unseen"], 6)
+        assert abs(r["priority"] - expect) < 1e-9, (r, expect)
+    release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r05 #4 — crawl-graph job: no forced broadcast, schedule stage
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_graph_annotate_no_forced_broadcast(spark):
+    """annotate_pages must not carry a broadcast hint: the rank table
+    is host-count-sized (~1e8 rows at web scale) — AQE may still
+    broadcast when it measures small, but nothing may override its
+    size check."""
+    from readembedability_spark.textops import _link_pages
+
+    cg = _job()
+    pages = _link_pages(spark, SF_SMALL)
+    ranks = spark.createDataFrame(
+        [("h1.example.com", 0.5)], "host string, authority double"
+    )
+    df = cg.annotate_pages(pages, ranks)
+    logical = str(df._jdf.queryExecution().logical())  # noqa: SLF001
+    assert "UnresolvedHint" not in logical
+    assert "broadcast" not in logical.lower()
+    assert df.count() == pages.count()
+    release_caches(spark)
+
+
+def test_crawl_graph_schedule_stage_composes(spark):
+    """The job's schedule stage caps per-host slots, scores priority
+    as authority x unseen, and gives rank-less hosts priority 0."""
+    from readembedability_spark.queries import _persist
+    from readembedability_spark.textops import _link_pages, _pagerank
+
+    cg = _job()
+    pages = _link_pages(spark, SF_SMALL)
+    links = _persist(cg.extract_link_table(spark, pages))
+    ranks = _pagerank(spark, cg.host_edges(links)).withColumnsRenamed(
+        {"node": "host", "pr": "authority"}
+    )
+    fr = cg.frontier(links, pages)
+    sched = cg.schedule(fr, ranks, links, pages, k=2).collect()
+    assert sched
+    from collections import Counter
+
+    per_host = Counter(r["host"] for r in sched)
+    assert max(per_host.values()) <= 2
+    auth = {r["host"]: r["authority"] for r in ranks.collect()}
+    unseen = {r["host"]: r["n_unseen"] for r in fr.collect()}
+    for r in sched:
+        expect = round(auth.get(r["host"], 0.0) * unseen[r["host"]], 6)
+        assert abs(r["priority"] - expect) < 1e-9
+    # scheduled urls are genuinely unseen
+    urls = {r["url"] for r in pages.select("url").collect()}
+    assert all(r["link"] not in urls for r in sched)
+    release_caches(spark)
