@@ -331,9 +331,13 @@ def test_shuffle_shards_deterministic_permutation(spark):
 
 def test_written_shards_match_query_order_md5(spark, tmp_path):
     """End-to-end consistency: the shard files write_shards produces
-    carry EXACTLY the per-shard sequence order that q_shuffle_shards'
-    order_md5 hash-locks — the registered query is a faithful oracle
-    of the trainer-facing layout."""
+    are (a) FULLY sorted by (k, doc_id) within every shard — asserted
+    directly against keys recomputed in python, stronger than the old
+    full-order md5 comparison — and (b) consistent with the bounded
+    audit q_shuffle_shards hash-locks (head_md5 over the first
+    _AUDIT_HEAD sequences in read order + the key_xor membership
+    checksum; VERDICT r05 wrong #2 replaced the full-shard
+    collect_list audit with this scale-safe pair)."""
     import hashlib
 
     import pyarrow.parquet as pq_
@@ -371,25 +375,44 @@ def test_written_shards_match_query_order_md5(spark, tmp_path):
     pp.write_shards(shards, str(out), n_shards)
 
     expected = {
-        r["shard"]: (r["n_seqs"], r["order_md5"])
+        r["shard"]: (r["n_seqs"], r["head_md5"], r["key_xor"])
         for r in REGISTRY["q_shuffle_shards"].spark(spark, SF_SMALL).collect()
     }
+    head_n = textops._AUDIT_HEAD
     seen_shards = set()
     for d in sorted(out.glob("shard=*")):
         shard = int(d.name.split("=")[1])
         seen_shards.add(shard)
         tbl = pq_.read_table(str(d)).to_pylist()  # file order preserved
+        # (a) the file rows are fully sorted by (k, doc_id) — the
+        # trainer read order, recomputed from scratch
+        file_keys = [
+            (
+                hashlib.md5(
+                    f"{seed}{row['lang']}:{row['seq_id']}".encode()
+                ).hexdigest(),
+                row["doc_id"],
+            )
+            for row in tbl
+        ]
+        assert file_keys == sorted(file_keys), f"shard {shard} unsorted"
+        # (b) the bounded audit reproduces from the files
         stream = []
         for row in tbl:
             sid = f"{row['lang']}:{row['seq_id']}"
             if not stream or stream[-1] != sid:
                 stream.append(sid)
-        md5 = hashlib.md5("|".join(stream).encode()).hexdigest()
+        head = hashlib.md5("|".join(stream[:head_n]).encode()).hexdigest()
+        xor = 0
+        for sid in stream:
+            xor ^= int(
+                hashlib.md5(f"{seed}{sid}".encode()).hexdigest()[:12], 16
+            )
         assert shard in expected, (shard, expected)
-        assert expected[shard] == (len(stream), md5), (
+        assert expected[shard] == (len(stream), head, xor), (
             shard,
             expected[shard],
-            (len(stream), md5),
+            (len(stream), head, xor),
         )
     assert seen_shards == set(expected)
     release_caches(spark)
@@ -405,6 +428,9 @@ def test_q_shuffle_shards_no_single_partition_plan(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "SinglePartition" not in plan, plan
+    # the bounded head audit plans as a WindowGroupLimit (map-side
+    # top-K pre-prune), not a full-shard sort feeding a collect_list
+    assert "WindowGroupLimit" in plan, plan
     # every shard's sequences are disjoint and the totals close
     rows = df.collect()
     assert sum(r["n_seqs"] for r in rows) > 0
