@@ -3,7 +3,8 @@ quality gates (gopher + blocklist) → cross-document line-dedup with
 REMOVAL (cleaned text flows downstream) → [optional cross-doc
 duplicated-substring removal] → exact dedup → LSH near-dup clustering
 with a best-quality keeper → 13-gram decontamination → sequence
-packing → seeded global shuffle + sharded write — written as
+packing on TRAINED-BPE token counts (whitespace fallback via
+--pack-merges 0) → seeded global shuffle + sharded write — written as
 curated-docs, packed-sequences and trainer-ready shard parquet plus a
 JSON stats line per stage (including per-shard row balance).
 
@@ -181,7 +182,39 @@ def remove_dup_substrings(docs, n: int = 8):
     )
 
 
-def pack_sequences(docs, budget: int = 1024):
+def bpe_token_counts(spark, docs, merges: int = 16):
+    """(doc_id, n_tok): per-doc token counts under a BPE tokenizer
+    TRAINED ON THESE DOCS (VERDICT r05 missing #2 — the funnel used to
+    pack on whitespace counts while the trainer consumes BPE tokens;
+    mis-sized bins waste exactly the compute q_pack_efficiency
+    measures). Training is the registry's _bpe_train_docs loop
+    (integer-exact, per-round localCheckpoint, vocab-derived
+    parallelism); the merged vocab then BROADCASTs back onto the
+    corpus token stream and rolls up per doc — one explode + one
+    doc-keyed combining shuffle, the q_bpe_tokenize shape."""
+    from readembedability_spark.textops import _BPE_D, _bpe_train_docs
+
+    _, final_words = _bpe_train_docs(
+        spark, docs.select("doc_id", "text"), merges
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    n = (F.size(F.split("seq", _BPE_D)) - F.lit(2)).cast("long")
+    return (
+        dw.join(
+            F.broadcast(
+                final_words.select(F.col("word").alias("w"), "seq")
+            ),
+            "w",
+        )
+        .select("doc_id", n.alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("long").alias("n_tok"))
+    )
+
+
+def pack_sequences(docs, budget: int = 1024, token_counts=None):
     """Stage 6 — greedy streaming sequence packing, the exact
     q_pack_sequences shape: per-LANGUAGE stream in doc_id order,
     seq_id = floor(tokens-before / budget). The window partitions by
@@ -192,19 +225,28 @@ def pack_sequences(docs, budget: int = 1024):
     (running-sum semantics: the doc that crosses a bin boundary lands
     in the bin where its preceding tokens ended); an oversized doc
     spans bins rather than strictly getting one alone. seq_id is
-    unique per (lang, seq_id)."""
+    unique per (lang, seq_id).
+
+    token_counts: optional (doc_id, n_tok) table — the TRAINER's
+    tokenizer counts (bpe_token_counts) — joined in place of the
+    whitespace fallback so bins are sized by what the trainer sees.
+    Docs absent from token_counts (no tokens at all) drop out; every
+    gated doc has tokens, so the inner join is lossless here."""
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
-            "n_tok"
-        ),
-    )
+    if token_counts is None:
+        toks = docs.select(
+            "doc_id",
+            "lang",
+            F.size(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("n_tok"),
+        )
+    else:
+        toks = docs.select("doc_id", "lang").join(token_counts, "doc_id")
     return toks.withColumn(
         "seq_id",
         F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget).cast(
@@ -269,6 +311,12 @@ def main() -> None:
     )
     ap.add_argument("--n-shards", type=int, default=8)
     ap.add_argument("--shuffle-seed", default="r5seed")
+    ap.add_argument(
+        "--pack-merges", type=int, default=16,
+        help="BPE merge count for the packing tokenizer (bins are "
+        "sized by trained-BPE token counts); 0 falls back to "
+        "whitespace token counts",
+    )
     args = ap.parse_args()
 
     builder = SparkSession.builder.appName("pretrain-prep")
@@ -327,7 +375,13 @@ def main() -> None:
 
     final = _persist(final)
     final.repartition(4).write.mode("overwrite").parquet(str(out / "curated"))
-    packed = _persist(pack_sequences(final, args.seq_budget))
+    if args.pack_merges > 0:
+        counts = bpe_token_counts(spark, final, args.pack_merges)
+        packed = _persist(pack_sequences(final, args.seq_budget, counts))
+        stats["pack_tokenizer"] = f"bpe{args.pack_merges}"
+    else:
+        packed = _persist(pack_sequences(final, args.seq_budget))
+        stats["pack_tokenizer"] = "whitespace"
     packed.write.mode("overwrite").parquet(str(out / "packed"))
     stats["n_sequences"] = (
         packed.select("lang", "seq_id").distinct().count()

@@ -106,6 +106,56 @@ def test_crawl_graph_annotate_no_forced_broadcast(spark):
     release_caches(spark)
 
 
+# ---------------------------------------------------------------------------
+# VERDICT r05 #2 — pack on trained-BPE token counts
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_token_counts_match_registry_tokenizer(spark):
+    """The job's bpe_token_counts (train-on-these-docs + broadcast
+    apply) reproduces exactly the registry tokenizer's per-doc
+    n_bpe_tokens when run over the same documents table."""
+    pp = _job("pretrain_prep")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    got = {
+        r["doc_id"]: r["n_tok"]
+        for r in pp.bpe_token_counts(spark, docs, 16).collect()
+    }
+    want = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in REGISTRY["q_bpe_tokenize"].spark(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    release_caches(spark)
+
+
+def test_pack_sequences_bins_by_supplied_token_counts(spark):
+    """pack_sequences with a token_counts table sizes bins by THOSE
+    counts (recomputed in python), not whitespace counts."""
+    pp = _job("pretrain_prep")
+    docs = spark.createDataFrame(
+        [(i, "en", "w " * (i + 1)) for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    counts = spark.createDataFrame(
+        [(i, 40 * (i % 3 + 1)) for i in range(10)],
+        "doc_id long, n_tok long",
+    )
+    budget = 100
+    rows = sorted(
+        pp.pack_sequences(docs, budget, counts).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    running = 0
+    for r in rows:
+        assert r["n_tok"] == 40 * (r["doc_id"] % 3 + 1)  # BPE, not ws
+        assert r["seq_id"] == running // budget
+        running += r["n_tok"]
+    release_caches(spark)
+
+
 def test_crawl_graph_schedule_stage_composes(spark):
     """The job's schedule stage caps per-host slots, scores priority
     as authority x unseen, and gives rank-less hosts priority 0."""
