@@ -5442,6 +5442,46 @@ def q_pack_sequences_bpe(spark, sf_dir):
     )
 
 
+@q(
+    "q_bpe_vocab",
+    f"""
+    WITH {_BPE_BASE_SQL},
+    {_bpe_rounds_sql()},
+    syms AS (
+      SELECT word, freq, unnest(string_split(seq, chr(1))) AS tok
+      FROM w{_BPE_MERGES})
+    SELECT tok AS token,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM syms WHERE tok <> '' GROUP BY tok
+    """,
+)
+def q_bpe_vocab(spark, sf_dir):
+    """The trained tokenizer's VOCABULARY artifact — the file a
+    trainer actually ships beside the merge table: every final symbol
+    (single chars + merged subwords) with the number of distinct word
+    types containing it and its corpus occurrence count (word
+    frequency summed per occurrence, so a symbol appearing twice in
+    one word counts twice). Training is the shared integer-exact
+    _bpe_train loop; the rollup is one explode over the VOCAB table
+    (≪ corpus — this never touches the corpus again) + one
+    map-side-combining groupBy(token). Occurrence counts are what
+    sizes embedding tables and spots under-trained merges; the oracle
+    replays the same 16 unrolled rounds."""
+    _, final_words = _bpe_train(spark, sf_dir)
+    syms = final_words.select(
+        "word", "freq", F.explode(F.split("seq", _BPE_D)).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        syms.groupBy("tok")
+        .agg(
+            F.count_distinct("word").cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("n_occurrences"),
+        )
+        .select(F.col("tok").alias("token"), "n_words", "n_occurrences")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distributed quality-classifier TRAINING (VERDICT r03 #3)
 # ---------------------------------------------------------------------------
@@ -5958,6 +5998,93 @@ def q_badwords_filter(spark, sf_dir):
             "bad_frac"
         ),
         (F.sum(bad) == 0).alias("keep"),
+    )
+
+
+@q(
+    "q_filter_funnel",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+    tstats AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, AVG(length(w)) AS mean_wl,
+             SUM(CASE WHEN w IN ({_BADWORDS_SQL}) THEN 1 ELSE 0 END)
+               AS n_bad
+      FROM toks GROUP BY doc_id),
+    cstats AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / NULLIF(length(text), 0) AS sym_ratio
+      FROM documents),
+    staged AS (
+      SELECT t.doc_id, t.n_tokens,
+             CASE
+               WHEN t.n_tokens < 50 THEN '1_too_short'
+               WHEN t.mean_wl NOT BETWEEN 3 AND 10 THEN '2_word_length'
+               WHEN c.sym_ratio > 0.1 THEN '3_symbols'
+               WHEN t.n_bad > 0 THEN '4_badwords'
+               ELSE '5_kept'
+             END AS stage
+      FROM tstats t JOIN cstats c USING (doc_id)),
+    total AS (SELECT COUNT(*) AS n FROM staged)
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(COUNT(*) * 1.0 / MAX(total.n), 6) AS frac
+    FROM staged CROSS JOIN total GROUP BY stage
+    """,
+)
+def q_filter_funnel(spark, sf_dir):
+    """Curation-funnel attribution — the table a data team publishes
+    beside a corpus (RefinedWeb/Dolma style): every document is
+    attributed to the FIRST gate that drops it in the fixed rule order
+    too-short → gopher word-length band → symbol ratio → C4 badwords →
+    kept, with per-stage doc/token counts and corpus fraction. The
+    rules are the SAME expressions the standalone gate queries use
+    (q_gopher_rules, q_badwords_filter), so the funnel stays
+    consistent with them by construction. One explode + one doc-keyed
+    combining shuffle for token stats, a row-local char pass, a tiny
+    groupBy(stage) rollup, and a 1-row broadcast total for the
+    fraction — nothing in the plan exceeds per-doc state at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    bad = F.when(F.col("w").isin(*_BADWORDS), 1).otherwise(0)
+    tstats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.avg(F.length("w")).alias("mean_wl"),
+        F.sum(bad).alias("n_bad"),
+    )
+    cstats = docs.select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+            / F.nullif(F.length("text").cast("double"), F.lit(0.0))
+        ).alias("sym_ratio"),
+    )
+    staged = tstats.join(cstats, "doc_id").select(
+        "n_tokens",
+        F.when(F.col("n_tokens") < 50, "1_too_short")
+        .when(~F.col("mean_wl").between(3, 10), "2_word_length")
+        .when(F.col("sym_ratio") > 0.1, "3_symbols")
+        .when(F.col("n_bad") > 0, "4_badwords")
+        .otherwise("5_kept")
+        .alias("stage"),
+    )
+    total = staged.agg(F.count("*").alias("n"))
+    return (
+        staged.crossJoin(F.broadcast(total))
+        .groupBy("stage")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.count("*") * F.lit(1.0) / F.max("n"), 6).alias(
+                "frac"
+            ),
+        )
     )
 
 
