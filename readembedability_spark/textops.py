@@ -2568,6 +2568,248 @@ def q_ann_pq(spark, sf_dir):
     )
 
 
+_IVFPQ_NPROBE = 2
+_IVFPQ_SHORTLIST = 30
+
+
+@q(
+    "q_ann_ivf_pq",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_KM_K}),
+    {_km_rounds_sql()},
+    fcells AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, cp.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND({_KM_COS.format(a='e.v', b='cp.c')}, 6) DESC,
+                 cp.cid) AS rn
+        FROM e CROSS JOIN c{_KM_ROUNDS} cp) WHERE rn = 1),
+    qv AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 10),
+    qa AS (
+      SELECT qid, cell FROM (
+        SELECT qv.qid, cp.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY qv.qid ORDER BY
+                 ROUND({_KM_COS.format(a='qv.qe', b='cp.c')}, 6) DESC,
+                 cp.cid) AS rn
+        FROM qv CROSS JOIN c{_KM_ROUNDS} cp) WHERE rn <= {_IVFPQ_NPROBE}),
+    sub AS (
+      SELECT vec_id, s,
+             list_slice(v, s * {_PQ_SUBDIM} + 1,
+                        s * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS vs
+      FROM e CROSS JOIN generate_series(0, {_PQ_M - 1}) t(s)),
+    pq0 AS (SELECT s, vec_id AS code, vs AS c FROM sub
+            WHERE vec_id < {_PQ_K}),
+    pa1 AS (
+      SELECT vec_id, s, code, vs FROM (
+        SELECT sub.vec_id, sub.s, pq0.code, sub.vs,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                 ROUND({_PQ_L2_SQL.format(a='sub.vs', b='pq0.c')}, 6) ASC,
+                 pq0.code) AS rn
+        FROM sub JOIN pq0 ON pq0.s = sub.s) WHERE rn = 1),
+    pd1 AS (SELECT s, code, generate_subscripts(vs, 1) AS d, unnest(vs) AS x
+            FROM pa1),
+    pm1 AS (SELECT s, code, d, ROUND(AVG(x), 6) AS cx
+            FROM pd1 GROUP BY s, code, d),
+    pq1 AS (SELECT s, code, list(cx ORDER BY d) AS c
+            FROM pm1 GROUP BY s, code),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT sub.vec_id, sub.s, pq1.code,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                 ROUND({_PQ_L2_SQL.format(a='sub.vs', b='pq1.c')}, 6) ASC,
+                 pq1.code) AS rn
+        FROM sub JOIN pq1 ON pq1.s = sub.s) WHERE rn = 1),
+    cellcands AS (
+      SELECT qa.qid, f.vec_id AS cand
+      FROM qa JOIN fcells f ON f.cell = qa.cell
+      WHERE f.vec_id <> qa.qid),
+    ccodes AS (
+      SELECT cc.qid, codes.vec_id AS cand, codes.s, codes.code
+      FROM cellcands cc JOIN codes ON codes.vec_id = cc.cand),
+    qsub AS (SELECT vec_id AS qid, s, vs AS qs FROM sub
+             WHERE vec_id < 10),
+    lut AS (
+      SELECT qid, pq1.s, pq1.code, list_dot_product(qs, c) AS part
+      FROM qsub JOIN pq1 ON pq1.s = qsub.s),
+    scored AS (
+      SELECT cc.qid, cc.cand, SUM(lut.part) AS score
+      FROM ccodes cc
+      JOIN lut ON lut.qid = cc.qid AND lut.s = cc.s AND lut.code = cc.code
+      GROUP BY cc.qid, cc.cand),
+    short AS (
+      SELECT qid, cand FROM (
+        SELECT qid, cand,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(score, 6) DESC, cand) AS rn
+        FROM scored) WHERE rn <= {_IVFPQ_SHORTLIST}),
+    exact AS (
+      SELECT short.qid, short.cand AS cid,
+             list_dot_product(eq.v, ec.v)
+               / (sqrt(list_dot_product(eq.v, eq.v))
+                  * sqrt(list_dot_product(ec.v, ec.v))) AS sim
+      FROM short
+      JOIN e eq ON eq.vec_id = short.qid
+      JOIN e ec ON ec.vec_id = short.cand)
+    SELECT qid, cid, ROUND(sim, 4) AS sim FROM (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY ROUND(sim, 6) DESC, cid) AS rn
+      FROM exact) WHERE rn <= 3
+    """,
+)
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ — the composed production ANN index (the FAISS IVFPQ
+    shape, and the configuration a 100 TB similarity service actually
+    deploys): the TRAINED coarse quantizer (q_ann_ivf_kmeans' Lloyd
+    rounds — label-mean cells were measured at 0.30 top-3 containment
+    on this corpus vs ~0.9 for the trained cells, so the trained
+    quantizer is load-bearing) prunes the corpus to nprobe=2 probed
+    cells per query,
+    and WITHIN those cells candidates are scored by PQ asymmetric
+    distance (q_ann_pq's trained codebook + per-query LUT) — so the
+    heavy pass touches only probed-cell CODE rows (nprobe/k of the
+    corpus at 4 bytes/vector); the top-_IVFPQ_SHORTLIST ADC
+    shortlist is then exact-cosine re-ranked to top-3 on original
+    vectors fetched for shortlist rows only. Both components reuse
+    their standalone queries' exact deterministic recipes (per-
+    coordinate-rounded Lloyd round, ROUND(…,6) + id tie-breaks), so
+    the composition is bit-stable across engines. Every corpus-sized
+    step is an equi-join keyed by label, (s, code) or vec_id; the
+    codebook and per-query LUT broadcast."""
+    emb = _persist(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    # coarse quantizer: the q_ann_ivf_kmeans trained cells
+    cents = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(_KM_ROUNDS):
+        kassign = _km_assign(emb, cents, nprobe=1, keep_v=True)
+        cents = _km_update(kassign)
+    cents = _local_checkpoint(cents)
+    cells = _km_assign(emb, cents, nprobe=1).select("vec_id", "cell")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    qa = _km_assign(
+        qs.select(F.col("qid").alias("vec_id"), F.col("qv").alias("v")),
+        cents,
+        nprobe=_IVFPQ_NPROBE,
+    ).select(F.col("vec_id").alias("qid"), "cell")
+    # PQ codebook + codes (q_ann_pq recipe)
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("s"),
+                F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("vs"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    sub = _persist(
+        emb.select("vec_id", F.explode(sub_structs).alias("ss")).select(
+            "vec_id", "ss.s", "ss.vs"
+        )
+    )
+
+    def l2(a, b):
+        return (
+            _dot(F.col(a), F.col(a))
+            - 2 * _dot(F.col(a), F.col(b))
+            + _dot(F.col(b), F.col(b))
+        )
+
+    def pq_assign(codebook):
+        w = Window.partitionBy("vec_id", "s").orderBy(
+            F.asc(F.round(l2("vs", "c"), 6)), F.asc("code")
+        )
+        return (
+            sub.join(F.broadcast(codebook), "s")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "s", "code", "vs")
+        )
+
+    c0 = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "s", F.col("vec_id").alias("code"), F.col("vs").alias("c")
+    )
+    a1 = pq_assign(c0)
+    d1 = a1.select("s", "code", F.posexplode("vs")).withColumnsRenamed(
+        {"pos": "d", "col": "x"}
+    )
+    m1 = d1.groupBy("s", "code", "d").agg(
+        F.round(F.avg("x"), 6).alias("cx")
+    )
+    c1 = (
+        m1.groupBy("s", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cx"))),
+                lambda t: t["cx"],
+            ).alias("c")
+        )
+        .transform(_local_checkpoint)
+    )
+    codes = pq_assign(c1).select("vec_id", "s", "code")
+    # ADC restricted to probed cells
+    cellcands = (
+        qa.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cand"))
+    )
+    ccodes = cellcands.join(
+        codes.withColumnsRenamed({"vec_id": "cand"}), "cand"
+    )
+    qsub = sub.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "s", F.col("vs").alias("qs")
+    )
+    lut = qsub.join(F.broadcast(c1), "s").select(
+        "qid", "s", "code", _dot(F.col("qs"), F.col("c")).alias("part")
+    )
+    scored = (
+        ccodes.join(F.broadcast(lut), ["qid", "s", "code"])
+        .groupBy("qid", "cand")
+        .agg(F.sum("part").alias("score"))
+    )
+    w_adc = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("cand")
+    )
+    short = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _IVFPQ_SHORTLIST)
+        .select("qid", "cand")
+    )
+    eq = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv2"))
+    ec = emb.select(F.col("vec_id").alias("cand"), F.col("v").alias("cv"))
+    exact = (
+        short.join(F.broadcast(eq.filter(F.col("qid") < 10)), "qid")
+        .join(ec, "cand")
+        .select(
+            "qid",
+            F.col("cand").alias("cid"),
+            (
+                _dot(F.col("qv2"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("qv2"), F.col("qv2")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("sim"),
+        )
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("sim", 6)), F.asc("cid")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cid", F.round("sim", 4).alias("sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # ANN recall regression gate (VERDICT r04 #6)
 # ---------------------------------------------------------------------------
@@ -2580,6 +2822,7 @@ _ANN_RECALL_FLOORS = {
     "ann_bucketed": (5, 0.80),  # measured 0.94 at sf0.01
     "ann_ivf_kmeans": (3, 0.75),  # measured 0.90
     "ann_pq": (3, 0.65),  # measured 0.80
+    "ann_ivf_pq": (3, 0.60),  # measured 0.73
 }
 
 #: exact ground truth shared by the recall gate: brute-force cosine
@@ -2623,6 +2866,8 @@ def _ann_recall_method_sql(method: str) -> str:
       SELECT qid, cid FROM ({REGISTRY["q_ann_ivf_kmeans"].sql})),
     m_ann_pq AS (
       SELECT qid, cid FROM ({REGISTRY["q_ann_pq"].sql})),
+    m_ann_ivf_pq AS (
+      SELECT qid, cid FROM ({REGISTRY["q_ann_ivf_pq"].sql})),
     stats AS ({" UNION ALL ".join(
         _ann_recall_method_sql(m) for m in _ANN_RECALL_FLOORS
     )})
@@ -2637,10 +2882,10 @@ def q_ann_recall(spark, sf_dir):
     plus a boolean floor check — the q_approx_distinct
     tolerance-oracle pattern. The ground truth is the bounded-probe
     brute force (10 queries × corpus — linear; the all-pairs baseline
-    stays quarantined), computed once and shared by the three method
+    stays quarantined), computed once and shared by the four method
     comparisons. Each method runs its own production plan
     (q_ann_bucketed banded LSH, q_ann_ivf_kmeans trained coarse
-    quantizer, q_ann_pq ADC + re-rank), so a parameter tune that
+    quantizer, q_ann_pq ADC + re-rank, q_ann_ivf_pq composed index), so a parameter tune that
     silently degrades retrieval flips recall/passed and hash-fails
     the gate."""
     emb = _persist(

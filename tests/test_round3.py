@@ -244,6 +244,7 @@ _PINNING_QUERIES = [
     "q_curation_pipeline_lsh",
     "q_dedup_substring",
     "q_ann_pq",
+    "q_ann_ivf_pq",
     "q_hard_negatives",
     "q_bigram_lm_bits",
     "q_dedup_embedding_clusters",

@@ -107,6 +107,47 @@ def test_crawl_graph_annotate_no_forced_broadcast(spark):
 
 
 # ---------------------------------------------------------------------------
+# q_ann_ivf_pq — composed IVF-PQ index
+# ---------------------------------------------------------------------------
+
+
+def test_ann_ivf_pq_never_pairwise(spark):
+    """IVF-PQ touches vectors only through cell/subspace/codebook
+    equi-joins and broadcast codebook/LUT — never an all-pairs compare
+    of the vector table against itself. The only nested-loop joins are
+    the intentional k-means n x k centroid compares (q_ann_ivf_kmeans'
+    own shape): every one must broadcast its bounded build side."""
+    import re
+
+    df = REGISTRY["q_ann_ivf_pq"].spark(spark, "/root/testdata/sf0.01")
+    plan = _plan(df)
+    release_caches(spark)
+    assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+ )?(\w+)", plan):
+        assert "Build" in m.group(2), m.group(0)
+
+
+def test_ann_recall_gate_includes_ivf_pq(spark):
+    """The driver-checked recall gate now scores all four ANN methods,
+    and every one clears its floor at sf0.01."""
+    rows = {
+        r["method"]: (r["recall"], r["passed"])
+        for r in REGISTRY["q_ann_recall"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    release_caches(spark)
+    assert set(rows) == {
+        "ann_bucketed",
+        "ann_ivf_kmeans",
+        "ann_pq",
+        "ann_ivf_pq",
+    }
+    for method, (recall, passed) in rows.items():
+        assert passed, (method, recall)
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r05 #2 — pack on trained-BPE token counts
 # ---------------------------------------------------------------------------
 
