@@ -42,46 +42,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ROTATION (VERDICT r03 #4): each round, gate slots vacated by
 #: queries that already have driver-green CORRECTNESS rows from prior
 #: rounds are handed to entries that have only ever been
-#: judge-verified. Round 5 (VERDICT r04 #2/#5/#6) rotates IN the 15
-#: round-4 queries that never had a driver row (dedup_lines_global,
-#: badwords_filter, host_quota, decontaminate_bloom, bigram_pmi,
-#: inverted_index, paragraph_quality, dedup_clusters_best,
-#: model_pr_curve, dedup_lines_within_ml, doc_repetition_lines_ml,
-#: url_normalize, char_entropy, host_diversity, approx_quantiles)
-#: plus the 11 NEW round-5 ops (shuffle_shards, ann_recall,
-#: dedup_recall, extract_links, pagerank_links, crawl_frontier,
-#: anchor_text_index, mixture_temperature, pack_efficiency,
-#: contamination_report, split_holdout) — after this
-#: round every registry query has lifetime driver evidence and the
-#: rotation discipline can retire. Rotated OUT (all driver-green
-#: r01–r04, still parity-tested every round): metrics_rollup,
-#: dedup_exact, minhash_lsh, dedup_lsh_verified, dedup_incremental,
-#: dedup_clusters, simhash, simhash_pairs, ann_lsh, ann_bucketed,
-#: dedup_embedding_bucketed, dedup_embedding_clusters, ann_ivf,
-#: ann_ivf_kmeans, ann_pq, winnow_fingerprints, multimodal_meta,
-#: join_oembed_providers, dedup_editdistance, curation_pipeline,
-#: gopher_rules, doc_repetition, doc_repetition_ngrams, pii_scrub,
-#: sample_stratified, decontaminate.
+#: judge-verified. Round 6 (VERDICT r05 next #1): after r05, lifetime
+#: driver coverage is 114/115 — the one gap is q_bpe_train64 (landed
+#: after the r5 gate ran), now in slot 5, which completes lifetime
+#: coverage and retires the rotation discipline. Also IN: the 5 NEW
+#: round-6 ops (frontier_schedule, pack_sequences_bpe, bpe_vocab,
+#: filter_funnel, ann_ivf_pq), and two REDEFINED queries keep their
+#: slots so the driver re-verifies the new definitions
+#: (shuffle_shards — the bounded head_md5+key_xor audit replacing the
+#: full-shard collect_list, VERDICT r05 wrong #2; ann_recall — now
+#: scoring four ANN methods including ivf_pq). Rotated OUT (driver-
+#: green r05, unchanged, still parity-tested every round):
+#: dedup_lines_global, badwords_filter, host_quota,
+#: decontaminate_bloom, bigram_pmi, inverted_index.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_archetypes",
     "q_extract_blocks",
     "q_extract_table",
-    "q_dedup_lines_global",
-    "q_badwords_filter",
-    "q_host_quota",
-    "q_decontaminate_bloom",
-    "q_bigram_pmi",
-    "q_inverted_index",
-    "q_paragraph_quality",
-    "q_dedup_clusters_best",
-    "q_model_pr_curve",
-    "q_dedup_lines_within_ml",
-    "q_doc_repetition_lines_ml",
-    "q_url_normalize",
-    "q_char_entropy",
-    "q_host_diversity",
-    "q_approx_quantiles",
+    "q_bpe_train64",
+    "q_frontier_schedule",
+    "q_pack_sequences_bpe",
+    "q_bpe_vocab",
+    "q_filter_funnel",
+    "q_ann_ivf_pq",
     "q_shuffle_shards",
     "q_ann_recall",
     "q_dedup_recall",
@@ -93,6 +77,15 @@ _GATE_PRIORITY = [
     "q_split_holdout",
     "q_crawl_frontier",
     "q_anchor_text_index",
+    "q_paragraph_quality",
+    "q_dedup_clusters_best",
+    "q_model_pr_curve",
+    "q_dedup_lines_within_ml",
+    "q_doc_repetition_lines_ml",
+    "q_url_normalize",
+    "q_char_entropy",
+    "q_host_diversity",
+    "q_approx_quantiles",
     "q_curation_pipeline_lsh",
     "q_dedup_substring",
     "q_dedup_substring_removed",
