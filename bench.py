@@ -51,6 +51,7 @@ HEADLINE = [
     "q_ann_ivf",
     "q_ann_ivf_kmeans",
     "q_ann_pq",
+    "q_ann_ivf_pq",
     "q_dedup_embedding_bucketed",
     "q_dedup_embedding_clusters",
     "q_dedup_clusters",
@@ -75,6 +76,7 @@ HEADLINE = [
     "q_pagerank_links",
     "q_crawl_frontier",
     "q_anchor_text_index",
+    "q_frontier_schedule",
     "q_mixture_temperature",
     "q_split_holdout",
     "q_contamination_report",
@@ -111,6 +113,7 @@ HEADLINE = [
     "q_bigram_pmi",
     "q_inverted_index",
     "q_paragraph_quality",
+    "q_filter_funnel",
     "q_bigram_lm_bits",
     "q_vocab_coverage",
     "q_length_percentile",
@@ -122,9 +125,10 @@ HEADLINE = [
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4
 # they are not even in the driver registry (queries.BASELINE_REGISTRY,
 # parity-tested only); their scale siblings are timed above. q_bpe_train,
-# q_bpe_train64, q_model_score_trained and q_model_pr_curve are also
-# skipped: each re-runs the same training loop its timed sibling
-# (q_bpe_tokenize / q_model_train) already covers end-to-end.
+# q_bpe_train64, q_bpe_vocab, q_pack_sequences_bpe,
+# q_model_score_trained and q_model_pr_curve are also skipped: each
+# re-runs the same training loop its timed sibling (q_bpe_tokenize /
+# q_model_train) already covers end-to-end.
 
 
 def _probe_single() -> float:
