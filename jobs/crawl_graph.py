@@ -74,32 +74,39 @@ def host_edges(links):
     )
 
 
-def frontier(links, pages):
-    """Distinct outbound links not present as corpus urls, rolled up
-    per target host (the q_crawl_frontier plan: url-keyed anti-join,
-    no broadcast assumption on either side)."""
-    unseen = (
+def unseen_links(links, pages):
+    """Distinct outbound links not present as corpus urls — the ONE
+    definition of 'unseen' shared by the frontier rollup and the
+    schedule (the q_crawl_frontier plan: url-keyed anti-join, no
+    broadcast assumption on either side). main() persists this so the
+    anti-join shuffle runs once across both consumers."""
+    return (
         links.select("link").distinct()
         .join(pages.select("url"), F.col("link") == F.col("url"), "left_anti")
     )
+
+
+def frontier(links, pages, unseen=None):
+    """Per-target-host unseen counts over unseen_links (pass a
+    persisted `unseen` to share the anti-join with schedule())."""
+    if unseen is None:
+        unseen = unseen_links(links, pages)
     return unseen.groupBy(
         F.regexp_extract("link", HOST_RE, 1).alias("host")
     ).agg(F.count("*").alias("n_unseen"))
 
 
-def schedule(fr, ranks, links, pages, k: int = 3):
+def schedule(fr, ranks, unseen, k: int = 3):
     """Authority-prioritized, politeness-capped crawl schedule (the
     q_frontier_schedule composition, VERDICT r05 missing #3): each
     frontier host's priority = its authority x unseen count; within a
     host at most `k` urls are scheduled per round (ROW_NUMBER <= k —
     a WindowGroupLimit, so hot frontier hosts pre-prune map-side).
-    fr/ranks are host-cardinality tables equi-joined on host with no
-    forced broadcast (AQE decides); hosts with no authority score
-    schedule at priority 0 so newly-discovered hosts still crawl."""
-    unseen = (
-        links.select("link").distinct()
-        .join(pages.select("url"), F.col("link") == F.col("url"), "left_anti")
-    )
+    `unseen` is the shared unseen_links table (same rows fr counted —
+    one definition, one anti-join); fr/ranks are host-cardinality
+    tables equi-joined on host with no forced broadcast (AQE
+    decides); hosts with no authority score schedule at priority 0 so
+    newly-discovered hosts still crawl."""
     fh = unseen.select(
         F.regexp_extract("link", HOST_RE, 1).alias("host"), "link"
     )
@@ -178,7 +185,9 @@ def main() -> None:
     ranks = _pagerank(spark, edges).withColumnsRenamed(
         {"node": "host", "pr": "authority"}
     )
-    fr = frontier(links, pages)
+    # the anti-join feeds BOTH the frontier rollup and the schedule
+    unseen = _persist(unseen_links(links, pages))
+    fr = frontier(links, pages, unseen)
 
     out = Path(args.output)
     # ranks/fr each feed two consumers (their own write + the
@@ -190,7 +199,10 @@ def main() -> None:
     fr.write.mode("overwrite").parquet(str(out / "frontier"))
     annotated = annotate_pages(pages, ranks)
     annotated.write.mode("overwrite").parquet(str(out / "pages_authority"))
-    sched = schedule(fr, ranks, links, pages)
+    # persisted: the write and the stats count below each materialize
+    # the schedule — without this the anti-join + window + host joins
+    # would run twice
+    sched = _persist(schedule(fr, ranks, unseen))
     sched.write.mode("overwrite").parquet(str(out / "schedule"))
 
     stats["hosts_ranked"] = ranks.count()

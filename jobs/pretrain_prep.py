@@ -192,26 +192,15 @@ def bpe_token_counts(spark, docs, merges: int = 16):
     parallelism); the merged vocab then BROADCASTs back onto the
     corpus token stream and rolls up per doc — one explode + one
     doc-keyed combining shuffle, the q_bpe_tokenize shape."""
-    from readembedability_spark.textops import _BPE_D, _bpe_train_docs
+    from readembedability_spark.textops import (
+        _bpe_train_docs,
+        bpe_doc_token_counts,
+    )
 
     _, final_words = _bpe_train_docs(
         spark, docs.select("doc_id", "text"), merges
     )
-    dw = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
-    n = (F.size(F.split("seq", _BPE_D)) - F.lit(2)).cast("long")
-    return (
-        dw.join(
-            F.broadcast(
-                final_words.select(F.col("word").alias("w"), "seq")
-            ),
-            "w",
-        )
-        .select("doc_id", n.alias("n"))
-        .groupBy("doc_id")
-        .agg(F.sum("n").cast("long").alias("n_tok"))
-    )
+    return bpe_doc_token_counts(docs, final_words, out_col="n_tok")
 
 
 def pack_sequences(docs, budget: int = 1024, token_counts=None):

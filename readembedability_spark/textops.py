@@ -1527,15 +1527,7 @@ def _ann_ivf_kmeans_df(spark, sf_dir, nprobe: int):
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
     )
-    cents = emb.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
-    )
-    for _ in range(_KM_ROUNDS):
-        assign = _km_assign(emb, cents, nprobe=1, keep_v=True)
-        cents = _km_update(assign)
-    # freeze the trained quantizer: it anchors the final cell
-    # assignment AND the query probe (2 reuses of a k-row table)
-    cents = _local_checkpoint(cents)
+    cents = _km_train(emb)
     cells = _km_assign(emb, cents, nprobe=1).select(
         "vec_id", "cell"
     )
@@ -1644,6 +1636,19 @@ def _km_update(assign):
         )
         .select(F.col("cell").alias("cid"), "c")
     )
+
+
+def _km_train(emb):
+    """The trained k-means coarse quantizer (cid, c): seeds = the k
+    smallest vec_ids, _KM_ROUNDS Lloyd rounds, localCheckpoint'ed
+    (the table anchors cell assignment AND query probes). The ONE
+    training loop shared by q_ann_ivf_kmeans and q_ann_ivf_pq."""
+    cents = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(_KM_ROUNDS):
+        cents = _km_update(_km_assign(emb, cents, nprobe=1, keep_v=True))
+    return _local_checkpoint(cents)
 
 
 @q(
@@ -2381,6 +2386,79 @@ _PQ_L2_SQL = (
 )
 
 
+def _pq_l2(a: str, b: str):
+    """Squared L2 between two array columns via the dot identity."""
+    return (
+        _dot(F.col(a), F.col(a))
+        - 2 * _dot(F.col(a), F.col(b))
+        + _dot(F.col(b), F.col(b))
+    )
+
+
+def _pq_subspaces(emb):
+    """(vec_id, s, vs): persisted per-subspace slices of every vector
+    — the shared input of codebook training, encoding and query LUTs
+    (q_ann_pq and q_ann_ivf_pq)."""
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("s"),
+                F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("vs"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    return _persist(
+        emb.select("vec_id", F.explode(sub_structs).alias("ss")).select(
+            "vec_id", "ss.s", "ss.vs"
+        )
+    )
+
+
+def _pq_assign(sub, codebook):
+    """(vec_id, s, code, vs): per-subspace nearest codebook entry
+    (L2, ROUND(…,6) + code tie-break — the deterministic cross-engine
+    rule)."""
+    w = Window.partitionBy("vec_id", "s").orderBy(
+        F.asc(F.round(_pq_l2("vs", "c"), 6)), F.asc("code")
+    )
+    return (
+        sub.join(F.broadcast(codebook), "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code", "vs")
+    )
+
+
+def _pq_codebook(sub):
+    """The trained (s, code, c) PQ codebook: seeds = the k smallest
+    vec_ids' subvectors, ONE Lloyd round with per-coordinate
+    ROUND(…,6) so both engines hold bit-identical codebooks;
+    localCheckpoint'ed because it anchors encode AND the query LUT.
+    The ONE training recipe shared by q_ann_pq and q_ann_ivf_pq — a
+    tune here retrains both indexes and their oracles together."""
+    c0 = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "s", F.col("vec_id").alias("code"), F.col("vs").alias("c")
+    )
+    a1 = _pq_assign(sub, c0)
+    d1 = a1.select("s", "code", F.posexplode("vs")).withColumnsRenamed(
+        {"pos": "d", "col": "x"}
+    )
+    m1 = d1.groupBy("s", "code", "d").agg(
+        F.round(F.avg("x"), 6).alias("cx")
+    )
+    return (
+        m1.groupBy("s", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cx"))),
+                lambda t: t["cx"],
+            ).alias("c")
+        )
+        .transform(_local_checkpoint)
+    )
+
+
 @q(
     "q_ann_pq",
     f"""
@@ -2468,59 +2546,9 @@ def q_ann_pq(spark, sf_dir):
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
     )
-    sub_structs = F.array(
-        *[
-            F.struct(
-                F.lit(s).cast("long").alias("s"),
-                F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("vs"),
-            )
-            for s in range(_PQ_M)
-        ]
-    )
-    sub = _persist(
-        emb.select("vec_id", F.explode(sub_structs).alias("ss")).select(
-            "vec_id", "ss.s", "ss.vs"
-        )
-    )
-
-    def l2(a, b):
-        return (
-            _dot(F.col(a), F.col(a))
-            - 2 * _dot(F.col(a), F.col(b))
-            + _dot(F.col(b), F.col(b))
-        )
-
-    def assign(codebook):
-        """(vec_id, s, code, vs): per-subspace nearest codebook entry."""
-        w = Window.partitionBy("vec_id", "s").orderBy(
-            F.asc(F.round(l2("vs", "c"), 6)), F.asc("code")
-        )
-        return (
-            sub.join(F.broadcast(codebook), "s")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "s", "code", "vs")
-        )
-
-    c0 = sub.filter(F.col("vec_id") < _PQ_K).select(
-        "s", F.col("vec_id").alias("code"), F.col("vs").alias("c")
-    )
-    a1 = assign(c0)
-    d1 = a1.select("s", "code", F.posexplode("vs")).withColumnsRenamed(
-        {"pos": "d", "col": "x"}
-    )
-    m1 = d1.groupBy("s", "code", "d").agg(F.round(F.avg("x"), 6).alias("cx"))
-    c1 = (
-        m1.groupBy("s", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "cx"))),
-                lambda t: t["cx"],
-            ).alias("c")
-        )
-        .transform(_local_checkpoint)  # trained codebook: anchors encode + LUT
-    )
-    codes = assign(c1).select("vec_id", "s", "code")
+    sub = _pq_subspaces(emb)
+    c1 = _pq_codebook(sub)
+    codes = _pq_assign(sub, c1).select("vec_id", "s", "code")
     qsub = sub.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "s", F.col("vs").alias("qs")
     )
@@ -2683,14 +2711,8 @@ def q_ann_ivf_pq(spark, sf_dir):
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
     )
-    # coarse quantizer: the q_ann_ivf_kmeans trained cells
-    cents = emb.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
-    )
-    for _ in range(_KM_ROUNDS):
-        kassign = _km_assign(emb, cents, nprobe=1, keep_v=True)
-        cents = _km_update(kassign)
-    cents = _local_checkpoint(cents)
+    # coarse quantizer: the SAME trained cells as q_ann_ivf_kmeans
+    cents = _km_train(emb)
     cells = _km_assign(emb, cents, nprobe=1).select("vec_id", "cell")
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
@@ -2700,61 +2722,10 @@ def q_ann_ivf_pq(spark, sf_dir):
         cents,
         nprobe=_IVFPQ_NPROBE,
     ).select(F.col("vec_id").alias("qid"), "cell")
-    # PQ codebook + codes (q_ann_pq recipe)
-    sub_structs = F.array(
-        *[
-            F.struct(
-                F.lit(s).cast("long").alias("s"),
-                F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("vs"),
-            )
-            for s in range(_PQ_M)
-        ]
-    )
-    sub = _persist(
-        emb.select("vec_id", F.explode(sub_structs).alias("ss")).select(
-            "vec_id", "ss.s", "ss.vs"
-        )
-    )
-
-    def l2(a, b):
-        return (
-            _dot(F.col(a), F.col(a))
-            - 2 * _dot(F.col(a), F.col(b))
-            + _dot(F.col(b), F.col(b))
-        )
-
-    def pq_assign(codebook):
-        w = Window.partitionBy("vec_id", "s").orderBy(
-            F.asc(F.round(l2("vs", "c"), 6)), F.asc("code")
-        )
-        return (
-            sub.join(F.broadcast(codebook), "s")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "s", "code", "vs")
-        )
-
-    c0 = sub.filter(F.col("vec_id") < _PQ_K).select(
-        "s", F.col("vec_id").alias("code"), F.col("vs").alias("c")
-    )
-    a1 = pq_assign(c0)
-    d1 = a1.select("s", "code", F.posexplode("vs")).withColumnsRenamed(
-        {"pos": "d", "col": "x"}
-    )
-    m1 = d1.groupBy("s", "code", "d").agg(
-        F.round(F.avg("x"), 6).alias("cx")
-    )
-    c1 = (
-        m1.groupBy("s", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "cx"))),
-                lambda t: t["cx"],
-            ).alias("c")
-        )
-        .transform(_local_checkpoint)
-    )
-    codes = pq_assign(c1).select("vec_id", "s", "code")
+    # PQ codebook + codes: the SAME training recipe as q_ann_pq
+    sub = _pq_subspaces(emb)
+    c1 = _pq_codebook(sub)
+    codes = _pq_assign(sub, c1).select("vec_id", "s", "code")
     # ADC restricted to probed cells
     cellcands = (
         qa.join(cells, "cell")
@@ -4468,10 +4439,15 @@ def q_shuffle_shards(spark, sf_dir):
             "k"
         ),
     )
-    sharded = keyed.withColumn(
-        "shard",
-        F.conv(F.substring("k", 1, 6), 16, 10).cast("long")
-        % _SHUFFLE_SHARDS,
+    # sequence-cardinality (corpus/~4k rows) and consumed by BOTH the
+    # head audit and the totals rollup — persisted so the corpus scan
+    # + packing window run once, not per aggregation branch
+    sharded = _persist(
+        keyed.withColumn(
+            "shard",
+            F.conv(F.substring("k", 1, 6), 16, 10).cast("long")
+            % _SHUFFLE_SHARDS,
+        )
     )
     wk = Window.partitionBy("shard").orderBy("k", "sid")
     heads = (
@@ -5608,6 +5584,29 @@ def q_bpe_tokenize(spark, sf_dir):
     )
 
 
+def bpe_doc_token_counts(docs, final_words, out_col: str = "n_bpe"):
+    """(doc_id, out_col): per-doc token counts under a TRAINED BPE
+    vocab — the one definition of 'tokens the trainer sees', shared by
+    q_pack_sequences_bpe and jobs/pretrain_prep.bpe_token_counts so
+    the packing rule cannot drift between registry and job. One
+    explode + broadcast vocab join + doc-keyed combining shuffle."""
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    n = (F.size(F.split("seq", _BPE_D)) - F.lit(2)).cast("long")
+    return (
+        dw.join(
+            F.broadcast(
+                final_words.select(F.col("word").alias("w"), "seq")
+            ),
+            "w",
+        )
+        .select("doc_id", n.alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("long").alias(out_col))
+    )
+
+
 @q(
     "q_pack_sequences_bpe",
     f"""
@@ -5653,21 +5652,7 @@ def q_pack_sequences_bpe(spark, sf_dir):
     shard) so each window stays executor-sized."""
     _, final_words = _bpe_train(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
-    dw = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
-    n = (F.size(F.split("seq", _BPE_D)) - F.lit(2)).cast("long")
-    nb = (
-        dw.join(
-            F.broadcast(
-                final_words.select(F.col("word").alias("w"), "seq")
-            ),
-            "w",
-        )
-        .select("doc_id", n.alias("n"))
-        .groupBy("doc_id")
-        .agg(F.sum("n").cast("long").alias("n_bpe"))
-    )
+    nb = bpe_doc_token_counts(docs, final_words)
     toks = docs.select("doc_id", "lang").join(nb, "doc_id")
     w = (
         Window.partitionBy("lang")
@@ -6264,15 +6249,19 @@ def q_badwords_filter(spark, sf_dir):
                / NULLIF(length(text), 0) AS sym_ratio
       FROM documents),
     staged AS (
-      SELECT t.doc_id, t.n_tokens,
+      -- LEFT join from the per-document side: a zero-token doc has no
+      -- tstats row but must still be attributed (token count 0 →
+      -- stage 1) and counted in the denominator
+      SELECT c.doc_id, COALESCE(t.n_tokens, 0) AS n_tokens,
              CASE
-               WHEN t.n_tokens < 50 THEN '1_too_short'
+               WHEN COALESCE(t.n_tokens, 0) NOT BETWEEN 50 AND 100000
+                 THEN '1_token_count'
                WHEN t.mean_wl NOT BETWEEN 3 AND 10 THEN '2_word_length'
                WHEN c.sym_ratio > 0.1 THEN '3_symbols'
                WHEN t.n_bad > 0 THEN '4_badwords'
                ELSE '5_kept'
              END AS stage
-      FROM tstats t JOIN cstats c USING (doc_id)),
+      FROM cstats c LEFT JOIN tstats t USING (doc_id)),
     total AS (SELECT COUNT(*) AS n FROM staged)
     SELECT stage,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -6285,14 +6274,18 @@ def q_filter_funnel(spark, sf_dir):
     """Curation-funnel attribution — the table a data team publishes
     beside a corpus (RefinedWeb/Dolma style): every document is
     attributed to the FIRST gate that drops it in the fixed rule order
-    too-short → gopher word-length band → symbol ratio → C4 badwords →
-    kept, with per-stage doc/token counts and corpus fraction. The
-    rules are the SAME expressions the standalone gate queries use
-    (q_gopher_rules, q_badwords_filter), so the funnel stays
-    consistent with them by construction. One explode + one doc-keyed
-    combining shuffle for token stats, a row-local char pass, a tiny
-    groupBy(stage) rollup, and a 1-row broadcast total for the
-    fraction — nothing in the plan exceeds per-doc state at 100 TB."""
+    token-count band (gopher 50..100000, both bounds) → gopher
+    word-length band → symbol ratio → C4 badwords → kept, with
+    per-stage doc/token counts and corpus fraction. The rules are the
+    SAME expressions the standalone gate queries use (q_gopher_rules,
+    q_badwords_filter), so the funnel stays consistent with them by
+    construction; the stage table is driven from the per-DOCUMENT side
+    (left join onto token stats) so zero-token docs are attributed to
+    stage 1 instead of vanishing from the denominator. One explode +
+    one doc-keyed combining shuffle for token stats, a row-local char
+    pass, a tiny groupBy(stage) rollup, and a 1-row broadcast total
+    for the fraction — nothing in the plan exceeds per-doc state at
+    100 TB."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -6310,9 +6303,10 @@ def q_filter_funnel(spark, sf_dir):
             / F.nullif(F.length("text").cast("double"), F.lit(0.0))
         ).alias("sym_ratio"),
     )
-    staged = tstats.join(cstats, "doc_id").select(
-        "n_tokens",
-        F.when(F.col("n_tokens") < 50, "1_too_short")
+    n_tok = F.coalesce("n_tokens", F.lit(0))
+    staged = cstats.join(tstats, "doc_id", "left").select(
+        n_tok.alias("n_tokens"),
+        F.when(~n_tok.between(50, 100000), "1_token_count")
         .when(~F.col("mean_wl").between(3, 10), "2_word_length")
         .when(F.col("sym_ratio") > 0.1, "3_symbols")
         .when(F.col("n_bad") > 0, "4_badwords")
