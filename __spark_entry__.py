@@ -54,12 +54,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: scoring four ANN methods including ivf_pq). Rotated OUT (driver-
 #: green r05, unchanged, still parity-tested every round):
 #: dedup_lines_global, badwords_filter, host_quota,
-#: decontaminate_bloom, bigram_pmi, inverted_index.
+#: decontaminate_bloom, bigram_pmi, inverted_index, profile_documents.
+#: Slot 5 is the NEW fifth extraction archetype q_extract_meta (the
+#: A-9..A-14/A-18 metadata chain hash-checked through the real
+#: extractor).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_archetypes",
     "q_extract_blocks",
     "q_extract_table",
+    "q_extract_meta",
     "q_bpe_train64",
     "q_frontier_schedule",
     "q_pack_sequences_bpe",
@@ -105,7 +109,6 @@ _GATE_PRIORITY = [
     "q_hard_negatives",
     "q_dedup_lines_within",
     "q_host_stats",
-    "q_profile_documents",
 ]
 
 #: The quadratic all-pairs correctness baselines (q_dedup_jaccard,

@@ -114,6 +114,7 @@ HEADLINE = [
     "q_inverted_index",
     "q_paragraph_quality",
     "q_filter_funnel",
+    "q_extract_meta",
     "q_bigram_lm_bits",
     "q_vocab_coverage",
     "q_length_percentile",

@@ -1341,6 +1341,152 @@ def q_extract_table(spark, sf_dir):
 
 
 @q(
+    "q_extract_meta",
+    """
+    SELECT 'https://docs.example.com/m/2023/'
+             || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+             || '/d' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 3 = 0 THEN 'OG Doc ' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 3 = 1 THEN 'TW Doc ' || CAST(doc_id AS VARCHAR)
+                ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'Jane Doe, John Smith, Alice Wu' END AS authors,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST('2024-03-'
+                       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       || ' 12:30:00' AS TIMESTAMP)
+                ELSE CAST('2023-'
+                       || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                       || '-01 00:00:00' AS TIMESTAMP) END AS published_at,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'https://canonical.example.com/c/'
+                       || CAST(doc_id AS VARCHAR)
+                ELSE 'https://docs.example.com/m/2023/'
+                       || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                       || '/d' || CAST(doc_id AS VARCHAR) END AS canonical_url,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'https://img.example.com/i/'
+                       || CAST(doc_id AS VARCHAR) || '.jpg' END AS image,
+           'ok' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_meta(spark, sf_dir):
+    """Fifth oracle-checked extraction archetype — the METADATA chain
+    (A-9..A-14 + A-18 + the A-11 url-date fallback) driver-hash-checked
+    through the REAL extractor, not just goldens: per doc_id rule the
+    page carries an og:title (mod 3 = 0), a twitter:title (mod 3 = 1)
+    or only the <title> tag; a messy meta author list ('jane doe, John
+    Smith and ALICE WU' — exercises splitting on ','/' and ',
+    title-casing of all-lower/all-upper, order-preserving dedup); an
+    article:published_time with an id-derived day (mod 2 = 0) or NO
+    date meta at all so extraction falls through to the /YYYY/MM/ url
+    path (the confidence-precedence A-22 merge picks 0.9 meta over the
+    0.5 url candidate only where the meta exists); a rel=canonical
+    (mod 4 = 0) vs the input-url fallback; and an og:image (mod 5 =
+    0). The oracle replays every rule in pure SQL, so a regression in
+    any metadata extractor, the date parser's UTC normalization, or
+    the author normalizer hash-fails the driver gate."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    did = F.col("doc_id").cast("string")
+    month = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    # the id segment is prefixed 'd' so the /YYYY/MM/ url-date rule
+    # always resolves to day 1 — a bare 1-2 digit trailing id would
+    # itself parse as the day (and 32-99 would invalidate the date)
+    url = F.concat(
+        F.lit("https://docs.example.com/m/2023/"), month, F.lit("/d"), did
+    )
+    og_title = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('<meta property="og:title" content="OG Doc '),
+            did,
+            F.lit('">'),
+        ),
+    ).otherwise("")
+    tw_title = F.when(
+        F.col("doc_id") % 3 == 1,
+        F.concat(
+            F.lit('<meta name="twitter:title" content="TW Doc '),
+            did,
+            F.lit('">'),
+        ),
+    ).otherwise("")
+    author_meta = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit(
+            '<meta name="author" content="jane doe, John Smith and ALICE WU">'
+        ),
+    ).otherwise("")
+    pub_meta = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<meta property="article:published_time" content="2024-03-'),
+            day,
+            F.lit('T12:30:00Z">'),
+        ),
+    ).otherwise("")
+    canon = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="https://canonical.example.com/c/'),
+            did,
+            F.lit('">'),
+        ),
+    ).otherwise("")
+    img = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit('<meta property="og:image" content="https://img.example.com/i/'),
+            did,
+            F.lit('.jpg">'),
+        ),
+    ).otherwise("")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            did,
+            F.lit("</title>"),
+            og_title,
+            tw_title,
+            author_meta,
+            pub_meta,
+            canon,
+            img,
+            F.lit('</head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit("</p></div></body></html>"),
+        ),
+        "UTF-8",
+    )
+    from readembedability_spark.operators.salt import salt_repartition
+
+    pages = salt_repartition(
+        docs.select(
+            url.alias("url"),
+            F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+            html.alias("html"),
+            F.col("text"),
+            F.col("lang"),
+        ),
+        max(spark.sparkContext.defaultParallelism * 2, 16),
+    )
+    return extract_stage(pages).select(
+        "url",
+        "title",
+        F.array_join("authors", ", ").alias("authors"),
+        "published_at",
+        "canonical_url",
+        "image",
+        "status",
+    )
+
+
+@q(
     "q_metrics_rollup",
     """
     SELECT CASE WHEN doc_id % 13 = 0 THEN 'empty'
