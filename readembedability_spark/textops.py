@@ -6286,7 +6286,12 @@ def q_filter_funnel(spark, sf_dir):
     pass, a tiny groupBy(stage) rollup, and a 1-row broadcast total
     for the fraction — nothing in the plan exceeds per-doc state at
     100 TB."""
-    docs = _t(spark, sf_dir, "documents")
+    return filter_funnel_from(_t(spark, sf_dir, "documents"))
+
+
+def filter_funnel_from(docs):
+    """q_filter_funnel over any (doc_id, text) DataFrame — the entry
+    point jobs (corpus_report) use on their own corpus."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")

@@ -149,6 +149,53 @@ def test_ann_recall_gate_includes_ivf_pq(spark):
 
 
 # ---------------------------------------------------------------------------
+# corpus_report job — the datasheet composition
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_report_sections_compose(spark):
+    """Datasheet sections recompute: the funnel matches the registry
+    query over the same table, exact-dup rate counts a planted
+    duplicate, and the temperature mixture flattens shares toward
+    uniform while summing to 1."""
+    import math
+
+    cr = _job("corpus_report")
+    from readembedability_spark.textops import filter_funnel_from
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    reg = {
+        r["stage"]: (r["n_docs"], r["n_tokens"], r["frac"])
+        for r in REGISTRY["q_filter_funnel"].spark(spark, SF_SMALL).collect()
+    }
+    job = {
+        r["stage"]: (r["n_docs"], r["n_tokens"], r["frac"])
+        for r in filter_funnel_from(docs).collect()
+    }
+    assert reg == job
+    # planted exact duplicate
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1000000)
+    dd = cr.dedup_rates(spark, docs.union(dup)).collect()[0]
+    assert dd["n_exact_dups"] >= 1
+    assert dd["n_docs"] == docs.count() + 1
+    mix = cr.language_mixture(docs).collect()
+    shares = {r["lang"]: r["token_share"] for r in mix}
+    weights = {r["lang"]: r["train_weight"] for r in mix}
+    assert math.isclose(sum(weights.values()), 1.0, abs_tol=1e-4)
+    hi = max(shares, key=shares.get)
+    lo = min(shares, key=shares.get)
+    # sqrt temperature flattens: the biggest language loses share,
+    # the smallest gains
+    assert weights[hi] < shares[hi]
+    assert weights[lo] > shares[lo]
+    lens = cr.length_distribution(docs).collect()[0]
+    assert lens["min_tok"] <= lens["p50"] <= lens["max_tok"]
+    release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r05 #2 — pack on trained-BPE token counts
 # ---------------------------------------------------------------------------
 
