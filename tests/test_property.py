@@ -130,3 +130,34 @@ def test_capped_bucket_pairs_invariants(spark, buckets):
                     seen.add(y)
                     stack.append(y)
         assert set(ids) <= seen
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(max_size=80), max_size=6))
+def test_normalize_authors_total_and_idempotent(raws):
+    """A-10 normalizer is total on arbitrary strings, idempotent
+    (feeding its own output back changes nothing), order-preserving
+    under case-insensitive dedup, and bounded per name."""
+    from readembedability_spark.extractor.authors import normalize_authors
+
+    out = normalize_authors(raws)
+    assert normalize_authors(out) == out
+    keys = [n.lower() for n in out]
+    assert len(keys) == len(set(keys))
+    assert all(0 < len(n) <= 60 for n in out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=40))
+def test_parse_date_total_and_bounded(raw):
+    """A-11 parse_date never raises on arbitrary input, is
+    deterministic, and any accepted date sits inside the sanity year
+    window with no timezone attached (UTC-normalized naive)."""
+    from readembedability_spark.extractor.dates import parse_date
+
+    d1 = parse_date(raw)
+    d2 = parse_date(raw)
+    assert d1 == d2
+    if d1 is not None:
+        assert 1995 <= d1.year <= 2035
+        assert d1.tzinfo is None
