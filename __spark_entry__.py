@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rounds are handed to entries that have only ever been
 #: judge-verified. Round 6 (VERDICT r05 next #1): after r05, lifetime
 #: driver coverage is 114/115 — the one gap is q_bpe_train64 (landed
-#: after the r5 gate ran), now in slot 5, which completes lifetime
+#: after the r5 gate ran), now in slot 6, which completes lifetime
 #: coverage and retires the rotation discipline. Also IN: the 5 NEW
 #: round-6 ops (frontier_schedule, pack_sequences_bpe, bpe_vocab,
 #: filter_funnel, ann_ivf_pq), and two REDEFINED queries keep their

@@ -81,8 +81,10 @@ def dedup_rates(spark, docs):
 def language_mixture(docs, temperature: float = 2.0):
     """Per-language doc/token counts, raw share, and the
     temperature-scaled training weight (q_mixture_temperature's rule:
-    w_l ∝ share^(1/T); T=2 → sqrt, the one IEEE-correctly-rounded
-    power). The corpus never shuffles beyond one groupBy(lang)."""
+    w_l ∝ share^(1/T); the default T=2 uses sqrt — the one
+    IEEE-correctly-rounded power — and any other T the generic pow).
+    Shares/weights are 0.0 (not null) on a zero-token corpus. The
+    corpus never shuffles beyond one groupBy(lang)."""
     toks = docs.select(
         "lang",
         F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
@@ -96,12 +98,18 @@ def language_mixture(docs, temperature: float = 2.0):
     totals = per_lang.agg(
         F.sum("n_docs").alias("td"), F.sum("n_tokens").alias("tt")
     )
+    share = F.col("n_tokens") / F.nullif(F.col("tt"), F.lit(0))
+    w_raw = (
+        F.sqrt(share)
+        if temperature == 2.0
+        else F.pow(share, F.lit(1.0 / temperature))
+    )
     scaled = per_lang.crossJoin(F.broadcast(totals)).select(
         "lang",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") / F.col("tt"), 6).alias("token_share"),
-        F.sqrt(F.col("n_tokens") / F.col("tt")).alias("w_raw"),
+        F.coalesce(F.round(share, 6), F.lit(0.0)).alias("token_share"),
+        F.coalesce(w_raw, F.lit(0.0)).alias("w_raw"),
     )
     wt = scaled.agg(F.sum("w_raw").alias("wsum"))
     return scaled.crossJoin(F.broadcast(wt)).select(
@@ -109,7 +117,10 @@ def language_mixture(docs, temperature: float = 2.0):
         "n_docs",
         "n_tokens",
         "token_share",
-        F.round(F.col("w_raw") / F.col("wsum"), 6).alias("train_weight"),
+        F.coalesce(
+            F.round(F.col("w_raw") / F.nullif(F.col("wsum"), F.lit(0.0)), 6),
+            F.lit(0.0),
+        ).alias("train_weight"),
     )
 
 
@@ -158,13 +169,16 @@ def main() -> None:
     )
     out = Path(args.output)
 
-    funnel = filter_funnel_from(docs)
+    # each tiny section DF is persisted: the parquet write AND the
+    # summary collect below would otherwise re-run the section's full
+    # corpus-sized lineage
+    funnel = _persist(filter_funnel_from(docs))
     funnel.write.mode("overwrite").parquet(str(out / "funnel"))
-    dd = dedup_rates(spark, docs)
+    dd = _persist(dedup_rates(spark, docs))
     dd.write.mode("overwrite").parquet(str(out / "dedup"))
-    mix = language_mixture(docs)
+    mix = _persist(language_mixture(docs))
     mix.write.mode("overwrite").parquet(str(out / "mixture"))
-    lens = length_distribution(docs)
+    lens = _persist(length_distribution(docs))
     lens.write.mode("overwrite").parquet(str(out / "lengths"))
 
     summary = {

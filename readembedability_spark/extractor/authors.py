@@ -34,8 +34,12 @@ def normalize_authors(raw_values: list[str]) -> list[str]:
     out: list[str] = []
     seen: set[str] = set()
     for raw in raw_values:
-        raw = _BY_PREFIX_RE.sub("", raw)
         for part in _SPLIT_RE.split(raw):
+            # strip the By-prefix PER PART (not only on the pre-split
+            # value): 'Jane, by John' must yield John, not 'by John' —
+            # per-part stripping also makes the normalizer idempotent
+            # (property-tested)
+            part = _BY_PREFIX_RE.sub("", part)
             name = " ".join(part.split()).strip(" .|-–—")
             if not name or len(name) > _MAX_AUTHOR_LEN:
                 continue

@@ -1184,12 +1184,19 @@ def q_sessionize(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _archetype_pages(spark, docs, url_prefix: str, html_col):
-    """pages-shaped DF from documents with a synthesized html column."""
+def _archetype_pages(spark, docs, url_prefix, html_col, url_col=None):
+    """pages-shaped DF from documents with a synthesized html column;
+    pass ``url_col`` for archetypes whose url is not prefix+doc_id
+    (q_extract_meta embeds a per-doc /YYYY/MM/ date path)."""
     from readembedability_spark.operators.salt import salt_repartition
 
+    url = (
+        url_col
+        if url_col is not None
+        else F.concat(F.lit(url_prefix), F.col("doc_id").cast("string"))
+    )
     pages = docs.select(
-        F.concat(F.lit(url_prefix), F.col("doc_id").cast("string")).alias("url"),
+        url.alias("url"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
         html_col.alias("html"),
         F.col("text"),
@@ -1463,18 +1470,7 @@ def q_extract_meta(spark, sf_dir):
         ),
         "UTF-8",
     )
-    from readembedability_spark.operators.salt import salt_repartition
-
-    pages = salt_repartition(
-        docs.select(
-            url.alias("url"),
-            F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
-            html.alias("html"),
-            F.col("text"),
-            F.col("lang"),
-        ),
-        max(spark.sparkContext.defaultParallelism * 2, 16),
-    )
+    pages = _archetype_pages(spark, docs, None, html, url_col=url)
     return extract_stage(pages).select(
         "url",
         "title",
