@@ -55,15 +55,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #: green r05, unchanged, still parity-tested every round):
 #: dedup_lines_global, badwords_filter, host_quota,
 #: decontaminate_bloom, bigram_pmi, inverted_index, profile_documents.
-#: Slot 5 is the NEW fifth extraction archetype q_extract_meta (the
-#: A-9..A-14/A-18 metadata chain hash-checked through the real
-#: extractor).
+#: Slots 5-6 are the NEW extraction archetypes q_extract_meta (the
+#: A-9..A-14/A-18 metadata chain) and q_extract_jsonld (the A-15
+#: JSON-LD chain), both hash-checked through the real extractor;
+#: q_sample_quality (new) also holds a slot. To stay at 50,
+#: dedup_lines_within and host_stats (driver-green lifetime,
+#: unchanged) also rotate out.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_archetypes",
     "q_extract_blocks",
     "q_extract_table",
     "q_extract_meta",
+    "q_extract_jsonld",
     "q_bpe_train64",
     "q_frontier_schedule",
     "q_pack_sequences_bpe",
@@ -79,6 +83,7 @@ _GATE_PRIORITY = [
     "q_pack_efficiency",
     "q_contamination_report",
     "q_split_holdout",
+    "q_sample_quality",
     "q_crawl_frontier",
     "q_anchor_text_index",
     "q_paragraph_quality",
@@ -107,8 +112,6 @@ _GATE_PRIORITY = [
     "q_unigram_logloss",
     "q_bigram_lm_bits",
     "q_hard_negatives",
-    "q_dedup_lines_within",
-    "q_host_stats",
 ]
 
 #: The quadratic all-pairs correctness baselines (q_dedup_jaccard,

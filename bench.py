@@ -67,6 +67,7 @@ HEADLINE = [
     "q_dedup_substring_removed",
     "q_pii_scrub",
     "q_sample_stratified",
+    "q_sample_quality",
     "q_pack_sequences",
     "q_shuffle_shards",
     "q_pack_efficiency",
@@ -115,6 +116,7 @@ HEADLINE = [
     "q_paragraph_quality",
     "q_filter_funnel",
     "q_extract_meta",
+    "q_extract_jsonld",
     "q_bigram_lm_bits",
     "q_vocab_coverage",
     "q_length_percentile",

@@ -1483,6 +1483,85 @@ def q_extract_meta(spark, sf_dir):
 
 
 @q(
+    "q_extract_jsonld",
+    """
+    SELECT 'https://docs.example.com/j/' || CAST(doc_id AS VARCHAR) AS url,
+           'LD Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'Ld Author One, Ld Author Two' END AS authors,
+           CAST('2022-05-'
+                  || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                  || ' 06:00:00' AS TIMESTAMP) AS published_at,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'https://img.example.com/ld/'
+                       || CAST(doc_id AS VARCHAR) || '.png' END AS image,
+           'ok' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_jsonld(spark, sf_dir):
+    """Sixth oracle-checked extraction archetype — the JSON-LD chain
+    (A-15) driver-hash-checked through the REAL extractor: every page
+    carries a schema.org NewsArticle block whose headline must beat
+    the <title> tag in the A-22 confidence merge (0.8 > 0.6), whose
+    datePublished carries a +02:00 offset the date parser must
+    UTC-normalize, and whose author (present for even ids) mixes an
+    object form {"name": ...} with a bare all-lowercase string — so
+    the oracle locks JSON-LD node-type matching, mixed author-shape
+    flattening, the author normalizer's title-casing, timezone
+    normalization, and the JSON-LD image-url object form (ids % 3 =
+    0). A regression anywhere in the tolerant-JSON parse or the
+    Article-type filter hash-fails the gate."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    did = F.col("doc_id").cast("string")
+    day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    author = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit(',"author":[{"name":"Ld Author One"},"ld author two"]'),
+    ).otherwise("")
+    image = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(',"image":{"url":"https://img.example.com/ld/'),
+            did,
+            F.lit('.png"}'),
+        ),
+    ).otherwise("")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            did,
+            F.lit(
+                '</title><script type="application/ld+json">'
+                '{"@type":"NewsArticle","headline":"LD Doc '
+            ),
+            did,
+            F.lit('","datePublished":"2022-05-'),
+            day,
+            F.lit('T08:00:00+02:00"'),
+            author,
+            image,
+            F.lit('}</script></head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit("</p></div></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/j/", html)
+    return extract_stage(pages).select(
+        "url",
+        "title",
+        F.array_join("authors", ", ").alias("authors"),
+        "published_at",
+        "image",
+        "status",
+    )
+
+
+@q(
     "q_metrics_rollup",
     """
     SELECT CASE WHEN doc_id % 13 = 0 THEN 'empty'

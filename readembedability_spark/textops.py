@@ -4212,6 +4212,64 @@ def q_sample_stratified(spark, sf_dir):
     return docs.filter(u < th).select("doc_id", "lang")
 
 
+@q(
+    "q_sample_quality",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             ROUND(LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+                   + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                     / NULLIF(length(text), 0) * 0.5, 4) AS quality,
+             CAST('0x' || substr(md5('qs' || CAST(doc_id AS VARCHAR)),
+                                 1, 6) AS BIGINT) / 16777216.0 AS u
+      FROM documents)
+    SELECT doc_id, lang, quality FROM scored WHERE u < quality
+    """,
+)
+def q_sample_quality(spark, sf_dir):
+    """Quality-weighted importance sampling (the DSIR-style keep rule:
+    P(keep) = quality score): a document survives iff a seeded uniform
+    hash u = md5('qs' ‖ doc_id)[:6]/16^6 falls below its q_quality_score
+    blend — so high-quality docs are kept near-always and boilerplate
+    is downsampled proportionally, with NO RNG state: the sample is
+    bit-reproducible across engines, runs and cluster sizes, and
+    membership is stable under corpus growth (a doc's fate depends
+    only on its own id + text). Row-local map → the filter pushes into
+    the scan, zero shuffle at any corpus size. The quality expression
+    is the SAME blend q_quality_score publishes (rounded 4dp before
+    the compare, so both engines threshold identical doubles)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.nullif(
+        F.length("text").cast("double"), F.lit(0.0)
+    )
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / 100.0) * 0.5 + alpha * 0.5, 4
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(F.lit("qs"), F.col("doc_id").cast("string")),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777216.0)
+    )
+    return (
+        docs.select("doc_id", "lang", quality.alias("quality"), u.alias("u"))
+        .filter(F.col("u") < F.col("quality"))
+        .select("doc_id", "lang", "quality")
+    )
+
+
 #: holdout split boundaries over md5(doc_id) hex-prefix mod 100:
 #: [0,90) train / [90,95) val / [95,100) test.
 _SPLIT_TRAIN_PCT = 90
