@@ -117,6 +117,7 @@ HEADLINE = [
     "q_filter_funnel",
     "q_extract_meta",
     "q_extract_jsonld",
+    "q_extract_embed",
     "q_bigram_lm_bits",
     "q_vocab_coverage",
     "q_length_percentile",

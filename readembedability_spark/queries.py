@@ -1562,6 +1562,73 @@ def q_extract_jsonld(spark, sf_dir):
 
 
 @q(
+    "q_extract_embed",
+    """
+    SELECT 'https://docs.example.com/e/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(doc_id % 4 < 3 AS BOOLEAN) AS embed,
+           'ok' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_embed(spark, sf_dir):
+    """Seventh oracle-checked extraction archetype — embed detection
+    (A-16/A-17) through the REAL extractor: per doc_id rule the page
+    carries an oEmbed DISCOVERY link (mod 4 = 0 — the no-network A-16a
+    path), an og:type video marker (mod 4 = 1), a dominant player
+    iframe (mod 4 = 2 — video-host src marker + >=400x240 declared
+    size, collected from the RAW dom before cleanup strips iframes),
+    or nothing (mod 4 = 3 → embed=false). The oracle states the
+    boolean per rule, so a regression in discovery-link matching,
+    og:type classification or the iframe heuristic hash-fails the
+    driver gate."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    did = F.col("doc_id").cast("string")
+    discovery = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit(
+                '<link rel="alternate" type="application/json+oembed"'
+                ' href="https://docs.example.com/oembed?url='
+            ),
+            did,
+            F.lit('">'),
+        ),
+    ).otherwise("")
+    og_video = F.when(
+        F.col("doc_id") % 4 == 1,
+        F.lit('<meta property="og:type" content="video.other">'),
+    ).otherwise("")
+    iframe = F.when(
+        F.col("doc_id") % 4 == 2,
+        F.concat(
+            F.lit('<iframe src="https://www.youtube.com/embed/v'),
+            did,
+            F.lit('" width="560" height="315"></iframe>'),
+        ),
+    ).otherwise("")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            did,
+            F.lit("</title>"),
+            discovery,
+            og_video,
+            F.lit('</head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit("</p></div>"),
+            iframe,
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/e/", html)
+    return extract_stage(pages).select("url", "embed", "status")
+
+
+@q(
     "q_metrics_rollup",
     """
     SELECT CASE WHEN doc_id % 13 = 0 THEN 'empty'
