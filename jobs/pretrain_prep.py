@@ -301,6 +301,12 @@ def main() -> None:
     ap.add_argument("--n-shards", type=int, default=8)
     ap.add_argument("--shuffle-seed", default="r5seed")
     ap.add_argument(
+        "--resume", action="store_true",
+        help="skip the curation funnel if <output>/curated/_SUCCESS "
+        "exists (committed by a prior run) and recompute only the "
+        "packing/shuffle/shard stages from it",
+    )
+    ap.add_argument(
         "--pack-merges", type=int, default=16,
         help="BPE merge count for the packing tokenizer (bins are "
         "sized by trained-BPE token counts); 0 falls back to "
@@ -318,52 +324,65 @@ def main() -> None:
     from readembedability_spark.queries import release_caches
 
     t0 = time.time()
+    out = Path(args.output)
     docs = spark.read.parquet(args.input).select("doc_id", "text", "lang")
     stats = {"input": docs.count()}
-
-    gated = gate(docs, args.min_tokens, DEFAULT_BADWORDS)
-    stats["after_gates"] = gated.count()
-
-    cleaned = dedup_lines_global(spark, gated)
-    stats["after_line_dedup"] = cleaned.count()
-
-    if args.dup_substrings:
-        cleaned = remove_dup_substrings(cleaned)
-        stats["after_substring_removal"] = cleaned.count()
-
-    exact = (
-        cleaned.withColumn("h", F.md5(F.encode("text", "UTF-8")))
-        .withColumn(
-            "keep",
-            F.row_number().over(
-                Window.partitionBy("h").orderBy("doc_id")
-            ),
-        )
-        .filter(F.col("keep") == 1)
-        .drop("h", "keep")
-    )
-    stats["after_exact_dedup"] = exact.count()
-
-    kept = near_dup_keep_best(spark, exact)
-    stats["after_near_dup"] = kept.count()
-
-    eval_docs = docs.filter(F.col("doc_id") % args.eval_mod == 0).select(
-        "doc_id", "text"
-    )
-    final = decontaminate(
-        kept.filter(F.col("doc_id") % args.eval_mod != 0), eval_docs
-    )
-    stats["after_decontamination"] = final.count()
-
-    out = Path(args.output)
-    # final/packed anchor MULTIPLE downstream actions (curated write,
-    # packed write, sequence count, shard write, balance rollup) —
-    # without the persists each action re-runs the whole funnel
-    # (gates → line dedup → LSH clustering → CC → decontamination)
     from readembedability_spark.queries import _persist
 
-    final = _persist(final)
-    final.repartition(4).write.mode("overwrite").parquet(str(out / "curated"))
+    curated_done = (out / "curated" / "_SUCCESS").exists()
+    if args.resume and curated_done:
+        # checkpoint-based resume (the north-rule discipline at job
+        # level, matching the extract pipeline's bucket resume): the
+        # curated table is the expensive funnel's committed output
+        # (_SUCCESS = the write finished) — re-enter AFTER it and
+        # recompute only the cheap trainer-facing stages
+        final = _persist(spark.read.parquet(str(out / "curated")))
+        stats["resumed_from"] = "curated"
+        stats["after_decontamination"] = final.count()
+    else:
+        gated = gate(docs, args.min_tokens, DEFAULT_BADWORDS)
+        stats["after_gates"] = gated.count()
+
+        cleaned = dedup_lines_global(spark, gated)
+        stats["after_line_dedup"] = cleaned.count()
+
+        if args.dup_substrings:
+            cleaned = remove_dup_substrings(cleaned)
+            stats["after_substring_removal"] = cleaned.count()
+
+        exact = (
+            cleaned.withColumn("h", F.md5(F.encode("text", "UTF-8")))
+            .withColumn(
+                "keep",
+                F.row_number().over(
+                    Window.partitionBy("h").orderBy("doc_id")
+                ),
+            )
+            .filter(F.col("keep") == 1)
+            .drop("h", "keep")
+        )
+        stats["after_exact_dedup"] = exact.count()
+
+        kept = near_dup_keep_best(spark, exact)
+        stats["after_near_dup"] = kept.count()
+
+        eval_docs = docs.filter(
+            F.col("doc_id") % args.eval_mod == 0
+        ).select("doc_id", "text")
+        final = decontaminate(
+            kept.filter(F.col("doc_id") % args.eval_mod != 0), eval_docs
+        )
+        stats["after_decontamination"] = final.count()
+
+        # final/packed anchor MULTIPLE downstream actions (curated
+        # write, packed write, sequence count, shard write, balance
+        # rollup) — without the persists each action re-runs the whole
+        # funnel (gates → line dedup → LSH clustering → CC →
+        # decontamination)
+        final = _persist(final)
+        final.repartition(4).write.mode("overwrite").parquet(
+            str(out / "curated")
+        )
     if args.pack_merges > 0:
         counts = bpe_token_counts(spark, final, args.pack_merges)
         packed = _persist(pack_sequences(final, args.seq_budget, counts))

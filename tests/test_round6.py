@@ -149,6 +149,63 @@ def test_ann_recall_gate_includes_ivf_pq(spark):
 
 
 # ---------------------------------------------------------------------------
+# pretrain_prep --resume: funnel checkpoint re-entry
+# ---------------------------------------------------------------------------
+
+
+def test_pretrain_prep_resume_skips_funnel_same_shards(tmp_path):
+    """A resumed run re-enters from the committed curated table (no
+    funnel recompute — stats prove it) and writes byte-identical shard
+    order."""
+    import hashlib
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = tmp_path / "prep"
+    cmd = [
+        sys.executable,
+        str(repo / "jobs" / "pretrain_prep.py"),
+        "--input",
+        f"{SF_SMALL}/documents.parquet",
+        "--output",
+        str(out),
+        "--master",
+        "local[4]",
+        "--pack-merges",
+        "0",  # whitespace packing keeps the smoke fast
+    ]
+
+    def shard_digest():
+        h = hashlib.md5()
+        import pyarrow.parquet as pq_
+
+        for d in sorted(out.glob("shards/shard=*")):
+            for row in pq_.read_table(str(d)).to_pylist():
+                h.update(
+                    f"{d.name}|{row['lang']}:{row['seq_id']}:{row['doc_id']}".encode()
+                )
+        return h.hexdigest()
+
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=400)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    d1 = shard_digest()
+    r2 = subprocess.run(
+        cmd + ["--resume"], capture_output=True, text=True, timeout=400
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2.get("resumed_from") == "curated"
+    assert "after_gates" not in s2  # the funnel genuinely did not run
+    assert s2["after_decontamination"] == s1["after_decontamination"]
+    assert s2["shard_rows"] == s1["shard_rows"]
+    assert shard_digest() == d1
+
+
+# ---------------------------------------------------------------------------
 # corpus_report job — the datasheet composition
 # ---------------------------------------------------------------------------
 
