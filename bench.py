@@ -118,6 +118,7 @@ HEADLINE = [
     "q_extract_meta",
     "q_extract_jsonld",
     "q_extract_embed",
+    "q_extract_keywords",
     "q_bigram_lm_bits",
     "q_vocab_coverage",
     "q_length_percentile",

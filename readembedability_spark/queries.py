@@ -1629,6 +1629,64 @@ def q_extract_embed(spark, sf_dir):
 
 
 @q(
+    "q_extract_keywords",
+    """
+    SELECT 'https://docs.example.com/k/' || CAST(doc_id AS VARCHAR) AS url,
+           'alpha ' || CAST(doc_id AS VARCHAR) || ', beta two, gamma'
+             AS keywords,
+           'Deterministic description for document '
+             || CAST(doc_id AS VARCHAR)
+             || ' long enough to clear the forty character floor.'
+             AS summary,
+           'ok' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_keywords(spark, sf_dir):
+    """Eighth oracle-checked extraction archetype — the A-19/A-20 meta
+    branches through the REAL extractor: a messy meta keywords list
+    ('Alpha N, beta two; GAMMA, alpha N' — exercises [,;] splitting,
+    lowercasing, whitespace normalization and order-preserving dedup)
+    and a meta description long enough to clear the 40-char floor
+    (summary = description verbatim; shorter descriptions would fall
+    through to the sentence splitter). The oracle states the cleaned
+    keyword stream and the description per doc, so a regression in
+    keyword cleaning or the summary precedence rule hash-fails the
+    gate. (The text-mining keyword branch stays golden-locked — its
+    Zipf-count tie-breaks aren't reasonably SQL-expressible.)"""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    did = F.col("doc_id").cast("string")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            did,
+            F.lit('</title><meta name="keywords" content="Alpha '),
+            did,
+            F.lit(", beta  two; GAMMA, alpha "),
+            did,
+            F.lit('"><meta name="description" content='
+                  '"Deterministic description for document '),
+            did,
+            F.lit(' long enough to clear the forty character floor.">'
+                  '</head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit("</p></div></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/k/", html)
+    return extract_stage(pages).select(
+        "url",
+        F.array_join("keywords", ", ").alias("keywords"),
+        "summary",
+        "status",
+    )
+
+
+@q(
     "q_metrics_rollup",
     """
     SELECT CASE WHEN doc_id % 13 = 0 THEN 'empty'
