@@ -303,8 +303,9 @@ def main() -> None:
     ap.add_argument(
         "--resume", action="store_true",
         help="skip the curation funnel if <output>/curated/_SUCCESS "
-        "exists (committed by a prior run) and recompute only the "
-        "packing/shuffle/shard stages from it",
+        "exists AND the committed curated_meta.json fingerprint "
+        "matches the current input/funnel flags; recompute only the "
+        "packing/shuffle/shard stages from the checkpoint",
     )
     ap.add_argument(
         "--pack-merges", type=int, default=16,
@@ -325,21 +326,44 @@ def main() -> None:
 
     t0 = time.time()
     out = Path(args.output)
-    docs = spark.read.parquet(args.input).select("doc_id", "text", "lang")
-    stats = {"input": docs.count()}
+    stats = {}
     from readembedability_spark.queries import _persist
 
+    # fingerprint of everything that shaped the curated table: a
+    # resume is only valid when the committed checkpoint was produced
+    # by the SAME input and funnel parameters — otherwise trusting
+    # _SUCCESS alone would silently reuse a stale table (e.g. a
+    # re-run that added --dup-substrings would skip substring removal)
+    funnel_params = {
+        "input": args.input,
+        "min_tokens": args.min_tokens,
+        "eval_mod": args.eval_mod,
+        "dup_substrings": bool(args.dup_substrings),
+    }
+    meta_path = out / "curated_meta.json"
     curated_done = (out / "curated" / "_SUCCESS").exists()
-    if args.resume and curated_done:
+    meta_matches = (
+        meta_path.exists()
+        and json.loads(meta_path.read_text()) == funnel_params
+    )
+    if args.resume and curated_done and meta_matches:
         # checkpoint-based resume (the north-rule discipline at job
         # level, matching the extract pipeline's bucket resume): the
         # curated table is the expensive funnel's committed output
-        # (_SUCCESS = the write finished) — re-enter AFTER it and
-        # recompute only the cheap trainer-facing stages
+        # (_SUCCESS + matching fingerprint) — re-enter AFTER it and
+        # recompute only the cheap trainer-facing stages. The raw
+        # input is NOT read at all: the checkpoint is self-sufficient
+        # (the input may have been archived after curation).
         final = _persist(spark.read.parquet(str(out / "curated")))
         stats["resumed_from"] = "curated"
         stats["after_decontamination"] = final.count()
     else:
+        if args.resume and curated_done and not meta_matches:
+            stats["resume_skipped"] = "param_mismatch"
+        docs = spark.read.parquet(args.input).select(
+            "doc_id", "text", "lang"
+        )
+        stats["input"] = docs.count()
         gated = gate(docs, args.min_tokens, DEFAULT_BADWORDS)
         stats["after_gates"] = gated.count()
 
@@ -383,6 +407,9 @@ def main() -> None:
         final.repartition(4).write.mode("overwrite").parquet(
             str(out / "curated")
         )
+        # commit the fingerprint AFTER the successful write so a
+        # partially-written curated table can never be resumed from
+        meta_path.write_text(json.dumps(funnel_params))
     if args.pack_merges > 0:
         counts = bpe_token_counts(spark, final, args.pack_merges)
         packed = _persist(pack_sequences(final, args.seq_budget, counts))

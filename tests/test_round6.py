@@ -203,6 +203,19 @@ def test_pretrain_prep_resume_skips_funnel_same_shards(tmp_path):
     assert s2["after_decontamination"] == s1["after_decontamination"]
     assert s2["shard_rows"] == s1["shard_rows"]
     assert shard_digest() == d1
+    # changed funnel flags must REFUSE the stale checkpoint and re-run
+    # the funnel (the curated_meta.json fingerprint mismatch path)
+    r3 = subprocess.run(
+        cmd + ["--resume", "--min-tokens", "25"],
+        capture_output=True,
+        text=True,
+        timeout=400,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    s3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert s3.get("resume_skipped") == "param_mismatch"
+    assert "resumed_from" not in s3
+    assert "after_gates" in s3  # the funnel DID run
 
 
 # ---------------------------------------------------------------------------
