@@ -148,6 +148,31 @@ def test_ann_recall_gate_includes_ivf_pq(spark):
         assert passed, (method, recall)
 
 
+def test_sample_quality_zero_shuffle_and_rule(spark):
+    """q_sample_quality is a pure pushed-down filter (no Exchange in
+    the plan) and keeps exactly the docs whose seeded uniform hash
+    falls below their quality score (recomputed in python)."""
+    import hashlib
+    import re
+
+    df = REGISTRY["q_sample_quality"].spark(spark, SF_SMALL)
+    plan = _plan(df)
+    assert not re.search(r"\n\(\d+\) Exchange", plan), plan
+    kept = {r["doc_id"]: r["quality"] for r in df.collect()}
+    quality = {
+        r["doc_id"]: r["quality"]
+        for r in REGISTRY["q_quality_score"].spark(spark, SF_SMALL).collect()
+    }
+    for doc_id, q in quality.items():
+        u = int(hashlib.md5(f"qs{doc_id}".encode()).hexdigest()[:6], 16) / (
+            16**6
+        )
+        assert (doc_id in kept) == (u < q), (doc_id, u, q)
+        if doc_id in kept:
+            assert kept[doc_id] == q
+    release_caches(spark)
+
+
 # ---------------------------------------------------------------------------
 # pretrain_prep --resume: funnel checkpoint re-entry
 # ---------------------------------------------------------------------------
