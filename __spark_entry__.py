@@ -55,14 +55,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: green r05, unchanged, still parity-tested every round):
 #: dedup_lines_global, badwords_filter, host_quota,
 #: decontaminate_bloom, bigram_pmi, inverted_index, profile_documents.
-#: Slots 5-8 are the NEW extraction archetypes q_extract_meta (the
+#: Slots 5-9 are the NEW extraction archetypes q_extract_meta (the
 #: A-9..A-14/A-18 metadata chain), q_extract_jsonld (the A-15 JSON-LD
 #: chain), q_extract_embed (A-16/A-17 embed detection) and
-#: q_extract_keywords (the A-19/A-20 meta branches), all hash-checked
-#: through the real extractor; q_sample_quality (new) also holds a
-#: slot. To stay at 50, dedup_lines_within, host_stats,
-#: hard_negatives and bigram_lm_bits (driver-green lifetime,
-#: unchanged) also rotate out.
+#: q_extract_keywords (the A-19/A-20 meta branches) and
+#: q_extract_keywords_text (the A-19 TEXT-MINING branch — the full
+#: stopword/bigram-adjacency/tie-break chain replayed in SQL), all
+#: hash-checked through the real extractor; q_sample_quality (new)
+#: also holds a slot. To stay at 50, dedup_lines_within, host_stats,
+#: hard_negatives, bigram_lm_bits and unigram_logloss (driver-green
+#: lifetime, unchanged) also rotate out.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_archetypes",
@@ -72,6 +74,7 @@ _GATE_PRIORITY = [
     "q_extract_jsonld",
     "q_extract_embed",
     "q_extract_keywords",
+    "q_extract_keywords_text",
     "q_bpe_train64",
     "q_frontier_schedule",
     "q_pack_sequences_bpe",
@@ -113,7 +116,6 @@ _GATE_PRIORITY = [
     "q_length_percentile",
     "q_vocab_coverage",
     "q_chunk_documents",
-    "q_unigram_logloss",
 ]
 
 #: The quadratic all-pairs correctness baselines (q_dedup_jaccard,

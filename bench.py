@@ -119,6 +119,7 @@ HEADLINE = [
     "q_extract_jsonld",
     "q_extract_embed",
     "q_extract_keywords",
+    "q_extract_keywords_text",
     "q_bigram_lm_bits",
     "q_vocab_coverage",
     "q_length_percentile",

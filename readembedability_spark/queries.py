@@ -1652,8 +1652,8 @@ def q_extract_keywords(spark, sf_dir):
     through to the sentence splitter). The oracle states the cleaned
     keyword stream and the description per doc, so a regression in
     keyword cleaning or the summary precedence rule hash-fails the
-    gate. (The text-mining keyword branch stays golden-locked — its
-    Zipf-count tie-breaks aren't reasonably SQL-expressible.)"""
+    gate. (The text-mining branch has its own driver query,
+    q_extract_keywords_text.)"""
     from readembedability_spark.operators.extract import extract_stage
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1682,6 +1682,106 @@ def q_extract_keywords(spark, sf_dir):
         "url",
         F.array_join("keywords", ", ").alias("keywords"),
         "summary",
+        "status",
+    )
+
+
+def _stopwords_sql() -> str:
+    """The frozen A-19 stopword list as a SQL IN-list. Contraction
+    entries ("don't", "it's", …) are dropped: a \\w+ token can never
+    contain an apostrophe, so they are unmatchable on BOTH sides —
+    excluding them keeps the literal list parse-safe without changing
+    semantics."""
+    from readembedability_spark.extractor.stopwords import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(STOPWORDS) if "'" not in w)
+
+
+@q(
+    "q_extract_keywords_text",
+    f"""
+    WITH docs0 AS (
+      SELECT doc_id, text FROM documents WHERE n_chars >= 200),
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '[a-z0-9_]+')) AS tok,
+             generate_subscripts(regexp_extract_all(text, '[a-z0-9_]+'), 1)
+               - 1 AS i
+      FROM docs0),
+    kept AS (
+      SELECT doc_id, tok, i FROM toks
+      WHERE len(tok) BETWEEN 3 AND 50
+        AND tok NOT IN ({{STOP}})
+        AND NOT regexp_full_match(tok, '[0-9]+')),
+    uni AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS n, MIN(i) AS fp
+      FROM kept GROUP BY doc_id, tok),
+    adj AS (
+      SELECT doc_id, tok, i,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS ptok,
+             lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+      FROM kept),
+    big AS (
+      SELECT doc_id, ptok || ' ' || tok AS term,
+             COUNT(*) AS n, MIN(pi) AS fp
+      FROM adj WHERE pi = i - 1
+      GROUP BY doc_id, ptok || ' ' || tok),
+    allterms AS (
+      SELECT * FROM uni UNION ALL SELECT * FROM big),
+    tot AS (SELECT doc_id, COUNT(*) AS nd FROM allterms GROUP BY doc_id),
+    items AS (
+      SELECT a.doc_id, a.term, a.n, a.fp
+      FROM allterms a JOIN tot USING (doc_id)
+      WHERE a.n >= 2 OR (tot.nd < 12 AND a.term NOT LIKE '% %')),
+    ranked AS (
+      SELECT doc_id, term,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, fp, term) AS rk
+      FROM items),
+    kw AS (
+      SELECT doc_id, string_agg(term, ', ' ORDER BY rk) AS keywords
+      FROM ranked WHERE rk <= 10 GROUP BY doc_id)
+    SELECT 'https://docs.example.com/w/' || CAST(d.doc_id AS VARCHAR)
+             AS url,
+           kw.keywords,
+           'ok' AS status
+    FROM docs0 d LEFT JOIN kw ON kw.doc_id = d.doc_id
+    """.replace("{{STOP}}", "{STOP}").format(STOP=_stopwords_sql()),
+)
+def q_extract_keywords_text(spark, sf_dir):
+    """Ninth oracle-checked extraction archetype — the A-19 TEXT-MINING
+    branch through the REAL extractor: pages with NO meta keywords fall
+    through to deterministic term extraction over content_text
+    (lowercase \\w+ tokens, 3..50-char gate, the frozen vendored
+    stopword list, unigram + ADJACENT-kept-token bigram counts, the
+    n>=2-or-small-vocab inclusion rule, top-10 by (freq desc,
+    first-position asc, term asc)). The corpus text is pure lowercase
+    ASCII + spaces, so the full rule chain — including bigram
+    adjacency in the raw token stream and the first-position
+    tie-breaks — is replayed exactly in SQL (window lag for
+    adjacency); the stopword list is interpolated from the SAME frozen
+    module the extractor uses, so the two sides cannot drift. Docs
+    whose every candidate is excluded get NULL keywords on both sides
+    (left join vs the extractor's empty-list→unset A-22 rule)."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    did = F.col("doc_id").cast("string")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            did,
+            F.lit('</title></head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit("</p></div></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/w/", html)
+    return extract_stage(pages).select(
+        "url",
+        F.array_join("keywords", ", ").alias("keywords"),
         "status",
     )
 
