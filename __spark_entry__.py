@@ -55,15 +55,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: green r05, unchanged, still parity-tested every round):
 #: dedup_lines_global, badwords_filter, host_quota,
 #: decontaminate_bloom, bigram_pmi, inverted_index, profile_documents.
-#: Slots 5-9 are the NEW extraction archetypes q_extract_meta (the
+#: Slots 5-10 are the NEW extraction archetypes q_extract_meta (the
 #: A-9..A-14/A-18 metadata chain), q_extract_jsonld (the A-15 JSON-LD
 #: chain), q_extract_embed (A-16/A-17 embed detection) and
 #: q_extract_keywords (the A-19/A-20 meta branches) and
 #: q_extract_keywords_text (the A-19 TEXT-MINING branch — the full
-#: stopword/bigram-adjacency/tie-break chain replayed in SQL), all
-#: hash-checked through the real extractor; q_sample_quality (new)
-#: also holds a slot. To stay at 50, dedup_lines_within, host_stats,
-#: hard_negatives, bigram_lm_bits and unigram_logloss (driver-green
+#: stopword/bigram-adjacency/tie-break chain replayed in SQL) and
+#: q_extract_pdf (A-21 at declared scope: BT/ET + Tj/TJ over an
+#: uncompressed synthesized PDF), all hash-checked through the real
+#: extractor; q_sample_quality (new) also holds a slot. To stay at
+#: 50, dedup_lines_within, host_stats, hard_negatives,
+#: bigram_lm_bits, unigram_logloss and chunk_documents (driver-green
 #: lifetime, unchanged) also rotate out.
 _GATE_PRIORITY = [
     "q_extract_flagship",
@@ -75,6 +77,7 @@ _GATE_PRIORITY = [
     "q_extract_embed",
     "q_extract_keywords",
     "q_extract_keywords_text",
+    "q_extract_pdf",
     "q_bpe_train64",
     "q_frontier_schedule",
     "q_pack_sequences_bpe",
@@ -115,7 +118,6 @@ _GATE_PRIORITY = [
     "q_pagerank",
     "q_length_percentile",
     "q_vocab_coverage",
-    "q_chunk_documents",
 ]
 
 #: The quadratic all-pairs correctness baselines (q_dedup_jaccard,

@@ -134,7 +134,9 @@ HEADLINE = [
 # q_bpe_train64, q_bpe_vocab, q_pack_sequences_bpe,
 # q_model_score_trained and q_model_pr_curve are also skipped: each
 # re-runs the same training loop its timed sibling (q_bpe_tokenize /
-# q_model_train) already covers end-to-end.
+# q_model_train) already covers end-to-end. q_extract_pdf landed after
+# the round-6 record freeze (r6_builder_run_e) — it joins HEADLINE
+# next round so the committed record keeps matching this file.
 
 
 def _probe_single() -> float:

@@ -1787,6 +1787,58 @@ def q_extract_keywords_text(spark, sf_dir):
 
 
 @q(
+    "q_extract_pdf",
+    """
+    SELECT 'https://docs.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || text || '.'
+             || CASE WHEN trim(substr(text, 1, 40)) <> ''
+                     THEN chr(10) || trim(substr(text, 1, 40))
+                     ELSE '' END
+             AS content_text,
+           'pdf' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_pdf(spark, sf_dir):
+    """Tenth oracle-checked extraction archetype — the A-21 PDF text
+    path through the REAL extractor at its declared scope: every page
+    is a synthesized uncompressed PDF whose content stream carries two
+    BT..ET text blocks — three chained `(…) Tj` literal shows (parts
+    concatenate bare within a block → line 1) and a `[(…) -250 (…)]
+    TJ` array form (kerning numbers skipped, literals concatenate →
+    line 2), lines joined with newline and python-stripped. The
+    extractor must sniff the %PDF- magic (A-1 kind dispatch),
+    quarantine the row with status='pdf', and reproduce both
+    show-operator forms byte-for-byte; the oracle replays the
+    construction in SQL. Compressed-filter chains (Flate/Hex/85) stay
+    unit-test-locked — this query locks the end-to-end BT/ET + Tj/TJ
+    surface the driver can hash."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    did = F.col("doc_id").cast("string")
+    s1 = F.substring("text", 1, 20)
+    s2 = F.substring("text", 21, 20)
+    pdf = F.encode(
+        F.concat(
+            F.lit("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nstream\nBT (Doc "),
+            did,
+            F.lit(": ) Tj ("),
+            F.col("text"),
+            F.lit(") Tj (.) Tj ET\nBT [("),
+            s1,
+            F.lit(") -250 ("),
+            s2,
+            F.lit(")] TJ ET\nendstream\nendobj\n%%EOF"),
+        ),
+        "UTF-8",
+    )
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/p/", pdf)
+    return extract_stage(pages).select("url", "content_text", "status")
+
+
+@q(
     "q_metrics_rollup",
     """
     SELECT CASE WHEN doc_id % 13 = 0 THEN 'empty'
