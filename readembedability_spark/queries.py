@@ -1699,7 +1699,7 @@ def _stopwords_sql() -> str:
 
 @q(
     "q_extract_keywords_text",
-    f"""
+    """
     WITH docs0 AS (
       SELECT doc_id, text FROM documents WHERE n_chars >= 200),
     toks AS (
@@ -1711,7 +1711,7 @@ def _stopwords_sql() -> str:
     kept AS (
       SELECT doc_id, tok, i FROM toks
       WHERE len(tok) BETWEEN 3 AND 50
-        AND tok NOT IN ({{STOP}})
+        AND tok NOT IN ({STOP})
         AND NOT regexp_full_match(tok, '[0-9]+')),
     uni AS (
       SELECT doc_id, tok AS term, COUNT(*) AS n, MIN(i) AS fp
@@ -1746,7 +1746,7 @@ def _stopwords_sql() -> str:
            kw.keywords,
            'ok' AS status
     FROM docs0 d LEFT JOIN kw ON kw.doc_id = d.doc_id
-    """.replace("{{STOP}}", "{STOP}").format(STOP=_stopwords_sql()),
+    """.format(STOP=_stopwords_sql()),
 )
 def q_extract_keywords_text(spark, sf_dir):
     """Ninth oracle-checked extraction archetype — the A-19 TEXT-MINING
