@@ -28,6 +28,35 @@ from readembedability_spark.schemas import EXTRACTED_SCHEMA
 
 _OUT_COLS = [f.name for f in EXTRACTED_SCHEMA.fields]
 
+def _ensure_workers_can_import(spark) -> None:
+    """Ship the package to python workers once per SparkContext.
+
+    cloudpickle serializes the mapInPandas closure BY REFERENCE to this
+    importable module, so the worker must be able to import
+    ``readembedability_spark`` at unpickle time. Local-mode workers
+    inherit only the driver's CWD on sys.path — a driver launched from
+    any other directory (notebook, spark-submit elsewhere) fails before
+    the closure even runs. Zipping the installed package (~150 KB of
+    .py) and ``addPyFile``-ing it makes the stage location-independent;
+    on a real cluster this coexists harmlessly with --py-files (same
+    module, first on path wins)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_readembedability_pyfile", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = Path(__file__).resolve().parent.parent
+    zip_path = (
+        Path(tempfile.gettempdir())
+        / f"readembedability_spark_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for f in sorted(pkg_dir.rglob("*.py")):
+            z.write(f, f"readembedability_spark/{f.relative_to(pkg_dir)}")
+    sc.addPyFile(str(zip_path))
+    sc._readembedability_pyfile = True
+
 
 def make_extract_batches(run_id: str, metrics_dir: str | None):
     """Build the mapInPandas function (closure keeps it picklable)."""
@@ -98,6 +127,7 @@ def _write_metrics(metrics_dir: str, record: dict) -> None:
 
 def extract_stage(pages_df, run_id: str = "run", metrics_dir: str | None = None):
     """pages(+salt) DataFrame → extracted DataFrame (EXTRACTED_SCHEMA)."""
+    _ensure_workers_can_import(pages_df.sparkSession)
     cols = set(pages_df.columns)
     if "salt" not in cols:
         from readembedability_spark.functions import salt_col
