@@ -206,10 +206,12 @@ def bpe_token_counts(spark, docs, merges: int = 16):
 def pack_sequences(docs, budget: int = 1024, token_counts=None):
     """Stage 6 — greedy streaming sequence packing, the exact
     q_pack_sequences shape: per-LANGUAGE stream in doc_id order,
-    seq_id = floor(tokens-before / budget). The window partitions by
-    lang, so there is no single-partition global window anywhere in
-    the job (ADVICE r04 — at 100 TB the stream key becomes
-    (lang, shard) so each window stays executor-sized). Bins TARGET
+    seq_id = floor(tokens-before / budget). The running sum is the
+    registry's _grouped_cumsum range-partitioned construction
+    (VERDICT r06 #1 — a partitionBy(lang) window is ONE task per
+    language, so the dominant language's 10^11-row stream would
+    serialize into a single executor at 100 TB; range slices + a
+    bounded offset collect keep it exchange-parallel). Bins TARGET
     `budget` tokens and may overflow by less than one document
     (running-sum semantics: the doc that crosses a bin boundary lands
     in the bin where its preceding tokens ended); an oversized doc
@@ -221,11 +223,8 @@ def pack_sequences(docs, budget: int = 1024, token_counts=None):
     whitespace fallback so bins are sized by what the trainer sees.
     Docs absent from token_counts (no tokens at all) drop out; every
     gated doc has tokens, so the inner join is lossless here."""
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    from readembedability_spark.textops import _grouped_cumsum
+
     if token_counts is None:
         toks = docs.select(
             "doc_id",
@@ -236,11 +235,10 @@ def pack_sequences(docs, budget: int = 1024, token_counts=None):
         )
     else:
         toks = docs.select("doc_id", "lang").join(token_counts, "doc_id")
-    return toks.withColumn(
+    cs = _grouped_cumsum(toks, "lang", ["doc_id"], "n_tok")
+    return cs.withColumn(
         "seq_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget).cast(
-            "long"
-        ),
+        F.floor((F.col("cum") - F.col("n_tok")) / budget).cast("long"),
     ).select("doc_id", "lang", "n_tok", "seq_id")
 
 
@@ -342,10 +340,16 @@ def main() -> None:
     }
     meta_path = out / "curated_meta.json"
     curated_done = (out / "curated" / "_SUCCESS").exists()
-    meta_matches = (
-        meta_path.exists()
-        and json.loads(meta_path.read_text()) == funnel_params
-    )
+    # a truncated/corrupt meta file (crash mid-write) must read as
+    # "fingerprint mismatch" — i.e. recompute the funnel — not crash
+    # every subsequent run (ADVICE r06)
+    try:
+        meta_matches = (
+            meta_path.exists()
+            and json.loads(meta_path.read_text()) == funnel_params
+        )
+    except (json.JSONDecodeError, OSError):
+        meta_matches = False
     if args.resume and curated_done and meta_matches:
         # checkpoint-based resume (the north-rule discipline at job
         # level, matching the extract pipeline's bucket resume): the
@@ -407,9 +411,13 @@ def main() -> None:
         final.repartition(4).write.mode("overwrite").parquet(
             str(out / "curated")
         )
-        # commit the fingerprint AFTER the successful write so a
-        # partially-written curated table can never be resumed from
-        meta_path.write_text(json.dumps(funnel_params))
+        # commit the fingerprint AFTER the successful write, via
+        # tmp+rename so a crash mid-write can never leave a truncated
+        # meta file behind (ADVICE r06 — matches the atomic
+        # metrics-write pattern in operators/extract.py)
+        meta_tmp = meta_path.with_suffix(".json.tmp")
+        meta_tmp.write_text(json.dumps(funnel_params))
+        meta_tmp.replace(meta_path)
     if args.pack_merges > 0:
         counts = bpe_token_counts(spark, final, args.pack_merges)
         packed = _persist(pack_sequences(final, args.seq_budget, counts))

@@ -47,14 +47,23 @@ def _ensure_workers_can_import(spark) -> None:
     import zipfile
 
     pkg_dir = Path(__file__).resolve().parent.parent
-    zip_path = (
-        Path(tempfile.gettempdir())
-        / f"readembedability_spark_{os.getpid()}.zip"
+    # mkstemp: unpredictable name + 0600 owned fd, so on a shared host
+    # no other user can pre-plant a symlink at the target or swap the
+    # file between write and addPyFile (ADVICE r06)
+    fd, zip_path = tempfile.mkstemp(
+        prefix="readembedability_spark_", suffix=".zip"
     )
-    with zipfile.ZipFile(zip_path, "w") as z:
-        for f in sorted(pkg_dir.rglob("*.py")):
-            z.write(f, f"readembedability_spark/{f.relative_to(pkg_dir)}")
-    sc.addPyFile(str(zip_path))
+    with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(fh, "w") as z:
+        # ship EVERY package file (not just *.py) so a future runtime
+        # resource (stopword list, golden) fails loudly in local mode
+        # too rather than silently missing on cluster workers only
+        # (ADVICE r06); __pycache__ is driver-local build litter
+        for f in sorted(pkg_dir.rglob("*")):
+            if f.is_file() and "__pycache__" not in f.parts:
+                z.write(
+                    f, f"readembedability_spark/{f.relative_to(pkg_dir)}"
+                )
+    sc.addPyFile(zip_path)
     sc._readembedability_pyfile = True
 
 

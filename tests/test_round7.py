@@ -1,0 +1,164 @@
+"""Round-7 guarantees (VERDICT r06 tasks): the packing / stream-order
+family runs on the range-partitioned _grouped_cumsum construction —
+NO per-language single-task window anywhere — plus resume-meta crash
+robustness and the hardened worker-shipping zip.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+import readembedability_spark.textops as textops  # noqa: F401
+from readembedability_spark.queries import REGISTRY, release_caches
+from readembedability_spark.textops import _grouped_cumsum
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r06 #1 — no per-lang single-task window in the packing family
+# ---------------------------------------------------------------------------
+
+_PACK_FAMILY = [
+    "q_pack_sequences",
+    "q_pack_sequences_bpe",
+    "q_pack_efficiency",
+    "q_shuffle_shards",
+    "q_length_percentile",
+]
+
+
+def _window_specs(plan: str) -> list[str]:
+    """Every windowspecdefinition(...) argument list in the plan."""
+    return re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+
+
+def test_pack_family_no_per_lang_window(spark):
+    """Every window in the packing/stream-order plans partitions on
+    the range-partition id (_pid) — never on lang alone, which would
+    serialize the dominant language's entire stream into ONE task at
+    web scale (VERDICT r06 wrong #1). The only windows allowed
+    without _pid are the shard-keyed audit head (q_shuffle_shards'
+    WindowGroupLimit top-K, partitioned by the 8-way shard key)."""
+    for name in _PACK_FAMILY:
+        df = REGISTRY[name].spark(spark, SF_SMALL)
+        plan = _plan(df)
+        assert "SinglePartition" not in plan, (name, plan)
+        specs = _window_specs(plan)
+        assert specs, (name, "expected windowed plan")
+        for spec in specs:
+            if "shard" in spec:
+                continue  # bounded audit head: per-shard top-K
+            assert "_pid" in spec, (name, spec)
+        release_caches(spark)
+
+
+def test_grouped_cumsum_matches_per_group_window(spark):
+    """_grouped_cumsum ≡ the per-group global window it replaces:
+    identical (rnk, cum) on a multi-group stream whose groups
+    straddle range-partition boundaries (parts > groups forces
+    intra-group splits)."""
+    rows = [
+        (g, i, (i * 7 + ord(g)) % 13 + 1)
+        for g in ("a", "b", "c")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    got = {
+        (r["g"], r["i"]): (r["rnk"], r["cum"])
+        for r in _grouped_cumsum(df, "g", ["i"], "v", parts=16).collect()
+    }
+    exp: dict = {}
+    for g in ("a", "b", "c"):
+        acc = 0
+        for rnk, (gg, i, v) in enumerate(
+            [r for r in rows if r[0] == g], start=1
+        ):
+            acc += v
+            exp[(g, i)] = (rnk, acc)
+    assert got == exp
+    release_caches(spark)
+
+
+def test_grouped_cumsum_bounded_offsets(spark):
+    """The stitch collect is ≤ parts + |groups| rows: each group's
+    stream occupies a CONTIGUOUS run of range partitions, so the
+    (pid, group) pair count can't exceed parts + groups − 1."""
+    rows = [(g, i, 1) for g in ("a", "b", "c", "d") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    parts = 16
+    rp = df.repartitionByRange(
+        parts, F.col("g"), F.col("i")
+    ).withColumn("_pid", F.spark_partition_id())
+    pairs = rp.select("_pid", "g").distinct().count()
+    assert pairs <= parts + 4 - 1, pairs
+    release_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r06 — resume meta robustness + worker-zip hardening
+# ---------------------------------------------------------------------------
+
+
+def test_truncated_resume_meta_recomputes_not_crashes(tmp_path):
+    """A crash mid-write of curated_meta.json leaves a truncated file;
+    every later run must treat it as a fingerprint MISMATCH (recompute
+    the funnel) instead of dying with JSONDecodeError."""
+    import json
+
+    meta_path = tmp_path / "curated_meta.json"
+    meta_path.write_text('{"input": "/data/x", "min_tok')  # truncated
+    funnel_params = {"input": "/data/x", "min_tokens": 5}
+    try:
+        meta_matches = (
+            meta_path.exists()
+            and json.loads(meta_path.read_text()) == funnel_params
+        )
+    except (json.JSONDecodeError, OSError):
+        meta_matches = False
+    assert meta_matches is False
+
+
+def test_worker_zip_ships_all_package_files(spark, tmp_path, monkeypatch):
+    """The addPyFile zip carries EVERY package file (minus
+    __pycache__), not just *.py — a future runtime resource must not
+    be silently absent on cluster workers (ADVICE r06). Also: the zip
+    is created via mkstemp (unpredictable name, owned fd)."""
+    import zipfile
+    from pathlib import Path
+
+    from readembedability_spark.operators import extract as ex
+
+    shipped = {}
+
+    class _FakeSC:
+        def addPyFile(self, p):
+            shipped["path"] = p
+
+    class _FakeSpark:
+        sparkContext = _FakeSC()
+
+    ex._ensure_workers_can_import(_FakeSpark())
+    zpath = Path(shipped["path"])
+    assert zpath.exists()
+    # unpredictable name: not the old pid-keyed pattern
+    assert not re.fullmatch(
+        r"readembedability_spark_\d+\.zip", zpath.name
+    ), zpath.name
+    pkg_dir = Path(ex.__file__).resolve().parent.parent
+    expected = {
+        f"readembedability_spark/{f.relative_to(pkg_dir)}"
+        for f in pkg_dir.rglob("*")
+        if f.is_file() and "__pycache__" not in f.parts
+    }
+    with zipfile.ZipFile(zpath) as z:
+        assert set(z.namelist()) == expected
+    zpath.unlink()
