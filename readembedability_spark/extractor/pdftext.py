@@ -4,8 +4,11 @@ Scope (deliberately small — SURVEY.md §7 risk list): parse PDF object
 streams, decode filter CHAINS of FlateDecode / ASCIIHexDecode /
 ASCII85Decode (applied in declaration order; any unknown filter in the
 chain, e.g. DCTDecode, skips the stream), walk ``BT..ET`` text blocks
-and collect ``Tj`` / ``TJ`` / ``'`` show-text operators in stream
-order. Handles literal ``( )`` strings with escapes and hex ``< >``
+and collect ``Tj`` / ``TJ`` / ``'`` show-text operators into LINES
+positioned by the ``Td``/``TD``/``T*`` text-line moves, emitted in
+layout order (columns left-to-right, lines top-to-bottom; streams with
+no positioning ops keep exact stream order — see _texts_from_content).
+Handles literal ``( )`` strings with escapes and hex ``< >``
 strings (latin-1 interpretation — no font/CMap decoding). Anything
 non-decodable yields empty text; callers quarantine the row with
 ``status='pdf'`` so PDF behavior can never destabilize HTML bytes.
@@ -22,9 +25,13 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.DOTALL)
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-# ( literal ) Tj|'   or   [ array ] TJ
-_SHOW_RE = re.compile(
-    rb"(?:\(((?:\\.|[^\\()])*)\)\s*(?:Tj|')|\[((?:\s*(?:\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|-?\d+(?:\.\d+)?))*)\]\s*TJ)",
+# one token stream: position ops (a b Td|TD, T*) interleaved with the
+# show ops — ( literal ) Tj|'  or  [ array ] TJ
+_TOK_RE = re.compile(
+    rb"(?:(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+(Td|TD)\b"
+    rb"|(T\*)"
+    rb"|\(((?:\\.|[^\\()])*)\)\s*(Tj|')"
+    rb"|\[((?:\s*(?:\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|-?\d+(?:\.\d+)?))*)\]\s*TJ)",
     re.DOTALL,
 )
 _LIT_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
@@ -141,20 +148,64 @@ def _decode_stream(raw: bytes, header_window: bytes, cap: int = 8 << 20) -> byte
 
 
 def _texts_from_content(content: bytes) -> list[str]:
-    lines: list[str] = []
+    """Layout-ordered lines from the content stream's BT..ET blocks.
+
+    Declared layout scope (D-7 increment): the text-POSITIONING ops
+    ``a b Td`` / ``a b TD`` (relative line moves; TD also sets the
+    leading), ``T*`` (next line by the current leading) and the
+    next-line show ``'`` are honored — each run of shows at one text
+    position is a LINE at (x, y), and lines emit sorted by
+    (x ascending, y descending, stream order): columns left-to-right,
+    each column top-to-bottom — so a two-column page whose stream
+    interleaves columns still reads column-major. ``Tm`` (full text
+    matrix) and horizontal kerning stay out of scope: a stream with no
+    positioning ops keeps every line at (0, 0) and the stable sort
+    preserves exact stream order — the pre-layout behavior, so all
+    stream-order fixtures are unchanged."""
+    entries: list[tuple[float, float, int, str]] = []
+    seq = 0
     for block in _BT_ET_RE.findall(content):
+        # BT resets the text matrix to identity → position (0, 0)
+        x = y = 0.0
+        leading = 0.0
         parts: list[bytes] = []
-        for m in _SHOW_RE.finditer(block):
-            lit, arr = m.group(1), m.group(2)
-            if lit is not None:
+
+        def flush() -> None:
+            nonlocal seq, parts
+            line = (
+                b"".join(parts).decode("latin-1", errors="replace").strip()
+            )
+            if line:
+                entries.append((x, y, seq, line))
+                seq += 1
+            parts = []
+
+        for m in _TOK_RE.finditer(block):
+            tx, ty, tdop, tstar, lit, litop, arr = m.groups()
+            if tdop is not None:
+                flush()
+                try:
+                    dx, dy = float(tx), float(ty)
+                except ValueError:  # pragma: no cover - regex-bounded
+                    dx = dy = 0.0
+                x += dx
+                y += dy
+                if tdop == b"TD":
+                    leading = -dy
+            elif tstar is not None:
+                flush()
+                y -= leading
+            elif lit is not None:
+                if litop == b"'":  # next-line-then-show
+                    flush()
+                    y -= leading
                 parts.append(_unescape_literal(lit))
             elif arr is not None:
                 for lm in _LIT_RE.finditer(arr):
                     parts.append(_unescape_literal(lm.group(1)))
-        line = b"".join(parts).decode("latin-1", errors="replace").strip()
-        if line:
-            lines.append(line)
-    return lines
+        flush()
+    entries.sort(key=lambda e: (e[0], -e[1], e[2]))
+    return [e[3] for e in entries]
 
 
 def extract_pdf_text(blob: bytes, max_bytes: int = 8 << 20) -> str:

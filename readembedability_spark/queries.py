@@ -15,6 +15,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -1803,16 +1805,17 @@ def q_extract_pdf(spark, sf_dir):
     """Tenth oracle-checked extraction archetype — the A-21 PDF text
     path through the REAL extractor at its declared scope: every page
     is a synthesized uncompressed PDF whose content stream carries two
-    BT..ET text blocks — three chained `(…) Tj` literal shows (parts
-    concatenate bare within a block → line 1) and a `[(…) -250 (…)]
-    TJ` array form (kerning numbers skipped, literals concatenate →
-    line 2), lines joined with newline and python-stripped. The
-    extractor must sniff the %PDF- magic (A-1 kind dispatch),
-    quarantine the row with status='pdf', and reproduce both
-    show-operator forms byte-for-byte; the oracle replays the
-    construction in SQL. Compressed-filter chains (Flate/Hex/85) stay
-    unit-test-locked — this query locks the end-to-end BT/ET + Tj/TJ
-    surface the driver can hash."""
+    BT..ET text blocks planted in REVERSED stream order — the TJ-array
+    line (`[(…) -250 (…)] TJ`, kerning numbers skipped, literals
+    concatenate) comes FIRST in the stream but is positioned LOWER on
+    the page (72 600 Td), while the three chained `(…) Tj` literal
+    shows come second but sit HIGHER (72 700 Td). Layout ordering
+    (VERDICT r06 #3: Td/TD line positions sorted columns-then-
+    descending-y) must re-order them top-first; stream-order extraction
+    would emit the lines reversed and hash-fail. The extractor must
+    also sniff the %PDF- magic (A-1 kind dispatch) and quarantine the
+    row with status='pdf'; the oracle replays the construction in SQL.
+    Compressed filter chains get their own gate (q_extract_pdf_flate)."""
     from readembedability_spark.operators.extract import extract_stage
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1822,19 +1825,85 @@ def q_extract_pdf(spark, sf_dir):
     s2 = F.substring("text", 21, 20)
     pdf = F.encode(
         F.concat(
-            F.lit("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nstream\nBT (Doc "),
-            did,
-            F.lit(": ) Tj ("),
-            F.col("text"),
-            F.lit(") Tj (.) Tj ET\nBT [("),
+            F.lit(
+                "%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nstream\n"
+                "BT 72 600 Td [("
+            ),
             s1,
             F.lit(") -250 ("),
             s2,
-            F.lit(")] TJ ET\nendstream\nendobj\n%%EOF"),
+            F.lit(")] TJ ET\nBT 72 700 Td (Doc "),
+            did,
+            F.lit(": ) Tj ("),
+            F.col("text"),
+            F.lit(") Tj (.) Tj ET\nendstream\nendobj\n%%EOF"),
         ),
         "UTF-8",
     )
     pages = _archetype_pages(spark, docs, "https://docs.example.com/p/", pdf)
+    return extract_stage(pages).select("url", "content_text", "status")
+
+
+@q(
+    "q_extract_pdf_flate",
+    """
+    SELECT 'https://docs.example.com/pf/' || CAST(doc_id AS VARCHAR) AS url,
+           'Flate Doc ' || CAST(doc_id AS VARCHAR) || ': ' || text || '.'
+             || CASE WHEN trim(substr(text, 41, 40)) <> ''
+                     THEN chr(10) || trim(substr(text, 41, 40))
+                     ELSE '' END
+             AS content_text,
+           'pdf' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_pdf_flate(spark, sf_dir):
+    """Eleventh oracle-checked extraction archetype — the COMPRESSED
+    A-21 path end-to-end (VERDICT r06 #2: nearly every real-world PDF
+    stream is FlateDecode, and that inflate path was unit-locked
+    only): every page's content stream — the same two-BT layout as
+    q_extract_pdf, positioned top line at 72 700 Td and the TJ-array
+    line one leading below at 72 686 Td — is zlib-DEFLATED at
+    synthesis time inside an Arrow-batched pandas UDF and wrapped in a
+    ``/Filter /FlateDecode`` stream dict, so the REAL extractor must
+    sniff %PDF-, find the stream, read the filter chain from the dict,
+    inflate (capped — the zip-bomb guard), and only then parse BT/ET
+    + Tj/TJ (extractor/pdftext.py _decode_stream → _inflate_capped).
+    A pure-SQL oracle cannot deflate — it doesn't need to: the
+    compressed bytes never reach the compare, only the round-tripped
+    text does, and inflate(deflate(x)) ≡ x for ANY conforming zlib, so
+    the oracle just replays the PRE-compression construction from
+    documents.text. The synthesis UDF is test scaffolding (vectorized,
+    Arrow-batched — never per-row Python); extraction itself stays the
+    one mapInPandas stage."""
+    import zlib
+
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+
+    @F.pandas_udf("binary")
+    def flate_pdf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for did, txt in zip(doc_id, text):
+            content = (
+                f"BT 72 700 Td (Flate Doc {did}: ) Tj ({txt}) Tj (.) Tj "
+                f"ET\nBT 72 686 Td [({txt[40:60]}) -250 ({txt[60:80]})] "
+                f"TJ ET"
+            ).encode("latin-1")
+            comp = zlib.compress(content)
+            out.append(
+                b"%PDF-1.4\n1 0 obj\n<< /Length "
+                + str(len(comp)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n"
+                + comp
+                + b"\nendstream\nendobj\n%%EOF"
+            )
+        return pd.Series(out)
+
+    pdf = flate_pdf(F.col("doc_id"), F.col("text"))
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/pf/", pdf)
     return extract_stage(pages).select("url", "content_text", "status")
 
 

@@ -104,6 +104,84 @@ def test_grouped_cumsum_bounded_offsets(spark):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r06 #2/#3 — PDF layout ordering + FlateDecode end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _pdf(body: bytes) -> bytes:
+    return b"%PDF-1.4\nstream\n" + body + b"\nendstream\n%%EOF"
+
+
+def test_pdf_layout_two_column_reads_column_major():
+    """A stream that interleaves two columns row-by-row (real
+    multi-column layout streams do) must emit column 1 top-to-bottom,
+    then column 2 — not the interleaved stream order."""
+    from readembedability_spark.extractor.pdftext import extract_pdf_text
+
+    blob = _pdf(
+        b"BT 50 700 Td (C1L1) Tj 250 0 Td (C2L1) Tj "
+        b"-250 -20 Td (C1L2) Tj 250 0 Td (C2L2) Tj ET"
+    )
+    assert extract_pdf_text(blob) == "C1L1\nC1L2\nC2L1\nC2L2"
+
+
+def test_pdf_layout_reordered_blocks_sort_by_position():
+    """BT blocks planted out of page order re-sort by Td position."""
+    from readembedability_spark.extractor.pdftext import extract_pdf_text
+
+    blob = _pdf(
+        b"BT 72 600 Td (below) Tj ET\nBT 72 700 Td (above) Tj ET"
+    )
+    assert extract_pdf_text(blob) == "above\nbelow"
+
+
+def test_pdf_layout_td_leading_and_quote():
+    """TD sets the leading; T* and the `'` next-line-show advance by
+    it — three lines in reading order."""
+    from readembedability_spark.extractor.pdftext import extract_pdf_text
+
+    blob = _pdf(
+        b"BT 72 700 Td 0 -14 TD (first) Tj T* (second) Tj (third) ' ET"
+    )
+    assert extract_pdf_text(blob) == "first\nsecond\nthird"
+
+
+def test_pdf_no_positioning_keeps_stream_order():
+    """Streams without positioning ops (all prior fixtures) keep
+    EXACT stream order — every line sits at (0, 0) and the stable
+    sort is a no-op, so the layout change is backward-compatible."""
+    from readembedability_spark.extractor.pdftext import extract_pdf_text
+
+    blob = _pdf(
+        b"BT (Hello ) Tj (world.) Tj ET\n"
+        b"BT [(Second) -250 ( line)] TJ ET"
+    )
+    assert extract_pdf_text(blob) == "Hello world.\nSecond line"
+
+
+def test_pdf_flate_layout_roundtrip():
+    """A FlateDecode stream with position-reordered blocks inflates
+    AND layout-orders — the exact q_extract_pdf_flate surface."""
+    import zlib
+
+    from readembedability_spark.extractor.pdftext import extract_pdf_text
+
+    content = (
+        b"BT 72 600 Td (second line) Tj ET\n"
+        b"BT 72 700 Td (first line) Tj ET"
+    )
+    comp = zlib.compress(content)
+    blob = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + comp
+        + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(blob) == "first line\nsecond line"
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r06 — resume meta robustness + worker-zip hardening
 # ---------------------------------------------------------------------------
 
