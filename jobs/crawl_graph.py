@@ -44,7 +44,10 @@ HOST_RE = r"https?://([^/?#]+)"
 def extract_link_table(spark, pages):
     """(url, link) through the full salted mapInPandas extraction —
     the links column rides the batch the extract stage already emits;
-    pages with no surviving links drop out here."""
+    pages with no surviving links drop out here. rel-flagged
+    nofollow/sponsored/ugc links (L-8) are excluded: every consumer
+    of this table (authority edges, frontier, schedule) models
+    endorsement, which those links don't carry."""
     from readembedability_spark.operators.extract import extract_stage
     from readembedability_spark.operators.salt import salt_repartition
 
@@ -53,7 +56,12 @@ def extract_link_table(spark, pages):
     )
     return (
         extract_stage(pages)
-        .select("url", F.explode("links").alias("link"))
+        .select(
+            "url",
+            F.explode(F.arrays_zip("links", "link_nofollow")).alias("z"),
+        )
+        .filter(~F.col("z.link_nofollow"))
+        .select("url", F.col("z.links").alias("link"))
     )
 
 

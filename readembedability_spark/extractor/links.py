@@ -26,6 +26,15 @@ frozen here, in the repo's own spec style (cf. textify A-8):
   L-7  Anchor text: the whitespace-collapsed ``text_content()`` of the
        ``<a>`` element at the link's FIRST occurrence (the one L-6
        keeps); may be the empty string (image links, icon anchors).
+  L-8  Nofollow flag (round 7, VERDICT r06 #7): a link is nofollow
+       when the kept occurrence's ``rel`` attribute — split on ASCII
+       whitespace, matched case-insensitively — contains any of
+       ``nofollow``, ``sponsored`` or ``ugc`` (the link-scheme
+       tokens crawlers honor). The link still RIDES the array (the
+       graph wants to see it) with a positionally aligned boolean;
+       consumers that model endorsement (PageRank edges, the crawl
+       frontier, the anchor-text index) exclude flagged links, per
+       the rule real crawl graphs apply.
 
 The result feeds the link-graph queries (q_extract_links,
 q_pagerank_links, q_anchor_text_index): host-level edges for
@@ -42,15 +51,20 @@ from readembedability_spark.extractor.dom import Element
 
 _ALLOWED_PREFIXES = ("http://", "https://")
 
+#: rel tokens that mark a link as not-endorsed (L-8)
+_NOFOLLOW_TOKENS = frozenset({"nofollow", "sponsored", "ugc"})
+
 
 def _strip_fragment(url: str) -> str:
     i = url.find("#")
     return url if i < 0 else url[:i]
 
 
-def extract_anchors(root: Element, page_url: str) -> list[tuple[str, str]]:
-    """Ordered, absolutized, deduped (link, anchor_text) pairs
-    (rules L-1..L-7)."""
+def extract_anchors(
+    root: Element, page_url: str
+) -> list[tuple[str, str, bool]]:
+    """Ordered, absolutized, deduped (link, anchor_text, nofollow)
+    triples (rules L-1..L-8)."""
     base = page_url
     for base_el in root.find_all("base"):
         bh = (base_el.get("href") or "").strip()
@@ -60,7 +74,7 @@ def extract_anchors(root: Element, page_url: str) -> list[tuple[str, str]]:
             except ValueError:
                 base = page_url
             break
-    out: list[tuple[str, str]] = []
+    out: list[tuple[str, str, bool]] = []
     seen: set[str] = set()
     for el in root.iter():
         if el.tag != "a":
@@ -80,10 +94,14 @@ def extract_anchors(root: Element, page_url: str) -> list[tuple[str, str]]:
         if not resolved.startswith(_ALLOWED_PREFIXES) or resolved in seen:
             continue
         seen.add(resolved)
-        out.append((resolved, " ".join(el.text_content().split())))
+        rel_tokens = (el.get("rel") or "").lower().split()
+        nofollow = any(t in _NOFOLLOW_TOKENS for t in rel_tokens)
+        out.append(
+            (resolved, " ".join(el.text_content().split()), nofollow)
+        )
     return out
 
 
 def extract_links(root: Element, page_url: str) -> list[str]:
     """Ordered, absolutized, deduped outbound links (rules L-1..L-6)."""
-    return [link for link, _ in extract_anchors(root, page_url)]
+    return [link for link, _, _ in extract_anchors(root, page_url)]

@@ -55,6 +55,7 @@ def _empty_row(url: str, status: str) -> dict[str, Any]:
         "embed": False,
         "links": None,
         "anchor_texts": None,
+        "link_nofollow": None,
         "confidences": {},
         "status": status,
     }
@@ -150,8 +151,9 @@ def _extract_from_dom(url: str, root) -> dict[str, Any]:
         "summary": result.get("summary"),
         "canonical_url": canonical,
         "embed": embed,
-        "links": [a for a, _ in anchors] or None,
-        "anchor_texts": [t for _, t in anchors] or None,
+        "links": [a for a, _, _ in anchors] or None,
+        "anchor_texts": [t for _, t, _ in anchors] or None,
+        "link_nofollow": [nf for _, _, nf in anchors] or None,
         "confidences": result.confidences,
         "status": "ok",
     }

@@ -56,6 +56,9 @@ EXTRACTED_SCHEMA = StructType(
         # anchor_texts is positionally aligned with links (L-7)
         StructField("links", ArrayType(StringType()), True),
         StructField("anchor_texts", ArrayType(StringType()), True),
+        # link_nofollow is positionally aligned with links (L-8):
+        # rel contains nofollow|sponsored|ugc on the kept occurrence
+        StructField("link_nofollow", ArrayType(BooleanType()), True),
         StructField("confidences", MapType(StringType(), DoubleType()), True),
         # ok|empty|non_html|parse_error|pdf|oversize
         StructField("status", StringType(), False),

@@ -317,8 +317,14 @@ def streaming_link_frontier(
     is the DOWNSTREAM admission job's responsibility
     (q_dedup_incremental's O(batch) shape), keeping this operator a
     pure map + join at any ingest rate."""
-    links = extract_stage(pages_stream).select(
-        "url", F.explode("links").alias("link")
+    links = (
+        extract_stage(pages_stream)
+        .select(
+            "url",
+            F.explode(F.arrays_zip("links", "link_nofollow")).alias("z"),
+        )
+        .filter(~F.col("z.link_nofollow"))  # L-8: don't crawl paid links
+        .select("url", F.col("z.links").alias("link"))
     )
     return links.join(
         known_urls.select(F.col("url").alias("known_url")),

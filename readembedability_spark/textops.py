@@ -1914,12 +1914,15 @@ _LINK_HOSTS = 20
 
 
 def _link_pages(spark, sf_dir):
-    """Host-varied pages carrying five anchors per doc — one relative
+    """Host-varied pages carrying six anchors per doc — one relative
     (resolves against the page url, L-3), one absolute cross-host
     (never an existing page: 6d ≡ 17 (mod 20) has no solution), one
     absolute pointing at the NEXT doc's real page url (doc_id+1 —
     exists for every doc but the last, so the frontier query has both
-    seen and unseen targets), one mailto: and one fragment-only (both
+    seen and unseen targets), one cross-host AD anchor carrying a
+    rel nofollow/sponsored/ugc token rotating on doc_id % 3 (L-8 —
+    flagged true, and EXCLUDED by every endorsement consumer: edges,
+    frontier, anchor index), one mailto: and one fragment-only (both
     dropped, L-2/L-4) — so the driver gate exercises every L-rule
     through the REAL mapInPandas extractor, the same oracle trick as
     the flagship wrapper."""
@@ -1929,6 +1932,14 @@ def _link_pages(spark, sf_dir):
     dst = ((F.col("doc_id") * 7 + 3) % _LINK_HOSTS).cast("string")
     nxt_host = ((F.col("doc_id") + 1) % _LINK_HOSTS).cast("string")
     nxt_id = (F.col("doc_id") + 1).cast("string")
+    # ad host ≠ src host for every doc: 5d+2 ≡ d (mod 20) needs
+    # 4d ≡ 18 (mod 20), unsolvable (gcd(4,20)=4 ∤ 18)
+    ad_host = ((F.col("doc_id") * 5 + 2) % _LINK_HOSTS).cast("string")
+    rel = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("nofollow"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("sponsored"))
+        .otherwise(F.lit("ugc noopener"))
+    )
     url = F.concat(F.lit("https://h"), src, F.lit(".example.com/d/"), did)
     html = F.encode(
         F.concat(
@@ -1951,7 +1962,13 @@ def _link_pages(spark, sf_dir):
             nxt_host,
             F.lit(".example.com/d/"),
             nxt_id,
-            F.lit('">n</a> <a href="mailto:u@example.com">m</a>'
+            F.lit('">n</a> <a rel="'),
+            rel,
+            F.lit('" href="https://h'),
+            ad_host,
+            F.lit(".example.com/ad/"),
+            did,
+            F.lit('">ad</a> <a href="mailto:u@example.com">m</a>'
                   ' <a href="#top">t</a></body></html>'),
         ),
         "UTF-8",
@@ -1966,7 +1983,9 @@ def _link_pages(spark, sf_dir):
 
 
 def _extracted_links(spark, sf_dir):
-    """(url, li, link) through the full extraction stage."""
+    """(url, li, link, nofollow) through the full extraction stage;
+    endorsement consumers (edges, frontier, anchor index) filter
+    ``~nofollow`` (L-8)."""
     from readembedability_spark.operators.extract import extract_stage
     from readembedability_spark.operators.salt import salt_repartition
 
@@ -1976,11 +1995,15 @@ def _extracted_links(spark, sf_dir):
     )
     return (
         extract_stage(pages)
-        .select("url", F.posexplode("links"))
+        .select(
+            "url",
+            F.posexplode(F.arrays_zip("links", "link_nofollow")),
+        )
         .select(
             "url",
             (F.col("pos") + 1).cast("long").alias("li"),
-            F.col("col").alias("link"),
+            F.col("col.links").alias("link"),
+            F.col("col.link_nofollow").alias("nofollow"),
         )
     )
 
@@ -1991,27 +2014,39 @@ def _extracted_links(spark, sf_dir):
     WITH base AS (
       SELECT doc_id, CAST(doc_id % {_LINK_HOSTS} AS VARCHAR) AS s,
              CAST((doc_id * 7 + 3) % {_LINK_HOSTS} AS VARCHAR) AS t,
-             CAST((doc_id + 1) % {_LINK_HOSTS} AS VARCHAR) AS u
+             CAST((doc_id + 1) % {_LINK_HOSTS} AS VARCHAR) AS u,
+             CAST((doc_id * 5 + 2) % {_LINK_HOSTS} AS VARCHAR) AS ad
       FROM documents)
     SELECT 'https://h' || s || '.example.com/d/'
              || CAST(doc_id AS VARCHAR) AS url,
            CAST(1 AS BIGINT) AS li,
            'https://h' || s || '.example.com/local/'
-             || CAST(doc_id AS VARCHAR) AS link
+             || CAST(doc_id AS VARCHAR) AS link,
+           CAST(FALSE AS BOOLEAN) AS nofollow
     FROM base
     UNION ALL
     SELECT 'https://h' || s || '.example.com/d/'
              || CAST(doc_id AS VARCHAR),
            CAST(2 AS BIGINT),
            'https://h' || t || '.example.com/d/'
-             || CAST(doc_id AS VARCHAR)
+             || CAST(doc_id AS VARCHAR),
+           CAST(FALSE AS BOOLEAN)
     FROM base
     UNION ALL
     SELECT 'https://h' || s || '.example.com/d/'
              || CAST(doc_id AS VARCHAR),
            CAST(3 AS BIGINT),
            'https://h' || u || '.example.com/d/'
-             || CAST(doc_id + 1 AS VARCHAR)
+             || CAST(doc_id + 1 AS VARCHAR),
+           CAST(FALSE AS BOOLEAN)
+    FROM base
+    UNION ALL
+    SELECT 'https://h' || s || '.example.com/d/'
+             || CAST(doc_id AS VARCHAR),
+           CAST(4 AS BIGINT),
+           'https://h' || ad || '.example.com/ad/'
+             || CAST(doc_id AS VARCHAR),
+           CAST(TRUE AS BOOLEAN)
     FROM base
     """,
 )
@@ -2019,10 +2054,13 @@ def q_extract_links(spark, sf_dir):
     """Outbound-link extraction (A-23) through the REAL extractor,
     driver-hash-checked: every page carries a relative anchor (must
     resolve against the page url), an absolute cross-host anchor
-    (kept verbatim minus fragment) and two junk anchors (mailto:,
+    (kept verbatim minus fragment), a rel-flagged ad anchor (L-8 —
+    nofollow/sponsored/ugc rotating per doc, surfaced as the
+    positionally aligned boolean) and two junk anchors (mailto:,
     '#top' — must be dropped), so the oracle states the exact
-    (url, position, link) rows in pure SQL. The links column rides
-    the existing Arrow batch — zero extra passes over the corpus."""
+    (url, position, link, nofollow) rows in pure SQL. The links and
+    link_nofollow columns ride the existing Arrow batch — zero extra
+    passes over the corpus."""
     return _extracted_links(spark, sf_dir)
 
 
@@ -2063,7 +2101,9 @@ def q_pagerank_links(spark, sf_dir):
     host-edge projection → power iteration, all driver-hash-checked
     against DuckDB replaying the synthesis arithmetic."""
     host_re = r"https://h(\d+)\.example\.com/"
-    links = _extracted_links(spark, sf_dir)
+    # L-8: nofollow/sponsored edges carry no endorsement — excluded
+    # from the authority graph (the ad anchor never becomes an edge)
+    links = _extracted_links(spark, sf_dir).filter(~F.col("nofollow"))
     edges = (
         links.select(
             F.regexp_extract("url", host_re, 1).cast("long").alias("src"),
@@ -2118,7 +2158,12 @@ def q_crawl_frontier(spark, sf_dir):
     fixed point, and the last doc's successor). At 100 TB both sides
     are url-keyed: the anti-join shuffles on url and AQE handles the
     frontier's host skew; no broadcast assumption on either side."""
-    links = _extracted_links(spark, sf_dir).select("link").distinct()
+    links = (
+        _extracted_links(spark, sf_dir)
+        .filter(~F.col("nofollow"))  # L-8: don't crawl paid links
+        .select("link")
+        .distinct()
+    )
     pages = _link_pages(spark, sf_dir).select("url")
     frontier = links.join(
         pages, links["link"] == pages["url"], "left_anti"
@@ -2174,11 +2219,17 @@ def q_anchor_text_index(spark, sf_dir):
     host_re = r"https://(h\d+\.example\.com)/"
     z = (
         extract_stage(pages)
-        .select("url", F.explode(F.arrays_zip("links", "anchor_texts")).alias("z"))
+        .select(
+            "url",
+            F.explode(
+                F.arrays_zip("links", "anchor_texts", "link_nofollow")
+            ).alias("z"),
+        )
         .select(
             F.regexp_extract("url", host_re, 1).alias("src"),
             F.regexp_extract(F.col("z.links"), host_re, 1).alias("host"),
             F.col("z.anchor_texts").alias("term"),
+            F.col("z.link_nofollow").alias("nofollow"),
         )
     )
     return (
@@ -2186,6 +2237,9 @@ def q_anchor_text_index(spark, sf_dir):
             (F.col("host") != "")
             & (F.col("host") != F.col("src"))
             & (F.col("term") != "")
+            # L-8: paid/unendorsed anchor text is spam fodder — the
+            # retrieval index only learns from followed links
+            & ~F.col("nofollow")
         )
         .groupBy("host", "term")
         .agg(F.count("*").cast("long").alias("n"))
@@ -2280,7 +2334,13 @@ def q_frontier_schedule(spark, sf_dir):
     priority 0 via the left join, so discovery never starves."""
     num_host_re = r"https://h(\d+)\.example\.com/"
     full_host_re = r"https://(h\d+\.example\.com)/"
-    links = _persist(_extracted_links(spark, sf_dir).select("url", "link"))
+    # L-8: the schedule neither ranks authority over nofollow edges
+    # nor spends crawl budget on paid links
+    links = _persist(
+        _extracted_links(spark, sf_dir)
+        .filter(~F.col("nofollow"))
+        .select("url", "link")
+    )
     pages = _link_pages(spark, sf_dir).select("url")
     edges = (
         links.select(

@@ -206,8 +206,8 @@ def test_extract_anchors_text_rule():
     </body></html>"""
     anchors = extract_anchors(parse_html(html), "https://h.example.com/")
     assert anchors == [
-        ("https://a.example.com/x", "First bold text"),
-        ("https://b.example.com/y", ""),
+        ("https://a.example.com/x", "First bold text", False),
+        ("https://b.example.com/y", "", False),
     ]
 
 
