@@ -126,6 +126,8 @@ HEADLINE = [
     "q_host_diversity",
     "q_profile_documents",
     "q_tpch_q1",
+    "q_extract_pdf",
+    "q_extract_pdf_flate",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4
@@ -134,9 +136,10 @@ HEADLINE = [
 # q_bpe_train64, q_bpe_vocab, q_pack_sequences_bpe,
 # q_model_score_trained and q_model_pr_curve are also skipped: each
 # re-runs the same training loop its timed sibling (q_bpe_tokenize /
-# q_model_train) already covers end-to-end. q_extract_pdf landed after
-# the round-6 record freeze (r6_builder_run_e) — it joins HEADLINE
-# next round so the committed record keeps matching this file.
+# q_model_train) already covers end-to-end. q_extract_pdf (deferred
+# from the round-6 record freeze) and the round-7 q_extract_pdf_flate
+# join at the END of the list so like-for-like prefix comparisons
+# against prior rounds stay clean.
 
 
 def _probe_single() -> float:
@@ -172,6 +175,35 @@ def _probe_multi(workers: int = 8) -> float:
     with mp.get_context("fork").Pool(workers) as pool:
         rates = pool.map(_probe_worker, range(workers))
     return round(sum(rates) / 1e6, 1)
+
+
+#: wait-for-quiet gate (VERDICT r06 #5): the timed section only starts
+#: once the multi-core probe clears this floor, or after the capped
+#: wait expires (recorded as an explicit waiver) — so a BENCH record
+#: captured on a contended host phase is always labeled as such.
+QUIET_MULTI8_FLOOR = 250.0
+QUIET_WAIT_CAP_S = 600.0
+QUIET_POLL_S = 20.0
+
+
+def _wait_for_quiet_host() -> dict:
+    """Poll the multi8 probe until it clears QUIET_MULTI8_FLOOR or the
+    capped wait expires. Returns the gate record merged into the
+    published probes: the probe value that released the gate, how long
+    we waited, and whether the floor was waived (cap hit while still
+    contended)."""
+    t0 = time.monotonic()
+    m = _probe_multi()
+    while m < QUIET_MULTI8_FLOOR and (
+        time.monotonic() - t0
+    ) < QUIET_WAIT_CAP_S:
+        time.sleep(QUIET_POLL_S)
+        m = _probe_multi()
+    return {
+        "multi8_gate": m,
+        "quiet_wait_sec": round(time.monotonic() - t0, 1),
+        "quiet_waived": 1.0 if m < QUIET_MULTI8_FLOOR else 0.0,
+    }
 
 
 def main() -> None:
@@ -214,7 +246,14 @@ def main() -> None:
     # while the single-thread probe stayed fast) — the probes let
     # cross-round comparisons normalize instead of misreading host
     # theft as a code regression
-    probes = {"single_start": _probe_single(), "multi8_start": _probe_multi()}
+    # bounded wait-for-quiet BEFORE the timed section (VERDICT r06 #5:
+    # the BENCH_r06 driver record was captured on the most contended
+    # host phase of its session — single-thread probe 9.8 at start —
+    # and its totals were not comparable at face value; now the run
+    # either starts quiet or records an explicit waiver)
+    probes = _wait_for_quiet_host()
+    probes["single_start"] = _probe_single()
+    probes["multi8_start"] = _probe_multi()
 
     # untimed warmup: JIT + python worker pool spin-up (steady-state
     # throughput is the metric; cf. bench/scaling.py)

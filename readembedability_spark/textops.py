@@ -408,19 +408,37 @@ def _verified_pairs_from(shingles):
 #: dedup-recall gate: probe-doc bound (exact side cost = probe docs ×
 #: shingle postings — linear, NOT the quarantined all-pairs shape) and
 #: the recall floor vs the measured sf0.01 value.
+#: q_dedup_recall probe sizing (VERDICT r06 #6): the probe-doc count
+#: DERIVES from the corpus — max(PROBE, min(CAP, N // 20)) — so the
+#: recall floor keeps bite as the corpus grows (a fixed 100-doc probe
+#: at sf0.1+ under-samples exactly where banding degeneracy shows)
+#: while the exact ground-truth side stays bounded by CAP at any N.
 _DEDUP_RECALL_PROBE = 100
+_DEDUP_RECALL_PROBE_CAP = 1024
 _DEDUP_RECALL_FLOOR = 0.75
+
+
+def _dedup_recall_probe(n_docs: int) -> int:
+    """Derived probe size — same arithmetic the oracle's pv CTE runs."""
+    return max(
+        _DEDUP_RECALL_PROBE, min(_DEDUP_RECALL_PROBE_CAP, n_docs // 20)
+    )
 
 
 @q(
     "q_dedup_recall",
     f"""
     WITH {_VERIFIED_PAIRS_SQL},
+    pv AS (
+      SELECT GREATEST({_DEDUP_RECALL_PROBE},
+                      LEAST({_DEDUP_RECALL_PROBE_CAP}, COUNT(*) // 20))
+               AS p
+      FROM documents),
     pint AS (
       SELECT sp.doc_id AS a, st.doc_id AS b, COUNT(*) AS i
       FROM shingles sp JOIN shingles st ON sp.sh = st.sh
-      WHERE sp.doc_id < {_DEDUP_RECALL_PROBE}
-        AND (st.doc_id >= {_DEDUP_RECALL_PROBE}
+      WHERE sp.doc_id < (SELECT p FROM pv)
+        AND (st.doc_id >= (SELECT p FROM pv)
              OR st.doc_id > sp.doc_id)
       GROUP BY 1, 2),
     exactp AS (
@@ -430,7 +448,7 @@ _DEDUP_RECALL_FLOOR = 0.75
       WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.2),
     lshp AS (
       SELECT a, b FROM vpairs
-      WHERE a < {_DEDUP_RECALL_PROBE} OR b < {_DEDUP_RECALL_PROBE}),
+      WHERE a < (SELECT p FROM pv) OR b < (SELECT p FROM pv)),
     hit AS (SELECT COUNT(*) AS nh FROM lshp JOIN exactp USING (a, b)),
     tot AS (SELECT COUNT(*) AS nt FROM exactp)
     SELECT 'dedup_lsh_verified' AS method,
@@ -445,17 +463,22 @@ def q_dedup_recall(spark, sf_dir):
     """Recall of the production LSH-verified dedup path vs EXACT
     Jaccard ground truth, as a driver-checked number (the
     q_ann_recall pattern applied to dedup): ground truth = all exact
-    Jaccard ≥ 0.2 pairs touching the first {_DEDUP_RECALL_PROBE}
-    probe docs, computed by an inverted-shingle join whose probe side
-    is BOUNDED (cost = probe docs × postings — linear in the corpus,
-    never the quarantined all-pairs shape); found = q_dedup_lsh_
-    verified's pairs restricted to the same probe set. A banding or
-    bucket-cap parameter tune that silently starts missing true
-    near-dups flips recall/passed and hash-fails the gate — recall
-    claims no longer live only in test asserts."""
+    Jaccard ≥ 0.2 pairs touching the first max({_DEDUP_RECALL_PROBE},
+    min({_DEDUP_RECALL_PROBE_CAP}, N//20)) probe docs — DERIVED from
+    the corpus size (VERDICT r06 #6) so the floor keeps bite as the
+    corpus grows — computed by an inverted-shingle join whose probe
+    side is BOUNDED (cost = probe docs × postings, probe capped —
+    linear in the corpus, never the quarantined all-pairs shape);
+    found = q_dedup_lsh_verified's pairs restricted to the same probe
+    set. A banding or bucket-cap parameter tune that silently starts
+    missing true near-dups flips recall/passed and hash-fails the
+    gate — recall claims no longer live only in test asserts. The
+    probe count is one bounded driver-side scalar (a parquet-metadata
+    count), mirrored by the oracle's pv CTE."""
+    docs_n = _t(spark, sf_dir, "documents").count()
     shingles = _persist(_shingles_df(spark, sf_dir))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    p = _DEDUP_RECALL_PROBE
+    p = _dedup_recall_probe(docs_n)
     sp = shingles.filter(F.col("doc_id") < p).select(
         F.col("doc_id").alias("a"), "sh"
     )
