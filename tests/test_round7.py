@@ -316,6 +316,56 @@ def test_full_pipeline_composes_both_halves(spark, tmp_path, monkeypatch,
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r06 #8 — the datasheet's WRITTEN parquet sections read back
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_report_written_sections_read_back(spark, tmp_path,
+                                                  monkeypatch, capsys):
+    """The datasheet job's parquet artifacts (the tables a
+    data-governance consumer joins against) round-trip: run main(),
+    read each written section back, and check it carries the same
+    facts the printed JSON summary does."""
+    import json as json_
+    import sys
+
+    import pyarrow.parquet as pq_
+
+    cr = _job("corpus_report")
+    out = tmp_path / "report"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "corpus_report.py",
+            "--input",
+            f"{SF_SMALL}/documents.parquet",
+            "--output",
+            str(out),
+        ],
+    )
+    cr.main()
+    summary = json_.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    funnel = {
+        r["stage"]: r["n_docs"]
+        for r in pq_.read_table(str(out / "funnel")).to_pylist()
+    }
+    assert funnel == summary["funnel"]
+    dd = pq_.read_table(str(out / "dedup")).to_pylist()[0]
+    assert dd == summary["dedup"]
+    mix = pq_.read_table(str(out / "mixture")).to_pylist()
+    assert {
+        r["lang"]: {
+            "share": r["token_share"],
+            "train_weight": r["train_weight"],
+        }
+        for r in mix
+    } == summary["languages"]
+    lens = pq_.read_table(str(out / "lengths")).to_pylist()[0]
+    assert lens == summary["lengths"]
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r06 — resume meta robustness + worker-zip hardening
 # ---------------------------------------------------------------------------
 
