@@ -67,8 +67,33 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 50, dedup_lines_within, host_stats, hard_negatives,
 #: bigram_lm_bits, unigram_logloss and chunk_documents (driver-green
 #: lifetime, unchanged) also rotate out.
+#: Head-50 ordering, round 7: every query whose plan or rule CHANGED
+#: this round gates first — the new FlateDecode PDF archetype, the
+#: position-reordered uncompressed PDF archetype, the L-8
+#: nofollow-flagged link family, the _grouped_cumsum packing/stream
+#: family, and the derived-probe dedup-recall gate — followed by the
+#: established extraction tier and training-loop anchors. Lifetime
+#: driver coverage is complete (127/127 as of r06); rotation now only
+#: prioritizes changed surfaces.
 _GATE_PRIORITY = [
     "q_extract_flagship",
+    "q_extract_pdf_flate",
+    "q_extract_pdf_chain",
+    "q_extract_pdf",
+    "q_host_token_budget",
+    "q_frontier_robots",
+    "q_extract_links",
+    "q_pagerank_links",
+    "q_crawl_frontier",
+    "q_anchor_text_index",
+    "q_frontier_schedule",
+    "q_pack_sequences",
+    "q_pack_sequences_bpe",
+    "q_pack_efficiency",
+    "q_shuffle_shards",
+    "q_length_percentile",
+    "q_dedup_recall",
+    "q_vocab_coverage",
     "q_extract_archetypes",
     "q_extract_blocks",
     "q_extract_table",
@@ -77,25 +102,15 @@ _GATE_PRIORITY = [
     "q_extract_embed",
     "q_extract_keywords",
     "q_extract_keywords_text",
-    "q_extract_pdf",
     "q_bpe_train64",
-    "q_frontier_schedule",
-    "q_pack_sequences_bpe",
     "q_bpe_vocab",
     "q_filter_funnel",
     "q_ann_ivf_pq",
-    "q_shuffle_shards",
     "q_ann_recall",
-    "q_dedup_recall",
-    "q_extract_links",
-    "q_pagerank_links",
     "q_mixture_temperature",
-    "q_pack_efficiency",
     "q_contamination_report",
     "q_split_holdout",
     "q_sample_quality",
-    "q_crawl_frontier",
-    "q_anchor_text_index",
     "q_paragraph_quality",
     "q_dedup_clusters_best",
     "q_model_pr_curve",
@@ -108,16 +123,12 @@ _GATE_PRIORITY = [
     "q_curation_pipeline_lsh",
     "q_dedup_substring",
     "q_dedup_substring_removed",
-    "q_pack_sequences",
     "q_model_score",
     "q_mixture_weights",
     "q_bpe_train",
     "q_bpe_tokenize",
     "q_model_train",
-    "q_model_score_trained",
     "q_pagerank",
-    "q_length_percentile",
-    "q_vocab_coverage",
 ]
 
 #: The quadratic all-pairs correctness baselines (q_dedup_jaccard,

@@ -128,6 +128,9 @@ HEADLINE = [
     "q_tpch_q1",
     "q_extract_pdf",
     "q_extract_pdf_flate",
+    "q_extract_pdf_chain",
+    "q_host_token_budget",
+    "q_frontier_robots",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

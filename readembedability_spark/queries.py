@@ -1908,6 +1908,59 @@ def q_extract_pdf_flate(spark, sf_dir):
 
 
 @q(
+    "q_extract_pdf_chain",
+    """
+    SELECT 'https://docs.example.com/pc/' || CAST(doc_id AS VARCHAR) AS url,
+           trim('Chain Doc ' || CAST(doc_id AS VARCHAR) || ': '
+                || substr(text, 81, 40)) AS content_text,
+           'pdf' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_pdf_chain(spark, sf_dir):
+    """Twelfth oracle-checked extraction archetype — a multi-filter
+    PDF stream chain end-to-end: the content stream is deflated THEN
+    ASCII85-armored at synthesis time and declared as
+    ``/Filter [/ASCII85Decode /FlateDecode]`` (PDF application order:
+    un-armor first, inflate second), so the REAL extractor must parse
+    the filter ARRAY from the stream dict and apply both decoders in
+    declaration order (extractor/pdftext.py _decode_stream — the
+    chain loop, previously unit-locked only). Oracle trick as
+    q_extract_pdf_flate: encoded bytes never reach the compare, the
+    SQL replays the pre-encoding construction. The trim() is
+    load-bearing in BOTH engines: the extractor python-strips each
+    layout line."""
+    import base64
+    import zlib
+
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+
+    @F.pandas_udf("binary")
+    def chain_pdf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for did, txt in zip(doc_id, text):
+            content = (
+                f"BT 72 700 Td (Chain Doc {did}: ) Tj ({txt[80:120]}) "
+                f"Tj ET"
+            ).encode("latin-1")
+            enc = base64.a85encode(zlib.compress(content), adobe=True)
+            out.append(
+                b"%PDF-1.4\n1 0 obj\n<< /Filter [/ASCII85Decode "
+                b"/FlateDecode] >>\nstream\n"
+                + enc
+                + b"\nendstream\nendobj\n%%EOF"
+            )
+        return pd.Series(out)
+
+    pdf = chain_pdf(F.col("doc_id"), F.col("text"))
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/pc/", pdf)
+    return extract_stage(pages).select("url", "content_text", "status")
+
+
+@q(
     "q_metrics_rollup",
     """
     SELECT CASE WHEN doc_id % 13 = 0 THEN 'empty'

@@ -2409,6 +2409,144 @@ def q_frontier_schedule(spark, sf_dir):
     )
 
 
+@q(
+    "q_frontier_robots",
+    f"""
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % {_LINK_HOSTS} AS VARCHAR) AS s,
+             CAST((doc_id * 7 + 3) % {_LINK_HOSTS} AS VARCHAR) AS t,
+             CAST((doc_id + 1) % {_LINK_HOSTS} AS VARCHAR) AS u
+      FROM documents),
+    links AS (
+      SELECT 'https://h' || s || '.example.com/local/'
+               || CAST(doc_id AS VARCHAR) AS link FROM base
+      UNION ALL
+      SELECT 'https://h' || t || '.example.com/d/'
+               || CAST(doc_id AS VARCHAR) FROM base
+      UNION ALL
+      SELECT 'https://h' || u || '.example.com/d/'
+               || CAST(doc_id + 1 AS VARCHAR) FROM base),
+    pages AS (
+      SELECT 'https://h' || s || '.example.com/d/'
+               || CAST(doc_id AS VARCHAR) AS url FROM base),
+    frontier AS (
+      SELECT DISTINCT l.link FROM links l
+      LEFT JOIN pages p ON p.url = l.link
+      WHERE p.url IS NULL),
+    hosts AS (
+      SELECT DISTINCT
+             regexp_extract(link,
+               'https://h([0-9]+)\\.example\\.com/', 1) AS hn
+      FROM frontier),
+    robots AS (
+      SELECT hn,
+             'User-agent: *' || chr(10) ||
+             CASE WHEN CAST(hn AS BIGINT) % 4 = 0
+                  THEN 'Disallow: /local/' || chr(10) ELSE '' END ||
+             CASE WHEN CAST(hn AS BIGINT) % 4 = 1
+                  THEN 'Disallow: /d/' || chr(10) ELSE '' END ||
+             'Crawl-delay: 1' AS txt
+      FROM hosts),
+    rules AS (
+      SELECT hn,
+             list_transform(
+               list_filter(string_split(txt, chr(10)),
+                           l -> starts_with(l, 'Disallow: ')),
+               l -> substr(l, 11)) AS dis
+      FROM robots),
+    fh AS (
+      SELECT regexp_extract(link,
+               'https://h([0-9]+)\\.example\\.com/', 1) AS hn,
+             regexp_replace(link, 'https://[^/]+', '') AS path
+      FROM frontier),
+    marked AS (
+      SELECT fh.hn,
+             len(list_filter(r.dis, p -> starts_with(fh.path, p))) > 0
+               AS blocked
+      FROM fh JOIN rules r ON r.hn = fh.hn)
+    SELECT 'h' || hn || '.example.com' AS host,
+           CAST(SUM(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_allowed,
+           CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked
+    FROM marked GROUP BY 1
+    """,
+)
+def q_frontier_robots(spark, sf_dir):
+    """Robots-compliance filtering over the crawl frontier — the gate
+    between frontier discovery and the schedule that real crawlers
+    are legally/operationally bound by: each frontier host publishes
+    a robots.txt (synthesized deterministically: hosts ≡ 0 mod 4
+    disallow /local/, ≡ 1 mod 4 disallow /d/), the PARSER extracts
+    the `Disallow:` prefix list — line split + filter + transform,
+    all JVM-side higher-order functions, no UDF — and every unseen
+    url is matched path-prefix-against its host's rules. Emits
+    per-host allowed/blocked counts (the schedule would consume the
+    allowed set). At 100 TB: the robots table is host-cardinality
+    (fetched, here synthesized), the frontier joins it host-keyed —
+    the same no-forced-broadcast discipline as q_frontier_schedule —
+    and the prefix match is row-local after the join. The oracle
+    replays the same parse with DuckDB list lambdas over the SAME
+    synthesized robots text, so the parse rule itself is
+    cross-engine-locked."""
+    num_host_re = r"https://h(\d+)\.example\.com/"
+    links = (
+        _extracted_links(spark, sf_dir)
+        .filter(~F.col("nofollow"))
+        .select("link")
+        .distinct()
+    )
+    pages = _link_pages(spark, sf_dir).select("url")
+    frontier = links.join(
+        pages, F.col("link") == F.col("url"), "left_anti"
+    ).select(
+        F.regexp_extract("link", num_host_re, 1).alias("hn"),
+        F.regexp_replace("link", r"https://[^/]+", "").alias("path"),
+    )
+    hosts = frontier.select("hn").distinct()
+    nl = "\n"
+    txt = F.concat(
+        F.lit("User-agent: *" + nl),
+        F.when(
+            F.col("hn").cast("long") % 4 == 0,
+            F.lit("Disallow: /local/" + nl),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("hn").cast("long") % 4 == 1,
+            F.lit("Disallow: /d/" + nl),
+        ).otherwise(F.lit("")),
+        F.lit("Crawl-delay: 1"),
+    )
+    rules = hosts.select(
+        "hn",
+        F.transform(
+            F.filter(
+                F.split(txt, nl),
+                lambda line: line.startswith("Disallow: "),
+            ),
+            lambda line: F.substring(line, 11, 2147483647),
+        ).alias("dis"),
+    )
+    marked = frontier.join(rules, "hn").select(
+        "hn",
+        F.exists(
+            "dis", lambda p: F.col("path").startswith(p)
+        ).alias("blocked"),
+    )
+    return marked.groupBy(
+        F.concat(F.lit("h"), F.col("hn"), F.lit(".example.com")).alias(
+            "host"
+        )
+    ).agg(
+        F.sum(F.when(F.col("blocked"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_allowed"),
+        F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_blocked"),
+    )
+
+
 _CHUNK_TOKENS = 100
 _CHUNK_STRIDE = 80  # 20-token overlap between consecutive chunks
 
@@ -3858,12 +3996,17 @@ def _grouped_cumsum(df, group_col, order_cols, val_col, parts=8):
     (group, *order_cols) so every partition holds a contiguous slice of
     one-or-more group streams, rank + running-sum per (partition, group)
     slice in parallel, then shift each slice by its predecessors'
-    (row count, value sum) within the same group — a bounded collect of
-    ≤ parts + |groups| rows (each group spans a contiguous run of range
-    partitions, so at most parts + groups − 1 (pid, group) pairs exist),
-    folded back in as literal maps keyed by pid‖group. Exactly the
-    per-group global-window result — integer-exact for integral
-    val_col — with NO per-group single-task window anywhere.
+    (row count, value sum) within the same group. Only groups that
+    STRADDLE a partition boundary need non-zero offsets, and a range
+    partitioning has at most parts − 1 boundaries → at most parts − 1
+    straddling groups → the offset collect is ≤ 2·(parts − 1) rows
+    REGARDLESS of group cardinality (a host-keyed stream with 10^8
+    groups collects the same handful of rows as a 5-language stream);
+    the straddler filter itself is a distributed group-keyed
+    aggregation, never collected. Offsets fold back in as literal maps
+    keyed by pid‖group, absent key ≡ 0. Exactly the per-group
+    global-window result — integer-exact for integral val_col — with
+    NO per-group single-task window anywhere.
 
     ``order_cols`` must totally order rows within a group (include a
     unique tie-break column); ``group_col`` must be a string column."""
@@ -3874,33 +4017,49 @@ def _grouped_cumsum(df, group_col, order_cols, val_col, parts=8):
     )
     w = Window.partitionBy("_pid", group_col).orderBy(*order_cols)
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per = rp.groupBy("_pid", group_col).agg(
+        F.count("*").alias("_n"), F.sum(val_col).alias("_s")
+    )
+    straddlers = (
+        per.groupBy(group_col)
+        .agg(F.count("*").alias("_np"))
+        .filter(F.col("_np") > 1)
+        .select(group_col)
+    )
     offs = sorted(
-        rp.groupBy("_pid", group_col)
-        .agg(F.count("*").alias("_n"), F.sum(val_col).alias("_s"))
-        .collect(),
+        per.join(F.broadcast(straddlers), group_col).collect(),
         key=lambda r: (r[group_col], r["_pid"]),
-    )  # bounded: ≤ parts + |groups| rows (contiguous range slices)
+    )  # bounded: ≤ 2·(parts − 1) rows at ANY group cardinality
     rn_off, cum_off = {}, {}
     acc_n = acc_s = 0
     prev_g = object()
     for o in offs:
         if o[group_col] != prev_g:
             acc_n, acc_s, prev_g = 0, 0, o[group_col]
-        key = f"{o['_pid']}\x00{o[group_col]}"
-        rn_off[key], cum_off[key] = acc_n, acc_s
+        if acc_n:  # leading slice of each group keeps the implicit 0
+            key = f"{o['_pid']}\x00{o[group_col]}"
+            rn_off[key], cum_off[key] = acc_n, acc_s
         acc_n += o["_n"]
         acc_s += o["_s"]
-    rn_map = F.create_map(*[F.lit(x) for kv in rn_off.items() for x in kv])
-    cum_map = F.create_map(
-        *[F.lit(x) for kv in cum_off.items() for x in kv]
-    )
     mkey = F.concat_ws(
         "\x00", F.col("_pid").cast("string"), F.col(group_col)
     )
+    if rn_off:
+        rn_map = F.create_map(
+            *[F.lit(x) for kv in rn_off.items() for x in kv]
+        )
+        cum_map = F.create_map(
+            *[F.lit(x) for kv in cum_off.items() for x in kv]
+        )
+        rn_shift = F.coalesce(rn_map[mkey], F.lit(0))
+        cum_shift = F.coalesce(cum_map[mkey], F.lit(0))
+    else:
+        rn_shift = F.lit(0)
+        cum_shift = F.lit(0)
     return rp.select(
         "*",
-        (F.row_number().over(w) + rn_map[mkey]).cast("long").alias("rnk"),
-        (F.sum(val_col).over(w_cum) + cum_map[mkey]).alias("cum"),
+        (F.row_number().over(w) + rn_shift).cast("long").alias("rnk"),
+        (F.sum(val_col).over(w_cum) + cum_shift).alias("cum"),
     ).drop("_pid")
 
 
@@ -6569,6 +6728,72 @@ def q_host_quota(spark, sf_dir):
             F.row_number().over(w).cast("long").alias("rk"),
         )
         .filter(F.col("rk") <= _QUOTA_K)
+    )
+
+
+#: per-host token budget for q_host_token_budget (anti-domination by
+#: TOKENS, not docs): a host stops contributing once the docs before
+#: the current one (in doc_id admission order) already spent this many
+_HOST_TOKEN_BUDGET = 300
+
+
+@q(
+    "q_host_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+               AS host,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, host, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY host ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS tokens_before
+      FROM t)
+    SELECT doc_id, host, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tokens_before AS BIGINT) AS tokens_before
+    FROM c WHERE tokens_before < {_HOST_TOKEN_BUDGET}
+    """,
+)
+def q_host_token_budget(spark, sf_dir):
+    """Host token-budget capping — the data-balancing complement of
+    q_host_quota: instead of capping a host at K DOCUMENTS, cap its
+    TOKEN contribution (what actually skews a training mixture — one
+    host's 10 giant pages outweigh another's 100 snippets). Admission
+    order is ascending doc_id (first-crawled-first-kept, deterministic);
+    a doc is kept iff its host's tokens-before < {_HOST_TOKEN_BUDGET},
+    so the budget-crossing doc is kept (running-sum semantics, exactly
+    the q_pack_sequences bin rule). The per-host running sum is
+    _grouped_cumsum — and hosts are the HIGH-cardinality group case
+    (10^8 at web scale) the construction is built for: the offset
+    collect is bounded by the partition count (≤ 2·(parts−1) straddler
+    rows), never by host count, while a partitionBy(host) window would
+    be safe here only by accident of host cardinality exceeding
+    parallelism. One range exchange + one (pid, host) window; the
+    filter is row-local after that."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("host"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    cs = _grouped_cumsum(toks, "host", ["doc_id"], "n_tokens")
+    before = (F.col("cum") - F.col("n_tokens")).cast("long")
+    return (
+        cs.withColumn("tokens_before", before)
+        .filter(F.col("tokens_before") < _HOST_TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "host",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "tokens_before",
+        )
     )
 
 

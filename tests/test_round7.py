@@ -88,18 +88,44 @@ def test_grouped_cumsum_matches_per_group_window(spark):
     release_caches(spark)
 
 
-def test_grouped_cumsum_bounded_offsets(spark):
-    """The stitch collect is ≤ parts + |groups| rows: each group's
-    stream occupies a CONTIGUOUS run of range partitions, so the
-    (pid, group) pair count can't exceed parts + groups − 1."""
-    rows = [(g, i, 1) for g in ("a", "b", "c", "d") for i in range(50)]
+def test_grouped_cumsum_high_cardinality_groups(spark):
+    """The offset collect stays bounded by the PARTITION count, not
+    the group count: with 200 groups over 8 range partitions at most
+    7 groups straddle a boundary, so ≤ 14 offset rows are ever
+    collected — and the (rnk, cum) result still matches brute force
+    exactly. This is what lets host-keyed streams (10^8 groups at web
+    scale) use the same construction as language streams."""
+    rows = [
+        (f"g{g:03d}", i, (i + g) % 7 + 1)
+        for g in range(200)
+        for i in range(5)
+    ]
     df = spark.createDataFrame(rows, "g string, i long, v long")
-    parts = 16
+    parts = 8
+    # the straddler bound the implementation relies on
     rp = df.repartitionByRange(
         parts, F.col("g"), F.col("i")
     ).withColumn("_pid", F.spark_partition_id())
-    pairs = rp.select("_pid", "g").distinct().count()
-    assert pairs <= parts + 4 - 1, pairs
+    straddlers = (
+        rp.select("_pid", "g")
+        .distinct()
+        .groupBy("g")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert straddlers <= parts - 1, straddlers
+    got = {
+        (r["g"], r["i"]): (r["rnk"], r["cum"])
+        for r in _grouped_cumsum(df, "g", ["i"], "v", parts=parts).collect()
+    }
+    exp = {}
+    for g in range(200):
+        acc = 0
+        for rnk, i in enumerate(range(5), start=1):
+            acc += (i + g) % 7 + 1
+            exp[(f"g{g:03d}", i)] = (rnk, acc)
+    assert got == exp
     release_caches(spark)
 
 
