@@ -33,6 +33,7 @@ _PACK_FAMILY = [
     "q_pack_efficiency",
     "q_shuffle_shards",
     "q_length_percentile",
+    "q_host_token_budget",
 ]
 
 
