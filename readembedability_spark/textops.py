@@ -1798,10 +1798,11 @@ def _pr_iters_sql() -> str:
     )
 
 
-@q(
-    "q_pagerank",
-    f"""
-    WITH edges AS (
+#: shared oracle prelude for the synthetic rule graph: edge rules,
+#: node set, out-degrees and the sink set — reused verbatim by
+#: q_pagerank and q_trustrank so both oracles walk the SAME graph.
+_PR_GRAPH_SQL = """
+    edges AS (
       SELECT DISTINCT src, dst FROM (
         SELECT event_id % 50 AS src, (event_id * 7 + 3) % 50 AS dst
         FROM events
@@ -1816,7 +1817,13 @@ def _pr_iters_sql() -> str:
     deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
     sinks AS (
       SELECT nodes.v FROM nodes LEFT JOIN deg ON deg.src = nodes.v
-      WHERE deg.src IS NULL),
+      WHERE deg.src IS NULL)"""
+
+
+@q(
+    "q_pagerank",
+    f"""
+    WITH {_PR_GRAPH_SQL},
     r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
     {_pr_iters_sql()}
     SELECT v AS node, ROUND(r, 6) AS pr FROM r{_PR_ITERS}
@@ -1835,6 +1842,12 @@ def q_pagerank(spark, sf_dir):
     (1-row broadcast per iteration) and redistributed uniformly —
     without it rank mass leaks every iteration on any real web graph,
     where sinks are the norm (PDFs, images, crawl-frontier leaves)."""
+    return _pagerank(spark, _rule_edges(spark, sf_dir))
+
+
+def _rule_edges(spark, sf_dir):
+    """The synthetic rule graph (mirrors _PR_GRAPH_SQL's edges CTE) —
+    shared by q_pagerank and q_trustrank."""
     ev = _t(spark, sf_dir, "events")
     ruleA = ev.select(
         (F.col("event_id") % 50).alias("src"),
@@ -1844,20 +1857,27 @@ def q_pagerank(spark, sf_dir):
         (F.col("event_id") % 50).alias("src"),
         ((F.col("event_id") % 50 * 3 + F.col("event_id") % 7) % 50).alias("dst"),
     )
-    edges = (
+    return (
         ruleA.unionByName(ruleB)
         .filter(
             (F.col("src") != F.col("dst")) & (F.col("src") % 11 != 0)
         )
         .distinct()
     )
-    return _pagerank(spark, edges)
 
 
-def _pagerank(spark, edges):
+def _pagerank(spark, edges, seeds=None):
     """The PageRank power-iteration loop over any (src, dst) edge
     table — shared by q_pagerank (synthetic rule graph) and
-    q_pagerank_links (the graph EXTRACTED from pages by A-23)."""
+    q_pagerank_links (the graph EXTRACTED from pages by A-23).
+
+    With `seeds` (a (v)-column DataFrame) the teleport vector is
+    PERSONALIZED: mass jumps (and dangling mass returns) only to seed
+    nodes, each at 1/|seeds| — the TrustRank variant (q_trustrank).
+    The uniform path is kept expression-identical to its long-green
+    hash (teleport (1−d)/n as a single division), while the seeded
+    path multiplies by the per-node teleport share s(v), mirroring
+    its own oracle exactly."""
     edges = _local_checkpoint(edges)  # tiny; frozen across iterations
     # nodes/deg/sinks are iteration-invariant and referenced inside
     # every iteration's lineage — persisted once so no per-iteration
@@ -1883,9 +1903,36 @@ def _pagerank(spark, edges):
     sinks = _persist(
         nodes.join(deg.select(F.col("src").alias("v")), "v", "left_anti")
     )
-    r = nodes.crossJoin(F.broadcast(nn)).select(
-        "v", (F.lit(1.0) / F.col("n")).alias("r")
-    )
+    tele = None
+    if seeds is not None:
+        # per-node teleport share s(v) = 1/|seeds| on seeds else 0 —
+        # iteration-invariant, node-count-sized, persisted once (it is
+        # read twice per iteration: teleport term + dangling return)
+        ns = F.broadcast(seeds.agg(F.count("*").alias("ns")))
+        tele = _persist(
+            _resize(
+                nodes.join(
+                    seeds.select(F.col("v"), F.lit(1).alias("_seed")),
+                    "v",
+                    "left",
+                ).crossJoin(ns)
+                .select(
+                    "v",
+                    F.when(
+                        F.col("_seed").isNotNull(),
+                        F.lit(1.0) / F.col("ns"),
+                    )
+                    .otherwise(F.lit(0.0))
+                    .alias("s"),
+                ),
+                rank_parts,
+            )
+        )
+        r = tele.select("v", F.col("s").alias("r"))
+    else:
+        r = nodes.crossJoin(F.broadcast(nn)).select(
+            "v", (F.lit(1.0) / F.col("n")).alias("r")
+        )
     for _ in range(_PR_ITERS):
         # each iteration reads r TWICE (contrib + dangling mass), so r
         # is localCheckpoint'ed per round — without it the lazy plan
@@ -1906,23 +1953,144 @@ def _pagerank(spark, edges):
         dm = r.join(sinks, "v").agg(
             F.coalesce(F.sum("r"), F.lit(0.0)).alias("m")
         )
-        r = (
-            nodes.crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(dm))
-            .join(contrib, "v", "left")
-            .select(
-                "v",
-                (
-                    F.lit(1 - _PR_DAMP) / F.col("n")
-                    + F.lit(_PR_DAMP)
-                    * (
-                        F.coalesce("inflow", F.lit(0.0))
-                        + F.col("m") / F.col("n")
-                    )
-                ).alias("r"),
+        if tele is not None:
+            r = (
+                tele.crossJoin(F.broadcast(dm))
+                .join(contrib, "v", "left")
+                .select(
+                    "v",
+                    (
+                        F.lit(1 - _PR_DAMP) * F.col("s")
+                        + F.lit(_PR_DAMP)
+                        * (
+                            F.coalesce("inflow", F.lit(0.0))
+                            + F.col("m") * F.col("s")
+                        )
+                    ).alias("r"),
+                )
             )
-        )
+        else:
+            r = (
+                nodes.crossJoin(F.broadcast(nn))
+                .crossJoin(F.broadcast(dm))
+                .join(contrib, "v", "left")
+                .select(
+                    "v",
+                    (
+                        F.lit(1 - _PR_DAMP) / F.col("n")
+                        + F.lit(_PR_DAMP)
+                        * (
+                            F.coalesce("inflow", F.lit(0.0))
+                            + F.col("m") / F.col("n")
+                        )
+                    ).alias("r"),
+                )
+            )
     return r.select(F.col("v").alias("node"), F.round("r", 6).alias("pr"))
+
+
+#: one unrolled TrustRank iteration: rank = (1-d)·s(v) + d·(Σ_in r/deg
+#: + dangling_mass·s(v)) — identical to _PR_ITER_SQL except both the
+#: teleport and the dangling return are weighted by the personalized
+#: seed share s(v) instead of the uniform 1/n.
+_TR_ITER_SQL = """
+    tdm{t} AS (
+      SELECT COALESCE(SUM(rp.r), 0) AS m
+      FROM s{p} rp JOIN sinks USING (v)),
+    s{t} AS (
+      SELECT nodes.v,
+             {teleport} * sv.s
+               + {damp} * (COALESCE(SUM(rp.r / deg.d), 0)
+                           + MAX(tdm{t}.m) * sv.s)
+               AS r
+      FROM nodes JOIN sv ON sv.v = nodes.v CROSS JOIN tdm{t}
+      LEFT JOIN edges ON edges.dst = nodes.v
+      LEFT JOIN s{p} rp ON rp.v = edges.src
+      LEFT JOIN deg ON deg.src = edges.src
+      GROUP BY nodes.v, sv.s)
+"""
+
+
+def _tr_iters_sql() -> str:
+    return ",".join(
+        _TR_ITER_SQL.format(
+            t=t, p=t - 1, teleport=round(1 - _PR_DAMP, 2), damp=_PR_DAMP
+        )
+        for t in range(1, _PR_ITERS + 1)
+    )
+
+
+@q(
+    "q_trustrank",
+    f"""
+    WITH {_PR_GRAPH_SQL},
+    r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    {_pr_iters_sql()},
+    seeds AS (SELECT v FROM nodes WHERE v % 7 = 2),
+    ns AS (SELECT COUNT(*) AS n FROM seeds),
+    sv AS (SELECT nodes.v,
+                  CASE WHEN nodes.v % 7 = 2 THEN 1.0 / ns.n
+                       ELSE 0.0 END AS s
+           FROM nodes CROSS JOIN ns),
+    s0 AS (SELECT v, s AS r FROM sv),
+    {_tr_iters_sql()}
+    SELECT pr.v AS node, pr.pr, tr.trust,
+           CASE WHEN pr.pr > 0
+                THEN ROUND((pr.pr - tr.trust) / pr.pr, 6)
+                ELSE 0.0 END AS spam_mass,
+           pr.v % 7 = 2 AS is_seed
+    FROM (SELECT v, ROUND(r, 6) AS pr FROM r{_PR_ITERS}) pr
+    JOIN (SELECT v, ROUND(r, 6) AS trust FROM s{_PR_ITERS}) tr
+      ON pr.v = tr.v
+    """,
+)
+def q_trustrank(spark, sf_dir):
+    """TrustRank + spam mass over the synthetic rule graph (the
+    crawl-stack spam demotion beside raw authority: personalized
+    PageRank seeded at a trusted host whitelist — Gyöngyi/Garcia-Molina
+    /Pedersen, VLDB 2004). Seeds = nodes ≡ 2 (mod 7) (a deterministic
+    stand-in for a curated whitelist); teleport AND the dangling-mass
+    return are personalized to the seed share s(v) = 1/|seeds|, so
+    trust only enters the graph through seeds and flows along links.
+    spam_mass = (pr − trust)/pr — the fraction of a node's authority
+    NOT reachable from trusted seeds; high-pr/high-spam_mass nodes are
+    the classic link-spam candidates.
+
+    Plan: TWO _pagerank power loops over the SAME checkpointed edge
+    table (uniform + personalized — nodes/deg/sinks each persisted
+    per loop, rank tables node-count-partitioned), then one
+    node-keyed equi-join of two rounded rank vectors. Per-iteration
+    cost is identical to q_pagerank (one dst-keyed shuffle + a 1-row
+    dangling broadcast); the seed-share table is node-count-sized and
+    persisted once. spam_mass is computed from the 6-digit-rounded
+    ranks (identical doubles in both engines); the ELSE 0.0 guard only
+    matters beyond ~10^6 nodes where (1−d)/n itself rounds to 0 — at
+    that scale the rounding would move into the consumer anyway."""
+    edges = _persist(_rule_edges(spark, sf_dir))
+    seeds = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .filter(F.col("v") % 7 == 2)
+    )
+    pr = _pagerank(spark, edges)
+    tr = _pagerank(spark, edges, seeds=seeds).withColumnsRenamed(
+        {"pr": "trust"}
+    )
+    return pr.join(tr, "node").select(
+        "node",
+        "pr",
+        "trust",
+        F.when(
+            F.col("pr") > 0,
+            F.round(
+                (F.col("pr") - F.col("trust")) / F.col("pr"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("spam_mass"),
+        (F.col("node") % 7 == 2).alias("is_seed"),
+    )
 
 
 # ---------------------------------------------------------------------------
