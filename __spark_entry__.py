@@ -71,9 +71,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: this round gates first — the new FlateDecode PDF archetype, the
 #: position-reordered uncompressed PDF archetype, the L-8
 #: nofollow-flagged link family, the _grouped_cumsum packing/stream
-#: family, and the derived-probe dedup-recall gate — followed by the
-#: established extraction tier and training-loop anchors. Lifetime
-#: driver coverage is complete (127/127 as of r06); rotation now only
+#: family, the derived-probe dedup-recall gate, the new q_trustrank /
+#: q_model_calibration / q_dsir_weights operators, and q_pagerank
+#: (its oracle prelude was factored into _PR_GRAPH_SQL and the power
+#: loop gained the personalized-teleport branch) — followed by the
+#: established extraction tier. Rotated out to hold exactly 50
+#: (all unchanged + driver-green lifetime; the training math they
+#: anchor is still in-gate via q_model_pr_curve/q_model_calibration
+#: and q_pack_sequences_bpe, which re-run the same loops):
+#: q_mixture_temperature, q_model_score, q_mixture_weights,
+#: q_bpe_train, q_bpe_tokenize, q_model_train. Lifetime driver
+#: coverage is complete (127/127 as of r06); rotation now only
 #: prioritizes changed surfaces.
 _GATE_PRIORITY = [
     "q_extract_flagship",
@@ -84,6 +92,8 @@ _GATE_PRIORITY = [
     "q_frontier_robots",
     "q_extract_links",
     "q_pagerank_links",
+    "q_pagerank",
+    "q_trustrank",
     "q_crawl_frontier",
     "q_anchor_text_index",
     "q_frontier_schedule",
@@ -107,13 +117,14 @@ _GATE_PRIORITY = [
     "q_filter_funnel",
     "q_ann_ivf_pq",
     "q_ann_recall",
-    "q_mixture_temperature",
     "q_contamination_report",
     "q_split_holdout",
     "q_sample_quality",
     "q_paragraph_quality",
     "q_dedup_clusters_best",
     "q_model_pr_curve",
+    "q_model_calibration",
+    "q_dsir_weights",
     "q_dedup_lines_within_ml",
     "q_doc_repetition_lines_ml",
     "q_url_normalize",
@@ -123,12 +134,6 @@ _GATE_PRIORITY = [
     "q_curation_pipeline_lsh",
     "q_dedup_substring",
     "q_dedup_substring_removed",
-    "q_model_score",
-    "q_mixture_weights",
-    "q_bpe_train",
-    "q_bpe_tokenize",
-    "q_model_train",
-    "q_pagerank",
 ]
 
 #: The quadratic all-pairs correctness baselines (q_dedup_jaccard,

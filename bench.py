@@ -131,6 +131,9 @@ HEADLINE = [
     "q_extract_pdf_chain",
     "q_host_token_budget",
     "q_frontier_robots",
+    "q_trustrank",
+    "q_model_calibration",
+    "q_dsir_weights",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

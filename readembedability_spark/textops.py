@@ -4114,6 +4114,156 @@ def q_bigram_lm_bits(spark, sf_dir):
     )
 
 
+@q(
+    "q_dsir_weights",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+    lab AS (
+      SELECT doc_id, n_tok,
+             CAST(mwl BETWEEN 3 AND 10
+                  AND n_tok BETWEEN 50 AND 100000 AS INT) AS y
+      FROM (SELECT doc_id, COUNT(*) AS n_tok, AVG(length(w)) AS mwl
+            FROM toks GROUP BY doc_id)),
+    bc AS MATERIALIZED (
+      SELECT doc_id, substr(md5(w), 1, 2) AS b, COUNT(*) AS c
+      FROM toks GROUP BY doc_id, b),
+    raw AS (SELECT b, SUM(c) AS cr FROM bc GROUP BY b),
+    tgt AS (
+      SELECT bc.b, SUM(bc.c) AS ct
+      FROM bc JOIN lab USING (doc_id) WHERE lab.y = 1 GROUP BY bc.b),
+    totr AS (SELECT CAST(SUM(cr) AS BIGINT) AS t FROM raw),
+    tott AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS t FROM tgt),
+    ratio AS (
+      SELECT raw.b,
+             CAST(ROUND((ln((COALESCE(tgt.ct, 0) + 1) * 1.0
+                             / (tott.t + 256))
+                         - ln((raw.cr + 1) * 1.0 / (totr.t + 256)))
+                        * 1000000.0) AS BIGINT) AS lrq
+      FROM raw LEFT JOIN tgt ON tgt.b = raw.b
+      CROSS JOIN totr CROSS JOIN tott),
+    sc AS (
+      SELECT bc.doc_id,
+             CAST(SUM(bc.c * ratio.lrq) AS BIGINT) AS score_micro
+      FROM bc JOIN ratio ON ratio.b = bc.b GROUP BY bc.doc_id)
+    SELECT sc.doc_id,
+           CAST(lab.n_tok AS BIGINT) AS n_tokens,
+           sc.score_micro,
+           ROUND(sc.score_micro / 1000000.0 / lab.n_tok, 4) + 0.0
+             AS dsir_logratio,
+           sc.score_micro > 0 AS selected
+    FROM sc JOIN lab ON lab.doc_id = sc.doc_id
+    """,
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights for data selection (Data
+    Selection via Importance Resampling, Xie et al. 2023: score raw
+    documents by log p_target(x) − log p_raw(x) under hashed n-gram
+    bag-of-features LMs, then keep the target-like ones). Target
+    distribution = docs passing the gopher-pass rule (the same
+    deterministic supervision the classifier family trains on); raw =
+    the whole corpus; features = 256 md5-bucketed unigrams with
+    add-one smoothing. Per-bucket log-ratios are quantized to micro
+    units (exact BIGINTs from identical correctly-rounded doubles), so
+    the per-doc score Σ_b c(doc,b)·lrq(b) is EXACT integer arithmetic
+    — order-independent across engines — with one final double
+    division for the length-normalized logratio; the keep decision
+    (score_micro > 0) is an exact integer compare.
+
+    Plan: one explode → groupBy(doc_id, b) map-side-combining count
+    (the persisted per-doc feature table, reused for both corpus
+    marginals and scoring), two 256-key aggregates, a ≤256-row
+    broadcast ratio dim joined back, and a doc-keyed rollup — at
+    100 TB: two passes over the feature table, no shuffle wider than
+    the corpus tokenization itself, LM artifact broadcast-sized. A
+    production variant swaps the unigram buckets for hashed bigrams
+    (same shapes, bigger b-domain, still broadcast-sized at 10^4-10^5
+    buckets)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    lab = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.avg(F.length("w")).alias("mwl"))
+        .select(
+            "doc_id",
+            "n_tok",
+            (
+                F.col("mwl").between(3, 10)
+                & F.col("n_tok").between(50, 100000)
+            )
+            .cast("int")
+            .alias("y"),
+        )
+    )
+    bc = _persist(
+        toks.select(
+            "doc_id",
+            F.substring(F.md5(F.encode("w", "UTF-8")), 1, 2).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    lab = _persist(lab)
+    raw = bc.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = (
+        bc.join(lab.filter(F.col("y") == 1).select("doc_id"), "doc_id")
+        .groupBy("b")
+        .agg(F.sum("c").alias("ct"))
+    )
+    totr = raw.agg(F.sum("cr").cast("long").alias("tr"))
+    tott = tgt.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt")
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totr))
+        .crossJoin(F.broadcast(tott))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("ct", F.lit(0)) + 1)
+                        * F.lit(1.0)
+                        / (F.col("tt") + 256)
+                    )
+                    - F.log(
+                        (F.col("cr") + 1) * F.lit(1.0) / (F.col("tr") + 256)
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lrq"),
+        )
+    )
+    sc = (
+        bc.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lrq")).cast("long").alias("score_micro"))
+    )
+    return sc.join(lab, "doc_id").select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        "score_micro",
+        (
+            F.round(
+                F.col("score_micro") / F.lit(1000000.0) / F.col("n_tok"), 4
+            )
+            # + 0.0 collapses IEEE −0.0 (a doc whose score rounds to
+            # zero from below) to +0.0 — DuckDB's ROUND preserves the
+            # sign bit, Spark's does not; both engines add it so the
+            # hashed decimal strings agree
+            + F.lit(0.0)
+        ).alias("dsir_logratio"),
+        (F.col("score_micro") > 0).alias("selected"),
+    )
+
+
 def _ranked_cumsum(cf, order_cols, val_col="c", parts=8):
     """Global (rnk, cum) over an arbitrarily large table with NO
     single-partition window (VERDICT r03 #9): range-partition on the
@@ -7345,6 +7495,74 @@ def q_model_pr_curve(spark, sf_dir):
             / F.nullif(F.sum(F.when(F.col("y") == 1, 1).otherwise(0)), F.lit(0)),
             4,
         ).alias("recall"),
+    )
+
+
+@q(
+    "q_model_calibration",
+    f"""
+    WITH {_LRN_BASE_SQL},
+    {_lrn_rounds_sql()},
+    sc AS (
+      SELECT f.doc_id, CAST(SUM(f.xq * w.w) AS BIGINT) AS dot
+      FROM feats f JOIN w{_LRN_ROUNDS} w USING (b) GROUP BY f.doc_id),
+    scored AS (
+      SELECT l.doc_id, l.y,
+             {_LRN_P.format(x=_LRN_X.format(dot="sc.dot"))} AS p
+      FROM lab l JOIN sc USING (doc_id)),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin, y,
+             CAST(ROUND(p * 1000000.0) AS BIGINT) AS pq
+      FROM scored)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(SUM(pq) * 1.0 / COUNT(*) / 1000000.0, 4) AS mean_p,
+           ROUND(SUM(y) * 1.0 / COUNT(*), 4) AS frac_pos,
+           CAST(ABS(SUM(pq) - 1000000 * SUM(y)) AS BIGINT) AS gap_micro
+    FROM binned GROUP BY bin
+    """,
+)
+def q_model_calibration(spark, sf_dir):
+    """Reliability diagram for the trained quality classifier (the
+    calibration artifact beside q_model_pr_curve's threshold sweep: a
+    filtering pipeline that treats scores as keep-PROBABILITIES — e.g.
+    q_sample_quality-style soft sampling — needs to know whether
+    p=0.8 means 80%): predicted probabilities bucketed into 10
+    equal-width bins, each reporting count, positive count, mean
+    predicted p, observed positive rate, and the exact fixed-point
+    calibration gap |Σpq − 10⁶·Σy| (the per-bin numerator of ECE —
+    consumers weight by n/N and sum). Plan: the scoring pass (feats ⋈
+    broadcast weights + doc rollup) plus ONE 10-key map-side-combining
+    aggregate — at 100 TB this is the scoring pass plus a shuffle of
+    10 keys. All bin statistics are exact-integer (pq fixed point)
+    until two final correctly-rounded double divisions, so both
+    engines hash identically with no float-summation order
+    dependence."""
+    feats, lab, w = _lrn_train(spark, sf_dir)
+    sc = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("xq") * F.col("w")).alias("dot"))
+    )
+    scored = lab.join(sc, "doc_id").select("y", _lrn_p("dot").alias("p"))
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("p") * 10).cast("long"), F.lit(9).cast("long")
+        ).alias("bin"),
+        "y",
+        F.round(F.col("p") * F.lit(1000000.0)).cast("long").alias("pq"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(
+            F.sum("pq") * F.lit(1.0) / F.count("*") / F.lit(1000000.0), 4
+        ).alias("mean_p"),
+        F.round(F.sum("y") * F.lit(1.0) / F.count("*"), 4).alias("frac_pos"),
+        F.abs(F.sum("pq") - F.lit(1000000) * F.sum("y"))
+        .cast("long")
+        .alias("gap_micro"),
     )
 
 

@@ -451,3 +451,70 @@ def test_worker_zip_ships_all_package_files(spark, tmp_path, monkeypatch):
     with zipfile.ZipFile(zpath) as z:
         assert set(z.namelist()) == expected
     zpath.unlink()
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions beyond the VERDICT list: TrustRank, calibration, DSIR
+# ---------------------------------------------------------------------------
+
+
+def test_trustrank_mass_and_seed_semantics(spark):
+    rows = REGISTRY["q_trustrank"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    # both rank vectors are probability distributions (rounded to 6dp)
+    assert abs(sum(r["pr"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["trust"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r["is_seed"] == (r["node"] % 7 == 2)
+        # trust is a non-negative share; nodes unreachable from seeds
+        # carry full spam mass
+        assert r["trust"] >= 0.0
+        if r["pr"] > 0 and r["trust"] == 0.0:
+            assert r["spam_mass"] == 1.0
+    # trust concentrates relative to uniform PageRank on the seed set:
+    # seeds hold strictly more of the trust mass than of the pr mass
+    seed_tr = sum(r["trust"] for r in rows if r["is_seed"])
+    seed_pr = sum(r["pr"] for r in rows if r["is_seed"])
+    assert seed_tr > seed_pr
+
+
+def test_model_calibration_bin_invariants(spark):
+    rows = REGISTRY["q_model_calibration"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["n_pos"] <= r["n"]
+        assert 0.0 <= r["mean_p"] <= 1.0
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        # the exact ECE numerator is bounded by the bin's total mass
+        assert 0 <= r["gap_micro"] <= r["n"] * 1_000_000
+        # mean_p lands inside its own bin (bin = floor(10·p), clamped)
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0
+        assert lo - 1e-4 <= r["mean_p"] <= (1.0 if r["bin"] == 9 else hi + 1e-4)
+
+
+def test_dsir_separates_target_from_raw(spark):
+    out = REGISTRY["q_dsir_weights"].spark(spark, SF_SMALL)
+    rows = out.collect()
+    release_caches(spark)
+    assert rows
+    for r in rows:
+        assert r["selected"] == (r["score_micro"] > 0)
+    # the importance weight must rank gopher-pass (target) docs above
+    # the raw average: mean logratio of target docs > mean of the rest
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    lab = {
+        r["doc_id"]: (3 <= r["mwl"] <= 10 and 50 <= r["n"] <= 100000)
+        for r in toks.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.avg(F.length("w")).alias("mwl"))
+        .collect()
+    }
+    tgt = [r["dsir_logratio"] for r in rows if lab[r["doc_id"]]]
+    rest = [r["dsir_logratio"] for r in rows if not lab[r["doc_id"]]]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
