@@ -134,6 +134,9 @@ HEADLINE = [
     "q_trustrank",
     "q_model_calibration",
     "q_dsir_weights",
+    "q_host_quality_prior",
+    "q_epoch_schedule",
+    "q_host_lang_entropy",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -7618,3 +7618,267 @@ def q_dedup_clusters_best(spark, sf_dir):
         keeper.alias("keeper"),
         (F.col("node") == keeper).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-level curation priors & data-constrained scheduling (round 7)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_host_quality_prior",
+    """
+    WITH perdoc AS (
+      SELECT 'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+             CAST(ROUND((LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+                          * 0.5
+                         + COALESCE(
+                             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                               * 1.0 / NULLIF(length(text), 0), 0.0) * 0.5)
+                        * 1000000.0) AS BIGINT) AS q_micro
+      FROM documents),
+    per_host AS (
+      SELECT host, COUNT(*) AS n_docs,
+             CAST(SUM(q_micro) AS BIGINT) AS sum_micro
+      FROM perdoc GROUP BY host),
+    prior AS (
+      SELECT CAST(SUM(sum_micro) AS BIGINT) AS tot_micro,
+             CAST(SUM(n_docs) AS BIGINT) AS tot_docs
+      FROM per_host)
+    SELECT host,
+           n_docs,
+           ROUND(sum_micro / 1000000.0 / n_docs, 4) AS mean_quality,
+           ROUND(tot_micro / 1000000.0 / tot_docs, 4) AS prior_mean,
+           ROUND((sum_micro + 20.0 * tot_micro / tot_docs)
+                 / 1000000.0 / (n_docs + 20), 4) AS shrunk_quality,
+           (sum_micro + 20.0 * tot_micro / tot_docs)
+             / 1000000.0 / (n_docs + 20) < 0.55 AS demoted
+    FROM per_host CROSS JOIN prior
+    """,
+)
+def q_host_quality_prior(spark, sf_dir):
+    """Empirical-Bayes host quality prior: per-host mean document
+    quality SHRUNK toward the corpus-wide mean with a pseudo-count of
+    20 docs — shrunk = (Σq_h + m·q̄)/(n_h + m). This is the host-gating
+    rule a curation pipeline actually wants: a 3-document host with
+    three lucky pages must NOT outrank a 10,000-document host with a
+    solid 0.8 mean, and a 2-document spam host must not be permanently
+    blocked on 2 bad samples; the Beta-Binomial-style shrinkage makes
+    the blocklist/allowlist decision sample-size-aware.
+
+    Cross-engine determinism: per-doc quality (the q_quality_score
+    blend) is quantized to micro units ROW-LOCALLY (one double round
+    per row, identical in both engines), so the host and global sums
+    are EXACT BIGINT arithmetic — order-independent across partitions;
+    only the final shrinkage divisions are doubles, and they divide
+    identical integers, so every engine computes the same value before
+    the single ROUND.
+
+    Plan/scale: per-doc scoring is row-local in the scan (zero
+    shuffle), one groupBy(host) with map-side partial aggregation
+    (aggregate state = 2 numbers/host), a 1-row global prior broadcast
+    (CROSS JOIN prior), then row-local shrinkage over the host table —
+    at 10^8 hosts this is one skew-tolerant host rollup plus a
+    host-table map; the demote flag feeds the same broadcast anti-join
+    that consumes q_host_stats' blocklist."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("host"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com"),
+    )
+    alpha = F.coalesce(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+        / F.nullif(F.length("text").cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    q_micro = F.round(
+        (
+            F.least(F.lit(1.0), F.size(F.split("text", " ")) / 100.0) * 0.5
+            + alpha * 0.5
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    per_host = (
+        docs.select(host.alias("host"), q_micro.alias("q_micro"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("q_micro").cast("long").alias("sum_micro"),
+        )
+    )
+    per_host = _persist(per_host)
+    prior = per_host.agg(
+        F.sum("sum_micro").cast("long").alias("tot_micro"),
+        F.sum("n_docs").cast("long").alias("tot_docs"),
+    )
+    shrunk = (
+        F.col("sum_micro")
+        + F.lit(20.0) * F.col("tot_micro") / F.col("tot_docs")
+    ) / F.lit(1000000.0) / (F.col("n_docs") + 20)
+    return per_host.crossJoin(F.broadcast(prior)).select(
+        "host",
+        "n_docs",
+        F.round(F.col("sum_micro") / F.lit(1000000.0) / F.col("n_docs"), 4)
+        .alias("mean_quality"),
+        F.round(F.col("tot_micro") / F.lit(1000000.0) / F.col("tot_docs"), 4)
+        .alias("prior_mean"),
+        F.round(shrunk, 4).alias("shrunk_quality"),
+        (shrunk < 0.55).alias("demoted"),
+    )
+
+
+@q(
+    "q_epoch_schedule",
+    """
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS uniq_tokens
+      FROM documents GROUP BY source),
+    sq AS (
+      SELECT source, uniq_tokens,
+             CAST(ROUND(sqrt(uniq_tokens) * 1000000.0) AS BIGINT) AS s_micro
+      FROM src),
+    tot AS (
+      SELECT CAST(SUM(s_micro) AS BIGINT) AS tot_micro,
+             CAST(SUM(uniq_tokens) AS BIGINT) * 2 AS budget
+      FROM sq)
+    SELECT source,
+           uniq_tokens,
+           ROUND(s_micro * 1.0 / tot_micro, 6) AS share,
+           CAST(ROUND(budget * 1.0 * s_micro / tot_micro) AS BIGINT)
+             AS desired_tokens,
+           LEAST(CAST(ROUND(budget * 1.0 * s_micro / tot_micro) AS BIGINT),
+                 4 * uniq_tokens) AS achieved_tokens,
+           ROUND(LEAST(CAST(ROUND(budget * 1.0 * s_micro / tot_micro)
+                            AS BIGINT), 4 * uniq_tokens)
+                 * 1.0 / uniq_tokens, 4) AS epochs,
+           CAST(ROUND(budget * 1.0 * s_micro / tot_micro) AS BIGINT)
+             > 4 * uniq_tokens AS capped
+    FROM sq CROSS JOIN tot
+    """,
+)
+def q_epoch_schedule(spark, sf_dir):
+    """Data-constrained pretraining schedule (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given a token budget
+    B = 2× the corpus, allocate per-source token quotas under a
+    temperature-flattened mixture (T=2 → share ∝ √tokens, the one
+    power IEEE computes correctly-rounded) and convert each quota to
+    EPOCHS over that source's unique tokens, capping at 4 epochs —
+    past ~4 repeats the paper measures near-zero marginal value, so a
+    capped source returns its excess budget rather than over-repeating.
+
+    Determinism: √tokens is quantized to micro units per source
+    (row-local), so the mixture normalizer Σ√ is an EXACT BIGINT; the
+    quota B·s/Σs divides exact integers, one double round; the epoch
+    cap is then an exact integer LEAST (4·uniq_tokens vs the rounded
+    quota) — no accumulated float state anywhere. At sf-scale the
+    BIGINT product budget·s_micro stays ≪ 2^63; a 10^13-token corpus
+    would promote the quota arithmetic to DECIMAL(38,0) — same plan.
+
+    Plan/scale: one groupBy(source) with map-side combine (sources are
+    O(100) curated subsets), a 1-row broadcast normalizer, then
+    row-local arithmetic over the source table — the whole schedule is
+    one aggregation pass regardless of corpus size; the achieved_tokens
+    column is exactly what q_sample_stratified-style samplers consume
+    as per-source quotas downstream."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("uniq_tokens")
+    )
+    sq = _persist(
+        src.select(
+            "source",
+            "uniq_tokens",
+            F.round(F.sqrt("uniq_tokens") * F.lit(1000000.0))
+            .cast("long")
+            .alias("s_micro"),
+        )
+    )
+    tot = sq.agg(
+        F.sum("s_micro").cast("long").alias("tot_micro"),
+        (F.sum("uniq_tokens").cast("long") * 2).alias("budget"),
+    )
+    desired = F.round(
+        F.col("budget") * F.lit(1.0) * F.col("s_micro") / F.col("tot_micro")
+    ).cast("long")
+    achieved = F.least(desired, 4 * F.col("uniq_tokens"))
+    return sq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "uniq_tokens",
+        F.round(F.col("s_micro") * F.lit(1.0) / F.col("tot_micro"), 6)
+        .alias("share"),
+        desired.alias("desired_tokens"),
+        achieved.alias("achieved_tokens"),
+        F.round(achieved * F.lit(1.0) / F.col("uniq_tokens"), 4)
+        .alias("epochs"),
+        (desired > 4 * F.col("uniq_tokens")).alias("capped"),
+    )
+
+
+@q(
+    "q_host_lang_entropy",
+    """
+    WITH hl AS (
+      SELECT 'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+             lang, COUNT(*) AS c
+      FROM documents GROUP BY host, lang),
+    agg AS (
+      SELECT host, COUNT(*) AS n_langs, SUM(c) AS t,
+             SUM(c * ln(c)) AS s,
+             MIN(CASE WHEN rn = 1 THEN lang END) AS top_lang
+      FROM (SELECT host, lang, c,
+                   ROW_NUMBER() OVER (PARTITION BY host
+                                      ORDER BY c DESC, lang) AS rn
+            FROM hl) GROUP BY host)
+    SELECT host,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(t AS BIGINT) AS n_docs,
+           top_lang,
+           ROUND((ln(t) - s / t) / ln(2), 4) AS lang_entropy_bits,
+           (ln(t) - s / t) / ln(2) > 1.5 AS mixed_host
+    FROM agg
+    """,
+)
+def q_host_lang_entropy(spark, sf_dir):
+    """Host language-mix entropy: Shannon entropy (bits) of the
+    language distribution of each host's documents, plus the dominant
+    language and a mixed-host flag (> 1.5 bits ≈ more than ~3
+    balanced languages). Real crawls use this as a machine-translation
+    / SEO-spam signal: a legitimate host publishes in one or two
+    languages, while auto-translated content farms emit the same pages
+    in a dozen — their host-level language entropy is anomalous even
+    when each individual page passes per-doc language ID.
+
+    Entropy uses the exact-count identity H = (ln t − Σc·ln c / t)/ln 2
+    over INTEGER counts (the q_char_entropy construction): per-(host,
+    lang) counts are exact, the ≤|langs|-term double sum is tiny and
+    rounded once. Plan: one groupBy(host, lang) with map-side combine,
+    one groupBy(host) rollup carrying a top-1 window over ≤|langs|
+    rows per host — both shuffle keys are host-prefixed so the two
+    exchanges coalesce into one at execution; no joins, no broadcast,
+    scales as a single host-keyed aggregation pass."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("host"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com"),
+    )
+    hl = docs.select(host.alias("host"), "lang").groupBy(
+        "host", "lang"
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("host").orderBy(F.desc("c"), F.asc("lang"))
+    ranked = hl.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_langs"),
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.col("c") * F.log("c")).alias("s"),
+        F.min(F.when(F.col("rn") == 1, F.col("lang"))).alias("top_lang"),
+    )
+    h = (F.log("n_docs") - F.col("s") / F.col("n_docs")) / F.log(F.lit(2.0))
+    return agg.select(
+        "host",
+        "n_langs",
+        "n_docs",
+        "top_lang",
+        F.round(h, 4).alias("lang_entropy_bits"),
+        (h > 1.5).alias("mixed_host"),
+    )

@@ -518,3 +518,72 @@ def test_dsir_separates_target_from_raw(spark):
     rest = [r["dsir_logratio"] for r in rows if not lab[r["doc_id"]]]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: host quality prior / epoch schedule / lang entropy
+# ---------------------------------------------------------------------------
+
+
+def test_host_quality_prior_shrinks_toward_global_mean(spark):
+    rows = REGISTRY["q_host_quality_prior"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    prior = rows[0]["prior_mean"]
+    for r in rows:
+        assert r["prior_mean"] == prior  # one global prior everywhere
+        lo = min(r["mean_quality"], prior) - 1e-4
+        hi = max(r["mean_quality"], prior) + 1e-4
+        # shrinkage is a convex combination: always between the host
+        # mean and the global prior, and closer to the prior the
+        # smaller the host
+        assert lo <= r["shrunk_quality"] <= hi
+        assert r["demoted"] == (r["shrunk_quality"] < 0.55) or abs(
+            r["shrunk_quality"] - 0.55
+        ) < 1e-3  # flag computed pre-round; allow the boundary ulp
+    # a 1-row prior must come in as a broadcast, not a shuffle join
+    plan = _plan(REGISTRY["q_host_quality_prior"].spark(spark, SF_SMALL))
+    release_caches(spark)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_epoch_schedule_respects_budget_and_cap(spark):
+    rows = REGISTRY["q_epoch_schedule"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    total = sum(r["uniq_tokens"] for r in rows)
+    budget = 2 * total
+    assert sum(r["desired_tokens"] for r in rows) <= budget + len(rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["achieved_tokens"] <= r["desired_tokens"]
+        assert r["achieved_tokens"] <= 4 * r["uniq_tokens"]
+        assert r["epochs"] <= 4.0001
+        assert r["capped"] == (r["desired_tokens"] > 4 * r["uniq_tokens"])
+
+
+def test_host_lang_entropy_matches_exact_recompute(spark):
+    import math
+    from collections import Counter
+
+    rows = REGISTRY["q_host_lang_entropy"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    by_host = {}
+    for d in docs:
+        by_host.setdefault(d["doc_id"] % 50, Counter())[d["lang"]] += 1
+    assert len(rows) == len(by_host)
+    for r in rows:
+        hid = int(r["host"].removeprefix("host").split(".")[0])
+        cnt = by_host[hid]
+        t = sum(cnt.values())
+        h = (math.log(t) - sum(c * math.log(c) for c in cnt.values()) / t
+             ) / math.log(2)
+        assert abs(r["lang_entropy_bits"] - round(h, 4)) < 2e-4
+        assert r["n_langs"] == len(cnt)
+        assert r["n_docs"] == t
+        assert r["top_lang"] == sorted(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0][0]
+        assert (r["lang_entropy_bits"] == 0.0) == (r["n_langs"] == 1)
