@@ -82,7 +82,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_mixture_temperature, q_model_score, q_mixture_weights,
 #: q_bpe_train, q_bpe_tokenize, q_model_train. Lifetime driver
 #: coverage is complete (127/127 as of r06); rotation now only
-#: prioritizes changed surfaces.
+#: prioritizes changed surfaces. Late round-7 additions
+#: (q_host_quality_prior, q_epoch_schedule, q_host_lang_entropy)
+#: take the slots of q_url_normalize, q_char_entropy and
+#: q_host_diversity (unchanged, driver-green lifetime).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_flate",
@@ -125,11 +128,11 @@ _GATE_PRIORITY = [
     "q_model_pr_curve",
     "q_model_calibration",
     "q_dsir_weights",
+    "q_host_quality_prior",
+    "q_epoch_schedule",
+    "q_host_lang_entropy",
     "q_dedup_lines_within_ml",
     "q_doc_repetition_lines_ml",
-    "q_url_normalize",
-    "q_char_entropy",
-    "q_host_diversity",
     "q_approx_quantiles",
     "q_curation_pipeline_lsh",
     "q_dedup_substring",
