@@ -83,9 +83,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_bpe_train, q_bpe_tokenize, q_model_train. Lifetime driver
 #: coverage is complete (127/127 as of r06); rotation now only
 #: prioritizes changed surfaces. Late round-7 additions
-#: (q_host_quality_prior, q_epoch_schedule, q_host_lang_entropy)
-#: take the slots of q_url_normalize, q_char_entropy and
-#: q_host_diversity (unchanged, driver-green lifetime).
+#: (q_host_quality_prior, q_epoch_schedule, q_host_lang_entropy,
+#: q_ccnet_buckets, q_graph_reciprocity) take the slots of
+#: q_url_normalize, q_char_entropy, q_host_diversity,
+#: q_doc_repetition_lines_ml and q_approx_quantiles (unchanged,
+#: driver-green lifetime).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_flate",
@@ -131,9 +133,9 @@ _GATE_PRIORITY = [
     "q_host_quality_prior",
     "q_epoch_schedule",
     "q_host_lang_entropy",
+    "q_ccnet_buckets",
+    "q_graph_reciprocity",
     "q_dedup_lines_within_ml",
-    "q_doc_repetition_lines_ml",
-    "q_approx_quantiles",
     "q_curation_pipeline_lsh",
     "q_dedup_substring",
     "q_dedup_substring_removed",

@@ -137,6 +137,8 @@ HEADLINE = [
     "q_host_quality_prior",
     "q_epoch_schedule",
     "q_host_lang_entropy",
+    "q_ccnet_buckets",
+    "q_graph_reciprocity",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -7882,3 +7882,205 @@ def q_host_lang_entropy(spark, sf_dir):
         F.round(h, 4).alias("lang_entropy_bits"),
         (h > 1.5).alias("mixed_host"),
     )
+
+
+@q(
+    "q_ccnet_buckets",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, w FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+    cf AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cf),
+    perdoc AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(ROUND(-ln(cf.c * 1.0 / tot.t) / ln(2)
+                                 * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS sum_micro
+      FROM toks JOIN cf USING (w) CROSS JOIN tot
+      GROUP BY doc_id, lang),
+    cbd AS (
+      SELECT doc_id, lang, n_tokens, sum_micro,
+             sum_micro // (n_tokens * 10000) AS cb
+      FROM perdoc),
+    hist AS (SELECT lang, cb, COUNT(*) AS hc FROM cbd GROUP BY lang, cb),
+    cum AS (
+      SELECT lang, cb,
+             CAST(SUM(hc) OVER (PARTITION BY lang ORDER BY cb) AS BIGINT)
+               AS cum,
+             CAST(SUM(hc) OVER (PARTITION BY lang) AS BIGINT) AS n_l
+      FROM hist),
+    bounds AS (
+      SELECT lang,
+             MIN(CASE WHEN cum >= (n_l + 2) // 3 THEN cb END) AS t1_cb,
+             MIN(CASE WHEN cum >= (2 * n_l + 2) // 3 THEN cb END) AS t2_cb
+      FROM cum GROUP BY lang)
+    SELECT cbd.doc_id, cbd.lang, cbd.n_tokens,
+           ROUND(cbd.sum_micro / 1000000.0 / cbd.n_tokens, 4)
+             AS bits_per_token,
+           cbd.cb, bounds.t1_cb, bounds.t2_cb,
+           CASE WHEN cbd.cb <= bounds.t1_cb THEN 'head'
+                WHEN cbd.cb <= bounds.t2_cb THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM cbd JOIN bounds USING (lang)
+    """,
+)
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity buckets (Wenzek et al.
+    2020: split each language's documents into head/middle/tail
+    terciles by LM perplexity, then train mostly on head+middle) —
+    the per-LANGUAGE adaptive threshold a multilingual curation
+    pipeline needs, because an absolute perplexity cutoff that keeps
+    fluent English discards fluent Finnish. Score = the q_unigram_logloss
+    self-perplexity (mean −log2 p(token) under corpus unigram
+    frequencies), made ORDER-INDEPENDENT by quantizing each token's
+    nll to micro-bits row-locally so per-doc sums are exact BIGINTs;
+    the doc's centibit bucket cb = sum_micro div (n_tokens·10⁴) is
+    pure integer arithmetic.
+
+    The tercile boundaries are the scale story: instead of a per-lang
+    percent_rank over the CORPUS (one window task per language — the
+    exact per-lang-window ceiling VERDICT r06 #1 retired from the
+    packing family), boundaries come from a bounded (lang, centibit)
+    HISTOGRAM — ≤ a few thousand buckets per language regardless of
+    corpus size — so the per-lang cumulative window runs over the
+    histogram, never the documents. Plan: corpus tokenize + unigram
+    join (Zipf head broadcast as in q_unigram_logloss), one doc-keyed
+    rollup, one (lang, cb) rollup, a histogram-sized window, and a
+    per-lang broadcast boundary join back; every corpus-sized exchange
+    is map-side combining."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _persist(
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+        ).filter(F.col("w") != "")
+    )
+    cf = _persist(toks.groupBy("w").agg(F.count("*").alias("c")))
+    tot = cf.agg(F.sum("c").cast("long").alias("t"))
+    head = _persist(cf.orderBy(F.desc("c"), F.asc("w")).limit(_PPLX_HEAD_K))
+    tail_cf = cf.join(F.broadcast(head.select("w")), "w", "left_anti")
+    hit = toks.join(F.broadcast(head), "w")
+    miss = toks.join(
+        F.broadcast(head.select("w")), "w", "left_anti"
+    ).join(tail_cf, "w")
+    nll_micro = F.round(
+        -F.log(F.col("c") * F.lit(1.0) / F.col("t"))
+        / F.log(F.lit(2.0))
+        * F.lit(1000000.0)
+    ).cast("long")
+    perdoc = _persist(
+        hit.unionByName(miss)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(nll_micro).cast("long").alias("sum_micro"),
+        )
+        .withColumn(
+            "cb", F.expr("sum_micro div (n_tokens * 10000)")
+        )
+    )
+    hist = perdoc.groupBy("lang", "cb").agg(F.count("*").alias("hc"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("cb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "cb",
+        F.sum("hc").over(w_cum).cast("long").alias("cum"),
+        F.sum("hc").over(w_tot).cast("long").alias("n_l"),
+    )
+    bounds = cum.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n_l + 2) div 3"), F.col("cb")
+            )
+        ).alias("t1_cb"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * n_l + 2) div 3"), F.col("cb")
+            )
+        ).alias("t2_cb"),
+    )
+    return perdoc.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(
+            F.col("sum_micro") / F.lit(1000000.0) / F.col("n_tokens"), 4
+        ).alias("bits_per_token"),
+        "cb",
+        "t1_cb",
+        "t2_cb",
+        F.when(F.col("cb") <= F.col("t1_cb"), F.lit("head"))
+        .when(F.col("cb") <= F.col("t2_cb"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+@q(
+    "q_graph_reciprocity",
+    f"""
+    WITH {_PR_GRAPH_SQL},
+    recip AS (
+      SELECT e1.src, COUNT(*) AS n_recip
+      FROM edges e1 JOIN edges e2
+        ON e2.src = e1.dst AND e2.dst = e1.src
+      GROUP BY e1.src),
+    outd AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src)
+    SELECT outd.src AS node,
+           CAST(outd.out_deg AS BIGINT) AS out_deg,
+           CAST(COALESCE(recip.n_recip, 0) AS BIGINT) AS n_recip,
+           ROUND(COALESCE(recip.n_recip, 0) * 1.0 / outd.out_deg, 4)
+             AS recip_rate,
+           COALESCE(recip.n_recip, 0) * 2 > outd.out_deg AS farm_suspect
+    FROM outd LEFT JOIN recip USING (src)
+    """,
+)
+def q_graph_reciprocity(spark, sf_dir):
+    """Link reciprocity per host over the same rule graph q_pagerank /
+    q_trustrank walk: the fraction of a host's out-links that point
+    back (edge (a,b) with (b,a) also present). Real crawl curation
+    uses this as a link-farm signal complementary to TrustRank — farms
+    inflate authority by EXCHANGING links, so a high-reciprocity,
+    high-degree host is suspect even when its raw PageRank looks
+    organic; the farm_suspect flag (reciprocity > 1/2) is an exact
+    integer compare (2·n_recip > out_deg), no float threshold.
+
+    Plan/scale: ONE self-equi-join of the edge table keyed on the
+    (src, dst) composite — the key is the EDGE, so the shuffle is flat
+    even when host degrees are Zipf-skewed — plus two map-side
+    combining host rollups and a host-keyed left join; linear in |E|
+    with no windows, no broadcast requirement, AQE skew-split applies.
+    At 100 TB the edges input is the A-23 extraction output that
+    already feeds q_pagerank_links/q_frontier_schedule — one persisted
+    pass serves all graph signals."""
+    edges = _persist(_rule_edges(spark, sf_dir))
+    e2 = edges.select(
+        F.col("src").alias("r_src"), F.col("dst").alias("r_dst")
+    )
+    recip = (
+        edges.join(
+            e2,
+            (F.col("r_src") == F.col("dst"))
+            & (F.col("r_dst") == F.col("src")),
+        )
+        .groupBy("src")
+        .agg(F.count("*").alias("n_recip"))
+    )
+    outd = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    n_recip = F.coalesce("n_recip", F.lit(0))
+    return outd.join(recip, "src", "left").select(
+        F.col("src").alias("node"),
+        F.col("out_deg").cast("long").alias("out_deg"),
+        n_recip.cast("long").alias("n_recip"),
+        F.round(n_recip * F.lit(1.0) / F.col("out_deg"), 4)
+        .alias("recip_rate"),
+        (n_recip * 2 > F.col("out_deg")).alias("farm_suspect"),
+    )

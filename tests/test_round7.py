@@ -587,3 +587,66 @@ def test_host_lang_entropy_matches_exact_recompute(spark):
             cnt.items(), key=lambda kv: (-kv[1], kv[0])
         )[0][0]
         assert (r["lang_entropy_bits"] == 0.0) == (r["n_langs"] == 1)
+
+
+def test_ccnet_buckets_terciles_and_histogram_bounds(spark):
+    rows = REGISTRY["q_ccnet_buckets"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    from collections import Counter
+
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+        # bucket assignment is a pure function of (cb, t1_cb, t2_cb)
+        want = (
+            "head"
+            if r["cb"] <= r["t1_cb"]
+            else ("middle" if r["cb"] <= r["t2_cb"] else "tail")
+        )
+        assert r["bucket"] == want
+        # cb is the exact integer centibit bucket of bits_per_token
+        assert r["cb"] == int(r["bits_per_token"] * 100 + 1e-9) or abs(
+            r["bits_per_token"] * 100 - r["cb"]
+        ) < 1.01  # rounding of the display column only
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        c = Counter(r["bucket"] for r in rs)
+        # boundary buckets are coarse (whole centibit buckets flip at
+        # once), but each tercile must hold at least one doc when the
+        # language has >= 3 distinct buckets, and head must reach at
+        # least ceil(n/3) docs (the boundary rule includes the bucket
+        # that crosses the tercile line)
+        assert c["head"] >= (n + 2) // 3 or len(
+            {r["cb"] for r in rs}
+        ) < 3
+        assert set(c) <= {"head", "middle", "tail"}
+        # per-lang boundaries are consistent across all rows
+        assert len({(r["t1_cb"], r["t2_cb"]) for r in rs}) == 1
+        t1, t2 = rs[0]["t1_cb"], rs[0]["t2_cb"]
+        assert t1 <= t2
+
+
+def test_graph_reciprocity_matches_exact_recompute(spark):
+    rows = REGISTRY["q_graph_reciprocity"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    edges = set()
+    for e in ev:
+        i = e["event_id"]
+        for s, d in ((i % 50, (i * 7 + 3) % 50),
+                     (i % 50, (i % 50 * 3 + i % 7) % 50)):
+            if s != d and s % 11 != 0:
+                edges.add((s, d))
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+    assert len(rows) == len(out)
+    for r in rows:
+        dsts = out[r["node"]]
+        n_recip = sum(1 for d in dsts if (d, r["node"]) in edges)
+        assert r["out_deg"] == len(dsts)
+        assert r["n_recip"] == n_recip
+        assert r["farm_suspect"] == (2 * n_recip > len(dsts))
+        assert abs(r["recip_rate"] - round(n_recip / len(dsts), 4)) < 1e-9
