@@ -7918,7 +7918,7 @@ def q_host_lang_entropy(spark, sf_dir):
              MIN(CASE WHEN cum >= (2 * n_l + 2) // 3 THEN cb END) AS t2_cb
       FROM cum GROUP BY lang)
     SELECT cbd.doc_id, cbd.lang, cbd.n_tokens,
-           ROUND(cbd.sum_micro / 1000000.0 / cbd.n_tokens, 4)
+           (cbd.sum_micro * 10000) // (cbd.n_tokens * 1000000) / 10000.0
              AS bits_per_token,
            cbd.cb, bounds.t1_cb, bounds.t2_cb,
            CASE WHEN cbd.cb <= bounds.t1_cb THEN 'head'
@@ -7938,7 +7938,10 @@ def q_ccnet_buckets(spark, sf_dir):
     frequencies), made ORDER-INDEPENDENT by quantizing each token's
     nll to micro-bits row-locally so per-doc sums are exact BIGINTs;
     the doc's centibit bucket cb = sum_micro div (n_tokens·10⁴) is
-    pure integer arithmetic.
+    pure integer arithmetic, and the displayed bits_per_token is the
+    4-dp TRUNCATION computed by exact integer division (an sf0.1 doc
+    landed its mean exactly on a ROUND half-boundary, where Spark and
+    DuckDB disagree — truncation has no boundary).
 
     The tercile boundaries are the scale story: instead of a per-lang
     percent_rank over the CORPUS (one window task per language — the
@@ -8011,8 +8014,9 @@ def q_ccnet_buckets(spark, sf_dir):
         "doc_id",
         "lang",
         "n_tokens",
-        F.round(
-            F.col("sum_micro") / F.lit(1000000.0) / F.col("n_tokens"), 4
+        (
+            F.expr("(sum_micro * 10000) div (n_tokens * 1000000)")
+            / F.lit(10000.0)
         ).alias("bits_per_token"),
         "cb",
         "t1_cb",
