@@ -84,10 +84,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: coverage is complete (127/127 as of r06); rotation now only
 #: prioritizes changed surfaces. Late round-7 additions
 #: (q_host_quality_prior, q_epoch_schedule, q_host_lang_entropy,
-#: q_ccnet_buckets, q_graph_reciprocity) take the slots of
+#: q_ccnet_buckets, q_graph_reciprocity, q_novelty_curve,
+#: q_tokenizer_fertility, q_lsh_bucket_stats) take the slots of
 #: q_url_normalize, q_char_entropy, q_host_diversity,
-#: q_doc_repetition_lines_ml and q_approx_quantiles (unchanged,
-#: driver-green lifetime).
+#: q_doc_repetition_lines_ml, q_approx_quantiles,
+#: q_contamination_report, q_split_holdout and q_paragraph_quality
+#: (unchanged, driver-green lifetime).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_flate",
@@ -122,10 +124,7 @@ _GATE_PRIORITY = [
     "q_filter_funnel",
     "q_ann_ivf_pq",
     "q_ann_recall",
-    "q_contamination_report",
-    "q_split_holdout",
     "q_sample_quality",
-    "q_paragraph_quality",
     "q_dedup_clusters_best",
     "q_model_pr_curve",
     "q_model_calibration",
@@ -135,6 +134,9 @@ _GATE_PRIORITY = [
     "q_host_lang_entropy",
     "q_ccnet_buckets",
     "q_graph_reciprocity",
+    "q_novelty_curve",
+    "q_tokenizer_fertility",
+    "q_lsh_bucket_stats",
     "q_dedup_lines_within_ml",
     "q_curation_pipeline_lsh",
     "q_dedup_substring",

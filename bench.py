@@ -139,15 +139,17 @@ HEADLINE = [
     "q_host_lang_entropy",
     "q_ccnet_buckets",
     "q_graph_reciprocity",
+    "q_novelty_curve",
+    "q_lsh_bucket_stats",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4
 # they are not even in the driver registry (queries.BASELINE_REGISTRY,
 # parity-tested only); their scale siblings are timed above. q_bpe_train,
 # q_bpe_train64, q_bpe_vocab, q_pack_sequences_bpe,
-# q_model_score_trained and q_model_pr_curve are also skipped: each
-# re-runs the same training loop its timed sibling (q_bpe_tokenize /
-# q_model_train) already covers end-to-end. q_extract_pdf (deferred
+# q_model_score_trained, q_model_pr_curve and q_tokenizer_fertility are
+# also skipped: each re-runs the same training loop its timed sibling
+# (q_bpe_tokenize / q_model_train) already covers end-to-end. q_extract_pdf (deferred
 # from the round-6 record freeze) and the round-7 q_extract_pdf_flate
 # join at the END of the list so like-for-like prefix comparisons
 # against prior rounds stay clean.

@@ -244,17 +244,21 @@ def _minhash_pairs_df(spark, sf_dir):
     return _minhash_pairs_from(_shingles_df(spark, sf_dir))
 
 
-def _minhash_pairs_from(shingles):
-    # The hash family is compile-time constant (_N_MINHASH members), so
-    # all minima are computed as parallel aggregate expressions in ONE
-    # groupBy(doc_id) — no broadcast row-expansion join, no second
-    # shuffle (the crossJoin(range(N)) formulation costs an N× row blowup
-    # plus a groupBy(doc_id, i) AND a groupBy(doc_id, band) exchange).
-    # Hash family = 4-hex-char SLICES of ONE md5 per shingle (the
-    # digest's chunks are independent uniform 16-bit hashes — standard
-    # trick): 1 digest instead of _N_MINHASH per shingle row, which is
-    # the dominant CPU of the shingle stage at 100 TB. The md5 column is
-    # projected BEFORE the aggregate so it is evaluated once per row.
+def _band_sigs_from(shingles):
+    """(doc_id, band, band_sig) LSH band signatures from a shingle DF.
+
+    The hash family is compile-time constant (_N_MINHASH members), so
+    all minima are computed as parallel aggregate expressions in ONE
+    groupBy(doc_id) — no broadcast row-expansion join, no second
+    shuffle (the crossJoin(range(N)) formulation costs an N× row blowup
+    plus a groupBy(doc_id, i) AND a groupBy(doc_id, band) exchange).
+    Hash family = 4-hex-char SLICES of ONE md5 per shingle (the
+    digest's chunks are independent uniform 16-bit hashes — standard
+    trick): 1 digest instead of _N_MINHASH per shingle row, which is
+    the dominant CPU of the shingle stage at 100 TB. The md5 column is
+    projected BEFORE the aggregate so it is evaluated once per row.
+    Shared by _minhash_pairs_from (candidate generation) and
+    q_lsh_bucket_stats (banding-skew audit)."""
     rows_per_band = _N_MINHASH // _N_BANDS
     hashed = shingles.select("doc_id", F.md5(F.encode("sh", "UTF-8")).alias("h"))
     mh = hashed.groupBy("doc_id").agg(
@@ -281,11 +285,15 @@ def _minhash_pairs_from(shingles):
     bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", "bs.band", "bs.band_sig"
     )
+    return bands
+
+
+def _minhash_pairs_from(shingles):
     # pair generation via bucket groupBy instead of a self-join: one pass
     # over the band table (a self-join would recompute the whole minhash
     # pipeline for each side), and the bucket is the shuffle key — the
     # scale-out shape for LSH candidate generation.
-    buckets = bands.groupBy("band", "band_sig").agg(
+    buckets = _band_sigs_from(shingles).groupBy("band", "band_sig").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
     return _capped_bucket_pairs(buckets)
@@ -8087,4 +8095,235 @@ def q_graph_reciprocity(spark, sf_dir):
         F.round(n_recip * F.lit(1.0) / F.col("out_deg"), 4)
         .alias("recip_rate"),
         (n_recip * 2 > F.col("out_deg")).alias("farm_suspect"),
+    )
+
+
+@q(
+    "q_novelty_curve",
+    f"""
+    WITH {_SHINGLES_SQL},
+    mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    pres AS (
+      SELECT DISTINCT LEAST(9, s.doc_id * 10 // mx.m) AS batch, s.sh
+      FROM shingles s CROSS JOIN mx),
+    fst AS (SELECT sh, MIN(batch) AS fb FROM pres GROUP BY sh),
+    per AS (
+      SELECT pres.batch,
+             CAST(COUNT(*) AS BIGINT) AS distinct_shingles,
+             CAST(SUM(CASE WHEN fst.fb = pres.batch THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_shingles
+      FROM pres JOIN fst USING (sh) GROUP BY pres.batch)
+    SELECT batch, distinct_shingles, new_shingles,
+           ROUND(new_shingles * 1.0 / distinct_shingles, 4) AS novelty_rate,
+           CAST(SUM(new_shingles) OVER (ORDER BY batch) AS BIGINT)
+             AS cum_distinct
+    FROM per
+    """,
+)
+def q_novelty_curve(spark, sf_dir):
+    """Marginal-novelty curve: split the crawl into 10 equal doc-id
+    batches (crawl order) and measure, per batch, how many distinct
+    3-gram shingles are NEW (first seen in that batch) vs merely
+    present — the diminishing-returns curve that answers "is crawling
+    MORE of this source still buying new data?" (the data-constrained
+    regime's first question, and the aggregate twin of
+    q_dedup_incremental's per-doc admission). novelty_rate falling
+    toward 0 means additional crawl re-treads existing text.
+
+    Plan/scale: shingle explode (the same unit MinHash uses) → ONE
+    distinct over (batch, sh) → shingle-keyed MIN(batch) combining agg
+    → 10-key rollup; the final cumulative sum is a window over the
+    TEN-row curve (explicitly bounded — batch count is a constant,
+    never corpus-sized). Every corpus-sized exchange is shingle- or
+    (batch, shingle)-keyed, flat under Zipf skew because the key
+    includes the shingle text; the 1-row max-id broadcast pins batch
+    boundaries without a sort."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles_from(docs)
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    pres = (
+        sh.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("least(9, doc_id * 10 div m)").alias("batch"), "sh"
+        )
+        .distinct()
+    )
+    pres = _persist(pres)
+    fst = pres.groupBy("sh").agg(F.min("batch").alias("fb"))
+    per = (
+        pres.join(fst, "sh")
+        .groupBy("batch")
+        .agg(
+            F.count("*").cast("long").alias("distinct_shingles"),
+            F.sum((F.col("fb") == F.col("batch")).cast("int"))
+            .cast("long")
+            .alias("new_shingles"),
+        )
+    )
+    w = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # 10-row curve: the global window is constant-sized by design
+    return per.select(
+        "batch",
+        "distinct_shingles",
+        "new_shingles",
+        F.round(
+            F.col("new_shingles") * F.lit(1.0) / F.col("distinct_shingles"),
+            4,
+        ).alias("novelty_rate"),
+        F.sum("new_shingles").over(w).cast("long").alias("cum_distinct"),
+    )
+
+
+@q(
+    "q_tokenizer_fertility",
+    f"""
+    WITH {_BPE_BASE_SQL},
+    {_bpe_rounds_sql()},
+    dw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+    nb AS (
+      SELECT dw.doc_id,
+             CAST(SUM(len(string_split(wn.seq, chr(1))) - 2) AS BIGINT)
+               AS n_bpe,
+             CAST(COUNT(*) AS BIGINT) AS n_ws
+      FROM dw JOIN w{_BPE_MERGES} wn ON dw.w = wn.word
+      GROUP BY dw.doc_id)
+    SELECT d.lang,
+           CAST(SUM(nb.n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(nb.n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+           ROUND(SUM(nb.n_bpe) * 1.0 / SUM(nb.n_ws), 4) AS fertility,
+           ROUND(SUM(d.n_chars) * 1.0 / SUM(nb.n_bpe), 4)
+             AS chars_per_token
+    FROM documents d JOIN nb USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility / compression equity by language: BPE
+    tokens per whitespace word (fertility) and characters per BPE
+    token (compression) under the SAME trained vocab q_bpe_tokenize /
+    q_pack_sequences_bpe ship — the multilingual-equity report a
+    tokenizer decision needs, because a vocab trained on a
+    English-heavy mixture over-fragments other languages (fertility
+    2-3× higher), silently taxing their effective context length and
+    training compute share. Per-lang sums are exact BIGINTs (token
+    counts), ratios are one double division each.
+
+    Plan/scale: BPE training is the shared one-corpus-pass + bounded
+    per-round-collect loop (see _bpe_train_docs); application is the
+    broadcast-vocab join + doc-keyed combining rollup shared with
+    bpe_doc_token_counts; the report adds one |langs|-key rollup. No
+    new corpus-sized shuffles beyond the tokenization itself."""
+    docs = _t(spark, sf_dir, "documents")
+    _, final_words = _bpe_train(spark, sf_dir)
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    n = (F.size(F.split("seq", _BPE_D)) - F.lit(2)).cast("long")
+    nb = (
+        dw.join(
+            F.broadcast(
+                final_words.select(F.col("word").alias("w"), "seq")
+            ),
+            "w",
+        )
+        .select("doc_id", n.alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bpe"),
+            F.count("*").cast("long").alias("n_ws"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(nb, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_ws").cast("long").alias("ws_tokens"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.round(
+                F.sum("n_bpe") * F.lit(1.0) / F.sum("n_ws"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars") * F.lit(1.0) / F.sum("n_bpe"), 4
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+@q(
+    "q_lsh_bucket_stats",
+    f"""
+    WITH {_SHINGLES_SQL},
+    hashes AS (
+      SELECT doc_id, i,
+             MIN(substr(md5(sh), i * 4 + 1, 4)) AS mh
+      FROM shingles CROSS JOIN generate_series(0, {_N_MINHASH - 1}) t(i)
+      GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // {_N_MINHASH // _N_BANDS} AS band,
+             string_agg(mh, ',' ORDER BY i) AS band_sig
+      FROM hashes GROUP BY doc_id, band),
+    bsz AS (
+      SELECT band, band_sig, CAST(COUNT(*) AS BIGINT) AS k
+      FROM bands GROUP BY band, band_sig),
+    cls AS (
+      SELECT CAST(length(bin(k)) - 1 AS BIGINT) AS size_class, k,
+             LEAST(k, {_MAX_BUCKET_IDS}) AS h
+      FROM bsz)
+    SELECT size_class,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(k) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN k > {_MAX_BUCKET_IDS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped,
+           CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS pairs_uncapped,
+           CAST(SUM(h * (h - 1) // 2 + (k - h)) AS BIGINT)
+             AS pairs_emitted
+    FROM cls GROUP BY size_class
+    """,
+)
+def q_lsh_bucket_stats(spark, sf_dir):
+    """Banding-skew audit of the MinHash-LSH candidate generator: the
+    bucket-size distribution in power-of-two classes (size_class =
+    ⌊log2 k⌋ via exact binary-string length — no float log), how many
+    buckets exceed the degenerate-bucket cap, and the quadratic pair
+    count the cap AVOIDED (pairs_uncapped = Σ k(k−1)/2) vs the linear
+    count actually emitted (head pairs + star pairs). This is the
+    operational artifact you read before tuning _MAX_BUCKET_IDS or the
+    band/row split: on a mostly-duplicate crawl the top class shows a
+    single bucket whose uncapped pair count would dominate the whole
+    job, and the emitted column proves the cap holds output linear.
+
+    Plan/scale: the shared _band_sigs_from signature pass (one
+    groupBy(doc_id) with parallel min aggregates), then a COUNT-only
+    groupBy(band, band_sig) — crucially NOT the collect_list bucket
+    materialization the pair generator needs, so the audit runs on
+    corpora whose largest bucket would not fit an executor — and a
+    ≤64-key class rollup. All counts exact integers."""
+    bands = _band_sigs_from(_shingles_df(spark, sf_dir))
+    bsz = bands.groupBy("band", "band_sig").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    cls = bsz.select(
+        (F.length(F.conv(F.col("k"), 10, 2)) - 1)
+        .cast("long")
+        .alias("size_class"),
+        "k",
+        F.least(F.col("k"), F.lit(_MAX_BUCKET_IDS)).alias("h"),
+    )
+    return cls.groupBy("size_class").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("k").cast("long").alias("n_docs"),
+        F.sum((F.col("k") > _MAX_BUCKET_IDS).cast("int"))
+        .cast("long")
+        .alias("n_capped"),
+        F.sum(F.expr("k * (k - 1) div 2")).cast("long").alias("pairs_uncapped"),
+        F.sum(F.expr("h * (h - 1) div 2 + (k - h)"))
+        .cast("long")
+        .alias("pairs_emitted"),
     )

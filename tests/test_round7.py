@@ -650,3 +650,64 @@ def test_graph_reciprocity_matches_exact_recompute(spark):
         assert r["n_recip"] == n_recip
         assert r["farm_suspect"] == (2 * n_recip > len(dsts))
         assert abs(r["recip_rate"] - round(n_recip / len(dsts), 4)) < 1e-9
+
+
+def test_novelty_curve_is_monotone_and_exact(spark):
+    rows = sorted(
+        REGISTRY["q_novelty_curve"].spark(spark, SF_SMALL).collect(),
+        key=lambda r: r["batch"],
+    )
+    release_caches(spark)
+    assert [r["batch"] for r in rows] == list(range(len(rows)))
+    assert rows[0]["novelty_rate"] == 1.0  # batch 0 is all-new
+    cum = 0
+    for r in rows:
+        assert 0 < r["new_shingles"] <= r["distinct_shingles"]
+        cum += r["new_shingles"]
+        assert r["cum_distinct"] == cum
+    # exact recompute of the global distinct-shingle count
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    all_sh = set()
+    for d in docs:
+        ws = d["text"].split(" ")
+        for k in range(len(ws) - 2):
+            s = " ".join(ws[k : k + 3])
+            if s:
+                all_sh.add(s)
+    assert rows[-1]["cum_distinct"] == len(all_sh)
+
+
+def test_tokenizer_fertility_consistent_with_bpe_tokenize(spark):
+    rows = REGISTRY["q_tokenizer_fertility"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    langs = {r["lang"] for r in rows}
+    assert langs == {"en", "de", "es", "fr", "zh"}
+    for r in rows:
+        # BPE splits words into >= 1 pieces, and merges cap at whole
+        # words, so fertility >= 1; chars/token >= 1 likewise
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_token"] >= 1.0
+        assert r["bpe_tokens"] >= r["ws_tokens"]
+    # cross-check the total against q_bpe_tokenize's per-doc counts
+    tok = REGISTRY["q_bpe_tokenize"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    total_bpe = sum(r["bpe_tokens"] for r in rows)
+    assert total_bpe == sum(r["n_bpe_tokens"] for r in tok)
+
+
+def test_lsh_bucket_stats_consistent_with_pair_generator(spark):
+    rows = REGISTRY["q_lsh_bucket_stats"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    for r in rows:
+        assert r["n_buckets"] >= 1
+        assert r["n_docs"] >= r["n_buckets"] * (1 << r["size_class"])
+        assert r["pairs_emitted"] <= r["pairs_uncapped"]
+        if r["n_capped"] == 0:
+            assert r["pairs_emitted"] == r["pairs_uncapped"]
+    # the audit's emitted count bounds the actual (DISTINCT-deduped)
+    # candidate set produced by the pair generator on the same corpus
+    n_pairs = REGISTRY["q_minhash_lsh"].spark(spark, SF_SMALL).count()
+    release_caches(spark)
+    assert sum(r["pairs_emitted"] for r in rows) >= n_pairs
