@@ -89,7 +89,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_url_normalize, q_char_entropy, q_host_diversity,
 #: q_doc_repetition_lines_ml, q_approx_quantiles,
 #: q_contamination_report, q_split_holdout and q_paragraph_quality
-#: (unchanged, driver-green lifetime).
+#: (unchanged, driver-green lifetime). The five final round-7
+#: operators (q_hits, q_dedup_containment, q_source_novelty,
+#: q_context_truncation, q_degree_distribution) take the slots of
+#: q_dedup_clusters_best, q_dedup_lines_within_ml,
+#: q_curation_pipeline_lsh, q_dedup_substring and
+#: q_dedup_substring_removed (all untouched this round and
+#: driver-green lifetime; the LSH/verify/CC machinery they compose
+#: stays in-gate via q_dedup_recall, q_lsh_bucket_stats and
+#: q_dedup_containment, which share its helpers).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_flate",
@@ -125,7 +133,7 @@ _GATE_PRIORITY = [
     "q_ann_ivf_pq",
     "q_ann_recall",
     "q_sample_quality",
-    "q_dedup_clusters_best",
+    "q_hits",
     "q_model_pr_curve",
     "q_model_calibration",
     "q_dsir_weights",
@@ -137,10 +145,10 @@ _GATE_PRIORITY = [
     "q_novelty_curve",
     "q_tokenizer_fertility",
     "q_lsh_bucket_stats",
-    "q_dedup_lines_within_ml",
-    "q_curation_pipeline_lsh",
-    "q_dedup_substring",
-    "q_dedup_substring_removed",
+    "q_dedup_containment",
+    "q_source_novelty",
+    "q_context_truncation",
+    "q_degree_distribution",
 ]
 
 #: The quadratic all-pairs correctness baselines (q_dedup_jaccard,

@@ -141,6 +141,11 @@ HEADLINE = [
     "q_graph_reciprocity",
     "q_novelty_curve",
     "q_lsh_bucket_stats",
+    "q_hits",
+    "q_dedup_containment",
+    "q_source_novelty",
+    "q_context_truncation",
+    "q_degree_distribution",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

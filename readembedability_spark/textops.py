@@ -8327,3 +8327,663 @@ def q_lsh_bucket_stats(spark, sf_dir):
         .cast("long")
         .alias("pairs_emitted"),
     )
+
+
+_CTX_WINDOWS = (256, 1024, 4096)
+
+
+@q(
+    "q_context_truncation",
+    r"""
+    WITH nt AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    w AS (SELECT unnest([256, 1024, 4096]) AS ctx)
+    SELECT w.ctx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN nt.n_tokens > w.ctx THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_over,
+           CAST(SUM(nt.n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(GREATEST(nt.n_tokens - w.ctx, 0)) AS BIGINT)
+             AS tokens_lost,
+           ROUND(SUM(GREATEST(nt.n_tokens - w.ctx, 0)) * 1.0
+                 / SUM(nt.n_tokens), 4) AS loss_frac
+    FROM nt CROSS JOIN w GROUP BY w.ctx
+    """,
+)
+def q_context_truncation(spark, sf_dir):
+    """Context-window truncation loss: for each candidate training
+    context length (256 / 1024 / 4096), how many documents exceed it
+    and what fraction of corpus tokens a hard-truncation policy would
+    discard — the report that decides between truncating, splitting
+    (q_chunk_documents) or packing (q_pack_sequences) before a training
+    run, and the counterpart of q_pack_efficiency on the INPUT side
+    (loss you'd eat before packing vs padding the packer recovers).
+    Token counts are whitespace tokens, the same surface q_token_count
+    ships; all sums exact BIGINTs, one double division per window.
+
+    Plan/scale: one narrow projection computes per-doc token counts
+    (no shuffle), a 3-row literal window table cross-joins (broadcast,
+    3× row multiplier on a 2-column projection), and ONE combining
+    groupBy(ctx) with 3 keys. Linear in corpus size, no windows, no
+    skew surface — the doc-count reduction happens map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    nt = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in _CTX_WINDOWS])
+        ).alias("ctx")
+    )
+    lost = F.greatest(F.col("n_tokens") - F.col("ctx"), F.lit(0))
+    return (
+        nt.crossJoin(F.broadcast(w))
+        .groupBy("ctx")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("n_tokens") > F.col("ctx")).cast("int"))
+            .cast("long")
+            .alias("docs_over"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(lost).cast("long").alias("tokens_lost"),
+            F.round(
+                F.sum(lost) * F.lit(1.0) / F.sum("n_tokens"), 4
+            ).alias("loss_frac"),
+        )
+    )
+
+
+@q(
+    "q_degree_distribution",
+    f"""
+    WITH {_PR_GRAPH_SQL},
+    degs AS (
+      SELECT 'out' AS direction, src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges GROUP BY src
+      UNION ALL
+      SELECT 'in' AS direction, dst AS v, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges GROUP BY dst)
+    SELECT direction,
+           CAST(length(bin(deg)) - 1 AS BIGINT) AS size_class,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(deg) AS BIGINT) AS n_edges
+    FROM degs GROUP BY direction, size_class
+    """,
+)
+def q_degree_distribution(spark, sf_dir):
+    """In/out degree distribution of the link graph in exact
+    power-of-two classes (size_class = ⌊log2 deg⌋ via binary-string
+    length — no float log, same trick as q_lsh_bucket_stats): the
+    shape audit read BEFORE running PageRank/TrustRank at scale —
+    a heavy top out-degree class means scrape-y hub pages that need
+    the per-host out-link cap, a heavy top in-degree class means the
+    contrib shuffle will skew on dst and AQE skew-split / salting is
+    worth enabling. Walks the SAME rule graph as q_pagerank /
+    q_trustrank / q_graph_reciprocity so the classes line up with
+    those queries' nodes.
+
+    Plan/scale: two map-side combining degree rollups (keyed src /
+    dst — the natural edge partitioning), then a ≤2×64-key class
+    rollup. Linear in |E|, no joins, no windows; degree skew lands
+    in the COUNT aggregates where combining absorbs it."""
+    edges = _persist(_rule_edges(spark, sf_dir))
+    outd = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").cast("long").alias("deg")
+    ).select(F.lit("out").alias("direction"), "v", "deg")
+    ind = edges.groupBy(F.col("dst").alias("v")).agg(
+        F.count("*").cast("long").alias("deg")
+    ).select(F.lit("in").alias("direction"), "v", "deg")
+    degs = outd.unionByName(ind)
+    return (
+        degs.select(
+            "direction",
+            (F.length(F.conv(F.col("deg"), 10, 2)) - 1)
+            .cast("long")
+            .alias("size_class"),
+            "deg",
+        )
+        .groupBy("direction", "size_class")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("n_edges"),
+        )
+    )
+
+
+#: one unrolled HITS iteration: auth ∝ Σ_in hub, hub ∝ Σ_out auth,
+#: each L1-normalized by its 1-row sum so scores stay comparable
+#: across iterations (and the fixpoint is the principal eigenvector
+#: pair of AᵀA / AAᵀ).
+_HITS_ITER_SQL = """
+    ap{t} AS (
+      SELECT nodes.v, COALESCE(SUM(h{p}.r), 0) AS r
+      FROM nodes
+      LEFT JOIN edges ON edges.dst = nodes.v
+      LEFT JOIN h{p} ON h{p}.v = edges.src
+      GROUP BY nodes.v),
+    asum{t} AS (SELECT SUM(r) AS s FROM ap{t}),
+    a{t} AS (SELECT v, r / asum{t}.s AS r FROM ap{t} CROSS JOIN asum{t}),
+    hp{t} AS (
+      SELECT nodes.v, COALESCE(SUM(a{t}.r), 0) AS r
+      FROM nodes
+      LEFT JOIN edges ON edges.src = nodes.v
+      LEFT JOIN a{t} ON a{t}.v = edges.dst
+      GROUP BY nodes.v),
+    hsum{t} AS (SELECT SUM(r) AS s FROM hp{t}),
+    h{t} AS (SELECT v, r / hsum{t}.s AS r FROM hp{t} CROSS JOIN hsum{t})
+"""
+
+
+def _hits_iters_sql() -> str:
+    return ",".join(
+        _HITS_ITER_SQL.format(t=t, p=t - 1)
+        for t in range(1, _PR_ITERS + 1)
+    )
+
+
+@q(
+    "q_hits",
+    f"""
+    WITH {_PR_GRAPH_SQL},
+    h0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    {_hits_iters_sql()}
+    SELECT h.v AS node,
+           ROUND(h.r, 6) AS hub,
+           ROUND(a.r, 6) AS auth
+    FROM h{_PR_ITERS} h JOIN a{_PR_ITERS} a USING (v)
+    """,
+)
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities over the SAME rule graph q_pagerank /
+    q_trustrank walk: auth(v) ∝ Σ hub over in-links, hub(v) ∝ Σ auth
+    over out-links, L1-normalized each half-step, _PR_ITERS mutual
+    iterations mirrored exactly in the oracle. The crawl-curation
+    read: PageRank scores the page you WANT, HITS separates the page
+    that POINTS WELL (hub — directory/listing pages worth crawling
+    for frontier discovery even when their own content is thin) from
+    the page pointed AT (authority) — and a node high on hub AND auth
+    inside one neighborhood is the link-farm signature TrustRank's
+    seed-distance misses when farms interlink densely
+    (q_graph_reciprocity's exchange signal, graded continuously).
+
+    Plan/scale: per half-step ONE edges⋈scores equi-join (shuffle
+    keyed dst then src — the same flat edge-keyed exchanges PageRank
+    ships) + a node-keyed combining rollup + a 1-row L1 sum broadcast
+    for the normalization; scores are localCheckpoint'ed per
+    iteration like the PageRank loop (each table feeds its sum AND
+    the next half-step, so the unchecked lineage doubles per round).
+    No degree division, no windows; in-degree skew lands in the
+    combining SUM."""
+    edges = _local_checkpoint(_rule_edges(spark, sf_dir))
+    nodes = _persist(
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    rank_parts = _parts_for(nodes.count())
+    nodes = _resize(nodes, rank_parts)
+    nn = nodes.agg(F.count("*").alias("n"))
+    h = nodes.crossJoin(F.broadcast(nn)).select(
+        "v", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    a = None
+    for _ in range(_PR_ITERS):
+        h = _local_checkpoint(_resize(h, rank_parts))
+        ap = (
+            nodes.join(
+                edges.join(
+                    h.select(F.col("v").alias("src"), "r"), "src"
+                )
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum("r").alias("inflow")),
+                "v",
+                "left",
+            )
+            .select("v", F.coalesce("inflow", F.lit(0.0)).alias("r"))
+        )
+        ap = _local_checkpoint(_resize(ap, rank_parts))
+        asum = ap.agg(F.sum("r").alias("s"))
+        a = ap.crossJoin(F.broadcast(asum)).select(
+            "v", (F.col("r") / F.col("s")).alias("r")
+        )
+        a = _local_checkpoint(_resize(a, rank_parts))
+        hp = (
+            nodes.join(
+                edges.join(
+                    a.select(F.col("v").alias("dst"), "r"), "dst"
+                )
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.sum("r").alias("outflow")),
+                "v",
+                "left",
+            )
+            .select("v", F.coalesce("outflow", F.lit(0.0)).alias("r"))
+        )
+        hp = _local_checkpoint(_resize(hp, rank_parts))
+        hsum = hp.agg(F.sum("r").alias("s"))
+        h = hp.crossJoin(F.broadcast(hsum)).select(
+            "v", (F.col("r") / F.col("s")).alias("r")
+        )
+    return (
+        h.select(F.col("v"), F.round("r", 6).alias("hub"))
+        .join(
+            a.select("v", F.round("r", 6).alias("auth")), "v"
+        )
+        .select(F.col("v").alias("node"), "hub", "auth")
+    )
+
+
+@q(
+    "q_dedup_containment",
+    f"""
+    WITH {_MINHASH_CAND_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, COUNT(*) AS i
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.a
+      JOIN shingles sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+      GROUP BY c.a, c.b)
+    SELECT a, b, CAST(i AS BIGINT) AS n_shared,
+           ROUND(i * 1.0 / (za.sz + zb.sz - i), 4) AS jaccard,
+           ROUND(i * 1.0 / LEAST(za.sz, zb.sz), 4) AS containment,
+           i * 10 >= LEAST(za.sz, zb.sz) * 9
+             AND i * 5 < za.sz + zb.sz - i AS subset_only
+    FROM inter
+    JOIN sizes za ON za.doc_id = a
+    JOIN sizes zb ON zb.doc_id = b
+    WHERE i * 2 >= LEAST(za.sz, zb.sz)
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric-containment near-dup detection: for the SAME capped
+    MinHash-LSH candidate pairs the Jaccard verifier walks, compute
+    containment = |A∩B| / min(|A|,|B|) — the fraction of the SMALLER
+    document's shingles inside the larger. This is the dedup signal
+    symmetric Jaccard structurally misses: a short article pasted into
+    a long aggregator page (quote-wrap, boilerplate-wrap, syndication
+    with added chrome) has containment ≈ 1 while Jaccard ≈ |A|/|B| —
+    arbitrarily low — so a Jaccard-thresholded pipeline keeps both
+    copies. `subset_only` flags exactly those pairs (containment ≥ 0.9
+    yet Jaccard < 0.2, BOTH as exact integer cross-multiplications —
+    10·i ≥ 9·min, 5·i < union — no float threshold edge), the rows a
+    containment-aware curation removes on top of q_dedup_lsh_verified.
+    Emitted universe: candidates with containment ≥ 1/2 (2·i ≥ min).
+
+    Plan/scale: identical shape to q_dedup_lsh_verified — banded+capped
+    candidate generation (linear in corpus size), intersection counted
+    ONLY for candidate pairs via two candidate-keyed equi-joins, then
+    two size-table joins; no new corpus-sized exchange. One LSH caveat
+    inherited by design and documented here: banding probability is
+    driven by the Jaccard similarity, so a tiny-doc-in-huge-doc pair
+    with near-zero Jaccard may never share a band — at scale the
+    recall path for those is the ExactSubstr family
+    (q_dedup_substring), while this query catches the
+    moderate-asymmetry regime the bands do surface."""
+    shingles = _persist(_shingles_df(spark, sf_dir))
+    cand = _minhash_pairs_from(shingles)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("a"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    mn = F.least("sza", "szb")
+    uni = F.col("sza") + F.col("szb") - F.col("i")
+    return (
+        inter.join(za, "a")
+        .join(zb, "b")
+        .filter(F.col("i") * 2 >= mn)
+        .select(
+            "a",
+            "b",
+            F.col("i").cast("long").alias("n_shared"),
+            F.round(F.col("i") / uni, 4).alias("jaccard"),
+            F.round(F.col("i") / mn, 4).alias("containment"),
+            (
+                (F.col("i") * 10 >= mn * 9) & (F.col("i") * 5 < uni)
+            ).alias("subset_only"),
+        )
+    )
+
+
+@q(
+    "q_source_novelty",
+    f"""
+    WITH {_SHINGLES_SQL},
+    ds AS (
+      SELECT DISTINCT d.source, s.sh
+      FROM shingles s JOIN documents d USING (doc_id)),
+    ns AS (SELECT sh, COUNT(*) AS n_src FROM ds GROUP BY sh)
+    SELECT ds.source,
+           CAST(COUNT(*) AS BIGINT) AS distinct_shingles,
+           CAST(SUM(CASE WHEN ns.n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS exclusive_shingles,
+           ROUND(SUM(CASE WHEN ns.n_src = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS exclusivity_rate
+    FROM ds JOIN ns USING (sh)
+    GROUP BY ds.source
+    """,
+)
+def q_source_novelty(spark, sf_dir):
+    """Per-source marginal novelty — the crawl-budget allocator's view
+    of q_novelty_curve's time axis: for each source, how many of its
+    distinct 3-gram shingles appear in NO other source
+    (exclusive_shingles) vs merely appear (distinct_shingles). A
+    source whose exclusivity_rate has collapsed toward 0 is re-serving
+    text the rest of the crawl already has (syndication mirror, feed
+    aggregator) and its crawl budget should move to high-exclusivity
+    sources — the per-source answer to "crawl MORE of what?", where
+    q_novelty_curve only answers "crawl more AT ALL?".
+
+    Plan/scale: shingle explode → ONE distinct over (source, sh) —
+    the same reduction novelty's (batch, sh) pass runs — then a
+    shingle-keyed combining source-count agg and a |sources|-key
+    rollup. Every corpus-sized exchange carries the shingle text in
+    its key, so Zipf-skewed shingle frequency lands in the combining
+    aggregates, not a hot partition; the ds table is persisted once
+    and feeds both its consumers."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles_from(docs)
+    ds = _persist(
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "sh")
+        .distinct()
+    )
+    ns = ds.groupBy("sh").agg(F.count("*").alias("n_src"))
+    excl = F.sum((F.col("n_src") == 1).cast("int"))
+    return (
+        ds.join(ns, "sh")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("distinct_shingles"),
+            excl.cast("long").alias("exclusive_shingles"),
+            F.round(excl * F.lit(1.0) / F.count("*"), 4).alias(
+                "exclusivity_rate"
+            ),
+        )
+    )
+
+
+_LP_ROUNDS = 3
+
+#: one unrolled synchronous label-propagation round: each non-seed
+#: node takes the majority label among its in-neighbors' current
+#: labels (ties → smallest label); seeds are clamped. The top-1
+#: window partitions on the node and ranks its ≤|labels| per-label
+#: counts — the same bounded-partition construction as
+#: q_host_lang_entropy's dominant language.
+_LP_ITER_SQL = """
+    cnt{t} AS (
+      SELECT e.dst AS v, lp.lab, COUNT(*) AS c
+      FROM edges e JOIN lp{p} lp ON lp.v = e.src
+      WHERE lp.lab IS NOT NULL
+      GROUP BY e.dst, lp.lab),
+    top{t} AS (
+      SELECT v, lab FROM (
+        SELECT v, lab,
+               ROW_NUMBER() OVER (PARTITION BY v
+                                  ORDER BY c DESC, lab) AS rn
+        FROM cnt{t}) WHERE rn = 1),
+    lp{t} AS (
+      SELECT n.v,
+             CASE WHEN n.v % 5 = 0 THEN n.v % 3 ELSE t.lab END AS lab
+      FROM nodes n LEFT JOIN top{t} t ON t.v = n.v)
+"""
+
+
+def _lp_iters_sql() -> str:
+    return ",".join(
+        _LP_ITER_SQL.format(t=t, p=t - 1)
+        for t in range(1, _LP_ROUNDS + 1)
+    )
+
+
+@q(
+    "q_label_prop",
+    f"""
+    WITH {_PR_GRAPH_SQL},
+    lp0 AS (
+      SELECT v, CASE WHEN v % 5 = 0 THEN v % 3 END AS lab FROM nodes),
+    {_lp_iters_sql()}
+    SELECT v AS node,
+           CAST(lab AS BIGINT) AS label,
+           v % 5 = 0 AS is_seed,
+           lab IS NOT NULL AS labeled
+    FROM lp{_LP_ROUNDS}
+    """,
+)
+def q_label_prop(spark, sf_dir):
+    """Semi-supervised label propagation over the shared rule graph:
+    topic/spam labels known for a seed set (rule: nodes ≡ 0 mod 5
+    carry label v mod 3) spread to unlabeled nodes, each round
+    replacing a non-seed node's label with the MAJORITY label among
+    its in-neighbors (deterministic tie-break: smallest label; seeds
+    clamped; {_LP_ROUNDS} synchronous rounds mirrored exactly in the
+    oracle). This is the crawl-curation workhorse for stretching a
+    small labeled set — a few hand-labeled spam/quality/topic hosts
+    classify the whole link graph — complementing the CONTENT
+    classifier (q_model_score) with a pure GRAPH signal, and unlike
+    PageRank/HITS it is integer-exact end to end (majority counts and
+    labels, no floats anywhere).
+
+    Plan/scale: per round ONE edges⋈labels equi-join (shuffle keyed
+    src then the dst-keyed count rollup — flat, edge-keyed) + a top-1
+    window whose partitions are the ≤|labels| per-node count rows
+    (bounded by the label alphabet, NOT the graph — the
+    q_host_lang_entropy construction) + a node-keyed left join;
+    labels are localCheckpoint'ed per round (read by count AND
+    carry-forward). Rounds are a fixed small constant — label
+    propagation saturates in a few hops on web graphs."""
+    edges = _local_checkpoint(_rule_edges(spark, sf_dir))
+    nodes = _persist(
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    rank_parts = _parts_for(nodes.count())
+    nodes = _resize(nodes, rank_parts)
+    seed_lab = F.when(F.col("v") % 5 == 0, F.col("v") % 3)
+    lp = nodes.select("v", seed_lab.alias("lab"))
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LP_ROUNDS):
+        lp = _local_checkpoint(_resize(lp, rank_parts))
+        cnt = (
+            edges.join(
+                lp.filter(F.col("lab").isNotNull()).select(
+                    F.col("v").alias("src"), "lab"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("v"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        top = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", F.col("lab").alias("t_lab"))
+        )
+        lp = nodes.join(top, "v", "left").select(
+            "v", F.coalesce(seed_lab, F.col("t_lab")).alias("lab")
+        )
+    return lp.select(
+        F.col("v").alias("node"),
+        F.col("lab").cast("long").alias("label"),
+        (F.col("v") % 5 == 0).alias("is_seed"),
+        F.col("lab").isNotNull().alias("labeled"),
+    )
+
+
+@q(
+    "q_length_drift",
+    """
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    cl AS (
+      SELECT CASE WHEN doc_id * 2 < mx.m THEN 'early' ELSE 'late' END
+               AS batch,
+             CAST(length(bin(n_chars + 1)) - 1 AS BIGINT) AS size_class
+      FROM documents CROSS JOIN mx),
+    per AS (
+      SELECT size_class,
+             CAST(SUM(CASE WHEN batch = 'early' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS early_n,
+             CAST(SUM(CASE WHEN batch = 'late' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS late_n
+      FROM cl GROUP BY size_class),
+    tot AS (
+      SELECT SUM(early_n) AS te, SUM(late_n) AS tl FROM per)
+    SELECT size_class, early_n, late_n,
+           ROUND(early_n * 1.0 / te, 4) AS early_share,
+           ROUND(late_n * 1.0 / tl, 4) AS late_share,
+           ROUND(ABS(early_n * 1.0 / te - late_n * 1.0 / tl), 4)
+             AS share_delta,
+           ROUND(SUM(ABS(early_n * 1.0 / te - late_n * 1.0 / tl))
+                   OVER () / 2, 4) AS tvd
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_length_drift(spark, sf_dir):
+    """Crawl-batch distribution drift: the document length
+    distribution (exact power-of-two n_chars classes, the
+    q_degree_distribution binning) of the EARLY crawl half vs the
+    LATE half, per-class shares, absolute share deltas, and their
+    total-variation distance — the data-quality tripwire that fires
+    when the late crawl silently changed character (a truncation bug,
+    a crawler config change, a source mix shift) before those docs
+    hit training. TVD = ½ Σ|p−q| over exact per-class count ratios —
+    the integer-friendly drift stat (PSI's ln(p/q) adds nothing here
+    but float-boundary risk).
+
+    Plan/scale: a 1-row max-id broadcast pins the batch boundary
+    (crawl order = doc_id, as q_novelty_curve), one map-side
+    combining class rollup with BOTH batch counts as conditional
+    sums (single pass, single shuffle of ≤64 class keys), a 1-row
+    total, and a window over the ≤64-row class table for the TVD —
+    every corpus-sized operation is the one combining groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    cl = docs.crossJoin(F.broadcast(mx)).select(
+        (F.col("doc_id") * 2 < F.col("m")).alias("early"),
+        (F.length(F.conv(F.col("n_chars") + 1, 10, 2)) - 1)
+        .cast("long")
+        .alias("size_class"),
+    )
+    per = cl.groupBy("size_class").agg(
+        F.sum(F.col("early").cast("int")).cast("long").alias("early_n"),
+        F.sum((~F.col("early")).cast("int")).cast("long").alias("late_n"),
+    )
+    tot = per.agg(
+        F.sum("early_n").alias("te"), F.sum("late_n").alias("tl")
+    )
+    es = F.col("early_n") / F.col("te")
+    ls = F.col("late_n") / F.col("tl")
+    w = Window.partitionBy()  # ≤64 class rows: bounded by design
+    return per.crossJoin(F.broadcast(tot)).select(
+        "size_class",
+        "early_n",
+        "late_n",
+        F.round(es, 4).alias("early_share"),
+        F.round(ls, 4).alias("late_share"),
+        F.round(F.abs(es - ls), 4).alias("share_delta"),
+        F.round(F.sum(F.abs(es - ls)).over(w) / 2, 4).alias("tvd"),
+    )
+
+
+@q(
+    "q_cluster_homogeneity",
+    f"""
+    WITH RECURSIVE {_VERIFIED_PAIRS_SQL},
+    edges AS (SELECT a, b FROM vpairs UNION SELECT b, a FROM vpairs),
+    walk(node, reach) AS (
+      SELECT a AS node, a AS reach FROM edges
+      UNION
+      SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a),
+    reps AS (SELECT node, MIN(reach) AS rep FROM walk GROUP BY node),
+    mem AS (
+      SELECT r.rep, r.node, d.source, d.lang
+      FROM reps r JOIN documents d ON d.doc_id = r.node),
+    sc AS (
+      SELECT rep, source, COUNT(*) AS c FROM mem GROUP BY rep, source),
+    dom AS (
+      SELECT rep, source AS dom_source, c AS dom_n FROM (
+        SELECT rep, source, c,
+               ROW_NUMBER() OVER (PARTITION BY rep
+                                  ORDER BY c DESC, source) AS rn
+        FROM sc) WHERE rn = 1),
+    agg AS (
+      SELECT rep,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM mem GROUP BY rep)
+    SELECT agg.rep, n_members, n_sources, n_langs,
+           dom.dom_source,
+           ROUND(dom.dom_n * 1.0 / n_members, 4) AS dom_share,
+           n_sources >= 3 AS syndication_suspect
+    FROM agg JOIN dom USING (rep)
+    """,
+)
+def q_cluster_homogeneity(spark, sf_dir):
+    """Near-dup cluster homogeneity audit: for every dedup cluster
+    q_dedup_clusters would collapse, how many distinct sources and
+    languages its members span, the dominant source and its share.
+    The curation read: a WITHIN-source cluster is an ordinary re-post
+    (dedup freely), while a cluster spanning ≥3 sources
+    (syndication_suspect) is either wire-service syndication — where
+    dedup should keep the ORIGINATING copy, not an arbitrary minimum
+    — or shared template boilerplate that per-doc dedup should leave
+    to the line-level rules (q_dedup_lines_global) instead of
+    deleting whole near-identical-chrome pages. Cross-LANG clusters
+    flag machine translation (the q_host_lang_entropy signal at
+    cluster grain).
+
+    Plan/scale: members = the CC label table joined to doc metadata
+    (doc-keyed equi-join); then one (rep, source) combining rollup,
+    a top-1 window whose partitions are each cluster's DISTINCT-
+    source count rows (already reduced — a 10^6-member boilerplate
+    cluster contributes its distinct sources once each, sorted in
+    one task, linear not quadratic), and a rep-keyed rollup + join.
+    Everything upstream (capped candidates → verify → star CC) is
+    the production dedup path reused verbatim."""
+    shingles = _persist(_shingles_df(spark, sf_dir))
+    edges = _verified_pairs_from(shingles).select("a", "b")
+    labels = _connected_components(spark, edges)
+    docs = _t(spark, sf_dir, "documents")
+    mem = _persist(
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("rep"))
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+    )
+    sc = mem.groupBy("rep", "source").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("rep").orderBy(F.desc("c"), F.asc("source"))
+    dom = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("rep", F.col("source").alias("dom_source"), F.col("c").alias("dom_n"))
+    )
+    agg = mem.groupBy("rep").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    return agg.join(dom, "rep").select(
+        "rep",
+        "n_members",
+        "n_sources",
+        "n_langs",
+        "dom_source",
+        F.round(F.col("dom_n") * F.lit(1.0) / F.col("n_members"), 4).alias(
+            "dom_share"
+        ),
+        (F.col("n_sources") >= 3).alias("syndication_suspect"),
+    )

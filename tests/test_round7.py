@@ -711,3 +711,84 @@ def test_lsh_bucket_stats_consistent_with_pair_generator(spark):
     n_pairs = REGISTRY["q_minhash_lsh"].spark(spark, SF_SMALL).count()
     release_caches(spark)
     assert sum(r["pairs_emitted"] for r in rows) >= n_pairs
+
+
+def test_hits_l1_normalized_and_on_graph_nodes(spark):
+    rows = REGISTRY["q_hits"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    # both score vectors are L1-normalized at the final iteration
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["auth"] for r in rows) - 1.0) < 1e-4
+    assert all(r["hub"] >= 0 and r["auth"] >= 0 for r in rows)
+    # node set == the rule graph's node set (same graph as pagerank)
+    pr = REGISTRY["q_pagerank"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert {r["node"] for r in rows} == {r["node"] for r in pr}
+    # rule-graph sinks (v % 11 == 0 have out-edges dropped) hold hub 0
+    sinks = {r["node"] for r in rows if r["node"] % 11 == 0}
+    assert sinks and all(
+        r["hub"] == 0.0 for r in rows if r["node"] in sinks
+    )
+
+
+def test_dedup_containment_superset_of_verified_pairs(spark):
+    rows = REGISTRY["q_dedup_containment"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    for r in rows:
+        assert r["containment"] >= 0.5
+        # containment >= jaccard always (divides by min, not union)
+        assert r["containment"] >= r["jaccard"]
+        if r["subset_only"]:
+            assert r["containment"] >= 0.9 and r["jaccard"] < 0.2
+    # every high-jaccard verified pair with containment >= 1/2 must
+    # appear here (same candidate universe, weaker filter)
+    ver = REGISTRY["q_dedup_lsh_verified"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    got = {(r["a"], r["b"]) for r in rows}
+    for v in ver:
+        if v["jaccard"] >= 0.5:  # j >= 0.5 implies containment >= 0.5
+            assert (v["a"], v["b"]) in got
+
+
+def test_source_novelty_bounds_and_coverage(spark):
+    rows = REGISTRY["q_source_novelty"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert len(rows) == 20  # every synthetic source appears
+    for r in rows:
+        assert 0 <= r["exclusive_shingles"] <= r["distinct_shingles"]
+        assert 0.0 <= r["exclusivity_rate"] <= 1.0
+
+
+def test_context_truncation_monotone_and_total_consistent(spark):
+    rows = sorted(
+        REGISTRY["q_context_truncation"].spark(spark, SF_SMALL).collect(),
+        key=lambda r: r["ctx"],
+    )
+    release_caches(spark)
+    assert [r["ctx"] for r in rows] == [256, 1024, 4096]
+    # same doc universe per window; loss shrinks as the window grows
+    assert len({r["n_docs"] for r in rows}) == 1
+    assert len({r["tokens_total"] for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["tokens_lost"] >= b["tokens_lost"]
+        assert a["docs_over"] >= b["docs_over"]
+    # token totals agree with q_token_count's surface
+    tok = REGISTRY["q_token_count"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows[0]["tokens_total"] == sum(r["ws_tokens"] for r in tok)
+
+
+def test_degree_distribution_totals_match_edge_count(spark):
+    rows = REGISTRY["q_degree_distribution"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    out_e = sum(r["n_edges"] for r in rows if r["direction"] == "out")
+    in_e = sum(r["n_edges"] for r in rows if r["direction"] == "in")
+    # every edge has one src and one dst: both histograms sum to |E|
+    assert out_e == in_e > 0
+    for r in rows:
+        # class k holds degrees in [2^k, 2^(k+1)): edge sum is bounded
+        assert r["n_edges"] >= r["n_nodes"] * (1 << r["size_class"])
+        assert r["n_edges"] < r["n_nodes"] * (1 << (r["size_class"] + 1))
