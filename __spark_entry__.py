@@ -97,7 +97,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_dedup_substring_removed (all untouched this round and
 #: driver-green lifetime; the LSH/verify/CC machinery they compose
 #: stays in-gate via q_dedup_recall, q_lsh_bucket_stats and
-#: q_dedup_containment, which share its helpers).
+#: q_dedup_containment, which share its helpers). The three last
+#: additions (q_label_prop, q_length_drift, q_cluster_homogeneity)
+#: take the slots of q_bpe_train64, q_bpe_vocab and q_filter_funnel
+#: (untouched this round, driver-green lifetime; the BPE loop stays
+#: in-gate via q_pack_sequences_bpe and q_tokenizer_fertility, which
+#: train the same vocab).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_flate",
@@ -127,9 +132,9 @@ _GATE_PRIORITY = [
     "q_extract_embed",
     "q_extract_keywords",
     "q_extract_keywords_text",
-    "q_bpe_train64",
-    "q_bpe_vocab",
-    "q_filter_funnel",
+    "q_label_prop",
+    "q_length_drift",
+    "q_cluster_homogeneity",
     "q_ann_ivf_pq",
     "q_ann_recall",
     "q_sample_quality",

@@ -146,6 +146,9 @@ HEADLINE = [
     "q_source_novelty",
     "q_context_truncation",
     "q_degree_distribution",
+    "q_label_prop",
+    "q_length_drift",
+    "q_cluster_homogeneity",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

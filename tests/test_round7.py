@@ -792,3 +792,61 @@ def test_degree_distribution_totals_match_edge_count(spark):
         # class k holds degrees in [2^k, 2^(k+1)): edge sum is bounded
         assert r["n_edges"] >= r["n_nodes"] * (1 << r["size_class"])
         assert r["n_edges"] < r["n_nodes"] * (1 << (r["size_class"] + 1))
+
+
+def test_label_prop_seeds_clamped_and_saturating(spark):
+    rows = REGISTRY["q_label_prop"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    for r in rows:
+        if r["is_seed"]:
+            # seeds hold their rule label through every round
+            assert r["labeled"] and r["label"] == r["node"] % 3
+        assert r["labeled"] == (r["label"] is not None)
+        if r["label"] is not None:
+            assert r["label"] in (0, 1, 2)
+    # propagation must reach beyond the seed set on this graph
+    non_seed_labeled = [
+        r for r in rows if not r["is_seed"] and r["labeled"]
+    ]
+    assert non_seed_labeled
+    # same node universe as the other rule-graph walkers
+    pr = REGISTRY["q_pagerank"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert {r["node"] for r in rows} == {r["node"] for r in pr}
+
+
+def test_length_drift_shares_and_tvd_identity(spark):
+    rows = REGISTRY["q_length_drift"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    assert abs(sum(r["early_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["late_share"] for r in rows) - 1.0) < 1e-3
+    # one tvd value repeated; equals half the sum of share deltas
+    tvds = {r["tvd"] for r in rows}
+    assert len(tvds) == 1
+    tvd = tvds.pop()
+    assert 0.0 <= tvd <= 1.0
+    assert abs(tvd - sum(r["share_delta"] for r in rows) / 2) < 1e-3
+    # batch split covers every document exactly once
+    n_docs = sum(r["early_n"] + r["late_n"] for r in rows)
+    assert n_docs == 500
+
+
+def test_cluster_homogeneity_consistent_with_clusters(spark):
+    rows = REGISTRY["q_cluster_homogeneity"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    for r in rows:
+        assert r["n_members"] >= 2  # only docs in >= 1 verified pair
+        assert 1 <= r["n_sources"] <= r["n_members"]
+        assert 1 <= r["n_langs"] <= r["n_members"]
+        assert 0.0 < r["dom_share"] <= 1.0
+        assert r["syndication_suspect"] == (r["n_sources"] >= 3)
+    # member totals and cluster ids agree with q_dedup_clusters
+    cl = REGISTRY["q_dedup_clusters"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    by_rep = {}
+    for c in cl:
+        by_rep[c["rep"]] = by_rep.get(c["rep"], 0) + 1
+    assert {r["rep"]: r["n_members"] for r in rows} == by_rep
