@@ -389,9 +389,14 @@ def _verified_pairs_df(spark, sf_dir):
     return _verified_pairs_from(shingles)
 
 
-def _verified_pairs_from(shingles):
-    """vpairs(a, b, jaccard ≥ 0.2) from a (pre-persisted) shingle DF:
-    capped MinHash-LSH candidates → exact Jaccard on candidates only."""
+def _pair_intersections_from(shingles):
+    """inter(a, b, i, sza, szb) — exact shingle-intersection counts
+    for the capped MinHash-LSH candidate pairs, with both side sizes
+    attached. The shared verify core: candidate-keyed equi-joins only,
+    never a shingle×shingle self-join. Consumed by _verified_pairs_from
+    (Jaccard ≥ 0.2 filter) and q_dedup_containment (containment
+    filter), so the two dup detectors provably walk the SAME candidate
+    universe and a cap/banding change reaches both."""
     cand = _minhash_pairs_from(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = shingles.select(F.col("doc_id").alias("a"), "sh")
@@ -404,12 +409,16 @@ def _verified_pairs_from(shingles):
     )
     za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
     zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return inter.join(za, "a").join(zb, "b")
+
+
+def _verified_pairs_from(shingles):
+    """vpairs(a, b, jaccard ≥ 0.2) from a (pre-persisted) shingle DF:
+    capped MinHash-LSH candidates → exact Jaccard on candidates only."""
+    inter = _pair_intersections_from(shingles)
     jac = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
-    return (
-        inter.join(za, "a")
-        .join(zb, "b")
-        .filter(jac >= 0.2)
-        .select("a", "b", F.round(jac, 4).alias("jaccard"))
+    return inter.filter(jac >= 0.2).select(
+        "a", "b", F.round(jac, 4).alias("jaccard")
     )
 
 
@@ -1874,6 +1883,25 @@ def _rule_edges(spark, sf_dir):
     )
 
 
+def _graph_nodes(edges):
+    """(edges, nodes, rank_parts) — the shared preamble of every graph
+    fixpoint operator (_pagerank / q_hits / q_label_prop): checkpoint
+    the iteration-invariant edge table, derive + persist the node set,
+    and size the per-round score-table partitioning from the node
+    count (VERDICT r04 #3 — on the synthetic 50-node graph this
+    resolves to 1 partition; a billion-node web graph fans the score
+    table out instead of funneling every round's checkpoint through a
+    single task). One copy so a sizing fix reaches all three loops."""
+    edges = _local_checkpoint(edges)  # tiny; frozen across iterations
+    nodes = _persist(
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    rank_parts = _parts_for(nodes.count())
+    return edges, _resize(nodes, rank_parts), rank_parts
+
+
 def _pagerank(spark, edges, seeds=None):
     """The PageRank power-iteration loop over any (src, dst) edge
     table — shared by q_pagerank (synthetic rule graph) and
@@ -1886,22 +1914,11 @@ def _pagerank(spark, edges, seeds=None):
     hash (teleport (1−d)/n as a single division), while the seeded
     path multiplies by the per-node teleport share s(v), mirroring
     its own oracle exactly."""
-    edges = _local_checkpoint(edges)  # tiny; frozen across iterations
     # nodes/deg/sinks are iteration-invariant and referenced inside
     # every iteration's lineage — persisted once so no per-iteration
-    # recompute (each carries a shuffle of its own). Partitioning is
-    # sized from the node count (VERDICT r04 #3): on this synthetic
-    # 50-node graph that resolves to 1 partition exactly as the old
-    # hard-coded coalesce(1) did, but a billion-node web graph fans
-    # the rank table out instead of funneling every iteration's
-    # checkpoint through a single task.
-    nodes = _persist(
-        edges.select(F.col("src").alias("v"))
-        .union(edges.select(F.col("dst").alias("v")))
-        .distinct()
-    )
-    rank_parts = _parts_for(nodes.count())
-    nodes = _resize(nodes, rank_parts)
+    # recompute (each carries a shuffle of its own); preamble shared
+    # via _graph_nodes.
+    edges, nodes, rank_parts = _graph_nodes(edges)
     nn = nodes.agg(F.count("*").alias("n"))
     deg = _resize(
         _persist(edges.groupBy("src").agg(F.count("*").alias("d"))),
@@ -8330,17 +8347,18 @@ def q_lsh_bucket_stats(spark, sf_dir):
 
 
 _CTX_WINDOWS = (256, 1024, 4096)
+_CTX_LIST = ", ".join(str(c) for c in _CTX_WINDOWS)
 
 
 @q(
     "q_context_truncation",
-    r"""
+    rf"""
     WITH nt AS (
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
                AS n_tokens
       FROM documents),
-    w AS (SELECT unnest([256, 1024, 4096]) AS ctx)
+    w AS (SELECT unnest([{_CTX_LIST}]) AS ctx)
     SELECT w.ctx,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN nt.n_tokens > w.ctx THEN 1 ELSE 0 END)
@@ -8520,21 +8538,13 @@ def q_hits(spark, sf_dir):
     the next half-step, so the unchecked lineage doubles per round).
     No degree division, no windows; in-degree skew lands in the
     combining SUM."""
-    edges = _local_checkpoint(_rule_edges(spark, sf_dir))
-    nodes = _persist(
-        edges.select(F.col("src").alias("v"))
-        .union(edges.select(F.col("dst").alias("v")))
-        .distinct()
-    )
-    rank_parts = _parts_for(nodes.count())
-    nodes = _resize(nodes, rank_parts)
+    edges, nodes, rank_parts = _graph_nodes(_rule_edges(spark, sf_dir))
     nn = nodes.agg(F.count("*").alias("n"))
     h = nodes.crossJoin(F.broadcast(nn)).select(
         "v", (F.lit(1.0) / F.col("n")).alias("r")
     )
     a = None
     for _ in range(_PR_ITERS):
-        h = _local_checkpoint(_resize(h, rank_parts))
         ap = (
             nodes.join(
                 edges.join(
@@ -8547,12 +8557,16 @@ def q_hits(spark, sf_dir):
             )
             .select("v", F.coalesce("inflow", F.lit(0.0)).alias("r"))
         )
+        # ap/hp are each read twice (L1 sum + next half-step) so they
+        # are the per-round checkpoints; a and the loop-top h are
+        # single-read broadcast projections over an already-
+        # checkpointed parent — materializing them too would write two
+        # extra rank-table copies per round for no lineage benefit.
         ap = _local_checkpoint(_resize(ap, rank_parts))
         asum = ap.agg(F.sum("r").alias("s"))
         a = ap.crossJoin(F.broadcast(asum)).select(
             "v", (F.col("r") / F.col("s")).alias("r")
         )
-        a = _local_checkpoint(_resize(a, rank_parts))
         hp = (
             nodes.join(
                 edges.join(
@@ -8627,24 +8641,11 @@ def q_dedup_containment(spark, sf_dir):
     (q_dedup_substring), while this query catches the
     moderate-asymmetry regime the bands do surface."""
     shingles = _persist(_shingles_df(spark, sf_dir))
-    cand = _minhash_pairs_from(shingles)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = shingles.select(F.col("doc_id").alias("a"), "sh")
-    sb = shingles.select(F.col("doc_id").alias("b"), "sh")
-    inter = (
-        cand.join(sa, "a")
-        .join(sb, ["b", "sh"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("i"))
-    )
-    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    inter = _pair_intersections_from(shingles)
     mn = F.least("sza", "szb")
     uni = F.col("sza") + F.col("szb") - F.col("i")
     return (
-        inter.join(za, "a")
-        .join(zb, "b")
-        .filter(F.col("i") * 2 >= mn)
+        inter.filter(F.col("i") * 2 >= mn)
         .select(
             "a",
             "b",
@@ -8786,14 +8787,7 @@ def q_label_prop(spark, sf_dir):
     labels are localCheckpoint'ed per round (read by count AND
     carry-forward). Rounds are a fixed small constant — label
     propagation saturates in a few hops on web graphs."""
-    edges = _local_checkpoint(_rule_edges(spark, sf_dir))
-    nodes = _persist(
-        edges.select(F.col("src").alias("v"))
-        .union(edges.select(F.col("dst").alias("v")))
-        .distinct()
-    )
-    rank_parts = _parts_for(nodes.count())
-    nodes = _resize(nodes, rank_parts)
+    edges, nodes, rank_parts = _graph_nodes(_rule_edges(spark, sf_dir))
     seed_lab = F.when(F.col("v") % 5 == 0, F.col("v") % 3)
     lp = nodes.select("v", seed_lab.alias("lab"))
     w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
@@ -8956,8 +8950,7 @@ def q_cluster_homogeneity(spark, sf_dir):
     one task, linear not quadratic), and a rep-keyed rollup + join.
     Everything upstream (capped candidates → verify → star CC) is
     the production dedup path reused verbatim."""
-    shingles = _persist(_shingles_df(spark, sf_dir))
-    edges = _verified_pairs_from(shingles).select("a", "b")
+    edges = _verified_pairs_df(spark, sf_dir).select("a", "b")
     labels = _connected_components(spark, edges)
     docs = _t(spark, sf_dir, "documents")
     mem = _persist(
