@@ -102,7 +102,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: take the slots of q_bpe_train64, q_bpe_vocab and q_filter_funnel
 #: (untouched this round, driver-green lifetime; the BPE loop stays
 #: in-gate via q_pack_sequences_bpe and q_tokenizer_fertility, which
-#: train the same vocab).
+#: train the same vocab). q_bigram_pmi re-enters the gate because its
+#: Spark plan changed (positional self-join → fused row-local bigram
+#: explode), taking q_ann_ivf_pq's slot (untouched, driver-green r06,
+#: still recall-gated inside q_ann_recall which stays in-gate).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_flate",
@@ -135,7 +138,7 @@ _GATE_PRIORITY = [
     "q_label_prop",
     "q_length_drift",
     "q_cluster_homogeneity",
-    "q_ann_ivf_pq",
+    "q_bigram_pmi",
     "q_ann_recall",
     "q_sample_quality",
     "q_hits",

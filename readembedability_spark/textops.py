@@ -7250,29 +7250,38 @@ def q_bigram_pmi(spark, sf_dir):
     """Collocation mining: top-20 bigrams by pointwise mutual
     information (min support 5) — the phrase-discovery pass a
     tokenizer/vocab pipeline runs before merging multiword units.
-    Spark plan: ONE tagged explode produces positional tokens, bigram
-    counts come from a self-join on (doc_id, i+1) — at 100 TB you'd
-    fuse this into the q_doc_repetition_ngrams single-scan shape —
-    unigram joins are w-keyed (Zipf-skewed: AQE skew-split; the
-    support-≥5 filter already removed the long tail), totals are
-    1-row broadcasts, and the global top-20 is a TakeOrdered (no full
+    Spark plan (the fused single-scan shape promised by SCALE.md —
+    round 7 closes it): bigram pairs are generated ROW-LOCALLY from
+    each document's token array (the q_doc_repetition_ngrams tagged-
+    explode construction), so the old positional self-join — a
+    (doc_id, i)-keyed shuffle of the ENTIRE token table on both sides
+    — is gone entirely; the only corpus-sized exchanges left are the
+    two combining word-keyed count rollups. The oracle keeps the
+    positional-join formulation (raw-adjacent pairs, both sides
+    non-empty — exactly what the row-local slide emits). Unigram
+    joins are w-keyed (Zipf-skewed: AQE skew-split; the support-≥5
+    filter already removed the long tail), totals are 1-row
+    broadcasts, and the global top-20 is a TakeOrdered (no full
     sort)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", F.posexplode(F.split("text", " ")))
-        .withColumnsRenamed({"pos": "i0", "col": "w"})
-        .filter(F.col("w") != "")
-        .select("doc_id", (F.col("i0") + 1).alias("i"), "w")
-    )
-    toks = _persist(toks)
+    d = _persist(docs.select("doc_id", F.split("text", " ").alias("arr")))
+    toks = d.select(F.explode("arr").alias("w")).filter(F.col("w") != "")
     uni = _persist(toks.groupBy("w").agg(F.count("*").alias("c")))
     tot = F.broadcast(uni.groupBy().agg(F.sum("c").alias("t")))
-    a = toks.select("doc_id", "i", F.col("w").alias("wa"))
-    b = toks.select(
-        "doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("wb")
-    )
+    pairs = F.when(
+        F.size("arr") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr") - 1),
+            lambda k: F.struct(
+                F.element_at(F.col("arr"), k).alias("wa"),
+                F.element_at(F.col("arr"), k + 1).alias("wb"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<wa:string,wb:string>>"))
     big = (
-        a.join(b, ["doc_id", "i"])
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.wa", "p.wb")
+        .filter((F.col("wa") != "") & (F.col("wb") != ""))
         .groupBy("wa", "wb")
         .agg(F.count("*").alias("cab"))
         .filter(F.col("cab") >= _PMI_MIN_COUNT)

@@ -850,3 +850,17 @@ def test_cluster_homogeneity_consistent_with_clusters(spark):
     for c in cl:
         by_rep[c["rep"]] = by_rep.get(c["rep"], 0) + 1
     assert {r["rep"]: r["n_members"] for r in rows} == by_rep
+
+
+def test_bigram_pmi_has_no_positional_self_join(spark):
+    """Round-7 fuse (SCALE.md known-item closed): bigram pairs are
+    generated row-locally from each doc's token array; the old
+    (doc_id, i)-keyed self-join of the whole token table must not
+    reappear in any engine upgrade. No join in the plan may key on
+    doc_id — the surviving joins are all word-keyed (uni/totals)."""
+    df = REGISTRY["q_bigram_pmi"].spark(spark, SF_SMALL)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    release_caches(spark)
+    for line in analyzed.splitlines():
+        if "Join" in line:
+            assert "doc_id" not in line, line
