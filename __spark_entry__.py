@@ -106,6 +106,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Spark plan changed (positional self-join → fused row-local bigram
 #: explode), taking q_ann_ivf_pq's slot (untouched, driver-green r06,
 #: still recall-gated inside q_ann_recall which stays in-gate).
+#: q_minhash_calibration landed after this round's gate was full
+#: (every head-50 slot holds a new op or a changed surface); it is
+#: parity-tested this round and takes a gate slot next round — the
+#: q_extract_pdf r6→r7 precedent.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_flate",

@@ -160,7 +160,9 @@ HEADLINE = [
 # (q_bpe_tokenize / q_model_train) already covers end-to-end. q_extract_pdf (deferred
 # from the round-6 record freeze) and the round-7 q_extract_pdf_flate
 # join at the END of the list so like-for-like prefix comparisons
-# against prior rounds stay clean.
+# against prior rounds stay clean. q_minhash_calibration landed after
+# the round-7 b-record freeze (same precedent): it joins the headline
+# next round.
 
 
 def _probe_single() -> float:

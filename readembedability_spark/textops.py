@@ -244,8 +244,8 @@ def _minhash_pairs_df(spark, sf_dir):
     return _minhash_pairs_from(_shingles_df(spark, sf_dir))
 
 
-def _band_sigs_from(shingles):
-    """(doc_id, band, band_sig) LSH band signatures from a shingle DF.
+def _minhash_sigs_from(shingles):
+    """(doc_id, mh0..mh{{N-1}}) wide MinHash component signatures.
 
     The hash family is compile-time constant (_N_MINHASH members), so
     all minima are computed as parallel aggregate expressions in ONE
@@ -257,16 +257,24 @@ def _band_sigs_from(shingles):
     trick): 1 digest instead of _N_MINHASH per shingle row, which is
     the dominant CPU of the shingle stage at 100 TB. The md5 column is
     projected BEFORE the aggregate so it is evaluated once per row.
-    Shared by _minhash_pairs_from (candidate generation) and
-    q_lsh_bucket_stats (banding-skew audit)."""
-    rows_per_band = _N_MINHASH // _N_BANDS
+    Shared by _band_sigs_from (banding) and q_minhash_calibration
+    (component-level estimator audit)."""
     hashed = shingles.select("doc_id", F.md5(F.encode("sh", "UTF-8")).alias("h"))
-    mh = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min(F.substring("h", i * 4 + 1, 4)).alias(f"mh{i}")
             for i in range(_N_MINHASH)
         ]
     )
+
+
+def _band_sigs_from(shingles):
+    """(doc_id, band, band_sig) LSH band signatures from a shingle DF —
+    the _minhash_sigs_from component table folded into per-band
+    concatenated signatures. Shared by _minhash_pairs_from (candidate
+    generation) and q_lsh_bucket_stats (banding-skew audit)."""
+    rows_per_band = _N_MINHASH // _N_BANDS
+    mh = _minhash_sigs_from(shingles)
     band_structs = F.array(
         *[
             F.struct(
@@ -8988,4 +8996,140 @@ def q_cluster_homogeneity(spark, sf_dir):
             "dom_share"
         ),
         (F.col("n_sources") >= 3).alias("syndication_suspect"),
+    )
+
+
+@q(
+    "q_minhash_calibration",
+    f"""
+    WITH {_MINHASH_CAND_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, COUNT(*) AS i
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.a
+      JOIN shingles sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+      GROUP BY c.a, c.b),
+    comp AS (
+      SELECT c.a, c.b,
+             CAST(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END)
+                  AS BIGINT) AS est_m
+      FROM cand c
+      JOIN hashes ha ON ha.doc_id = c.a
+      JOIN hashes hb ON hb.doc_id = c.b AND hb.i = ha.i
+      GROUP BY c.a, c.b),
+    pj AS (
+      SELECT comp.est_m,
+             CAST(ROUND(COALESCE(n.i, 0) * 1000000.0
+                        / (za.sz + zb.sz - COALESCE(n.i, 0)))
+                  AS BIGINT) AS jac_micro
+      FROM comp
+      LEFT JOIN inter n ON n.a = comp.a AND n.b = comp.b
+      JOIN sizes za ON za.doc_id = comp.a
+      JOIN sizes zb ON zb.doc_id = comp.b)
+    SELECT est_m,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(est_m * 125000 / 1000000.0, 4) AS est_jaccard,
+           ROUND(SUM(jac_micro) * 1.0 / COUNT(*) / 1000000.0, 4)
+             AS mean_jaccard,
+           ROUND(SUM(ABS(est_m * 125000 - jac_micro)) * 1.0
+                 / COUNT(*) / 1000000.0, 4) AS mae
+    FROM pj GROUP BY est_m
+    """,
+)
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash-estimator calibration: for every capped LSH candidate
+    pair, compare the {_N_MINHASH}-component MinHash Jaccard ESTIMATE
+    (matching components / {_N_MINHASH}) against the EXACT shingle
+    Jaccard, bucketed by matching-component count — n_pairs, the
+    estimate each bucket implies, the mean true Jaccard, and the mean
+    absolute error. This is the audit that justifies the pipeline's
+    core design split: with only {_N_MINHASH} components the
+    estimator's per-pair σ ≈ √(J(1−J)/{_N_MINHASH}) ≈ 0.17 — far too
+    noisy to THRESHOLD on — which is exactly why banding uses the
+    sketch only to GENERATE candidates and q_dedup_lsh_verified
+    recomputes exact Jaccard before any dedup decision. The numbers
+    here (per-bucket MAE) make that precision budget a measured
+    artifact instead of folklore, and re-gate it if a future sketch
+    change (fewer components, cheaper hash) silently degrades the
+    estimator the banding probabilities are derived from.
+
+    Exactness: per-pair true Jaccard is micro-quantized via ONE
+    correctly-rounded double division (the repo's fixed-point
+    pattern), so per-bucket sums are exact BIGINTs and both engines
+    hash identically — no float-summation order anywhere; est/8 in
+    micro units is the exact integer est_m·125000.
+
+    Plan/scale: reuses the single-md5-pass component table
+    (_minhash_sigs_from — the same one banding folds up) joined to
+    the capped candidate set on each side (candidate-keyed equi-
+    joins, linear in candidates), the shared exact-intersection
+    rollup, then ONE ≤{_N_MINHASH}+1-key combining rollup. No new
+    corpus-sized exchange beyond the verify pass it audits."""
+    shingles = _persist(_shingles_df(spark, sf_dir))
+    cand = _minhash_pairs_from(shingles)
+    mh = _minhash_sigs_from(shingles)
+    ma = mh.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_N_MINHASH)],
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_N_MINHASH)],
+    )
+    est = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(_N_MINHASH)
+    ).cast("long")
+    comp = (
+        cand.join(ma, "a").join(mb, "b").select("a", "b", est.alias("est_m"))
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("a"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    i0 = F.coalesce("i", F.lit(0))
+    pj = (
+        comp.join(inter, ["a", "b"], "left")
+        .join(za, "a")
+        .join(zb, "b")
+        .select(
+            "est_m",
+            F.round(
+                i0 * F.lit(1000000.0)
+                / (F.col("sza") + F.col("szb") - i0)
+            )
+            .cast("long")
+            .alias("jac_micro"),
+        )
+    )
+    agg = pj.groupBy("est_m").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("jac_micro") * F.lit(1.0) / F.count("*") / F.lit(1000000.0),
+            4,
+        ).alias("mean_jaccard"),
+        F.round(
+            F.sum(F.abs(F.col("est_m") * 125000 - F.col("jac_micro")))
+            * F.lit(1.0)
+            / F.count("*")
+            / F.lit(1000000.0),
+            4,
+        ).alias("mae"),
+    )
+    return agg.select(
+        "est_m",
+        "n_pairs",
+        F.round(F.col("est_m") * 125000 / F.lit(1000000.0), 4).alias(
+            "est_jaccard"
+        ),
+        "mean_jaccard",
+        "mae",
     )

@@ -864,3 +864,19 @@ def test_bigram_pmi_has_no_positional_self_join(spark):
     for line in analyzed.splitlines():
         if "Join" in line:
             assert "doc_id" not in line, line
+
+
+def test_minhash_calibration_buckets_and_universe(spark):
+    rows = REGISTRY["q_minhash_calibration"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert rows
+    for r in rows:
+        assert 0 <= r["est_m"] <= 8
+        assert abs(r["est_jaccard"] - r["est_m"] / 8.0) < 1e-9
+        assert 0.0 <= r["mean_jaccard"] <= 1.0
+        # MAE lower-bounds the bias |estimate - mean true jaccard|
+        assert r["mae"] >= abs(r["est_jaccard"] - r["mean_jaccard"]) - 1e-3
+    # every capped candidate pair lands in exactly one bucket
+    cand = REGISTRY["q_minhash_lsh"].spark(spark, SF_SMALL).collect()
+    release_caches(spark)
+    assert sum(r["n_pairs"] for r in rows) == len(cand)
