@@ -8897,8 +8897,12 @@ def q_length_drift(spark, sf_dir):
     tot = per.agg(
         F.sum("early_n").alias("te"), F.sum("late_n").alias("tl")
     )
-    es = F.col("early_n") / F.col("te")
-    ls = F.col("late_n") / F.col("tl")
+    # try_divide: a degenerate corpus where one crawl half is EMPTY
+    # (single-doc table, first-ever batch) must report NULL shares
+    # like the DuckDB oracle's x/0, not raise Spark-ANSI
+    # DIVIDE_BY_ZERO (boundary probe in test_round7)
+    es = F.try_divide(F.col("early_n"), F.col("te"))
+    ls = F.try_divide(F.col("late_n"), F.col("tl"))
     w = Window.partitionBy()  # ≤64 class rows: bounded by design
     return per.crossJoin(F.broadcast(tot)).select(
         "size_class",

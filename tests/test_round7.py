@@ -880,3 +880,127 @@ def test_minhash_calibration_buckets_and_universe(spark):
     cand = REGISTRY["q_minhash_lsh"].spark(spark, SF_SMALL).collect()
     release_caches(spark)
     assert sum(r["n_pairs"] for r in rows) == len(cand)
+
+
+# ---------------------------------------------------------------------------
+# Boundary probes for the round-7 operators (tiny synthetic corpora,
+# the dup_corpus pattern from test_textops_scale) — each probe runs the
+# SPARK side and the DUCKDB oracle on the same degenerate input and
+# asserts they agree, so edge behavior is pinned cross-engine, not
+# just non-crashing.
+# ---------------------------------------------------------------------------
+
+import duckdb as _duckdb
+import pandas as _pd
+import pyarrow as _pa
+import pyarrow.parquet as _pq_mod
+
+
+def _write_docs(d, rows):
+    pdf = _pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    tbl = _pa.Table.from_pandas(
+        pdf,
+        schema=_pa.schema(
+            [
+                ("doc_id", _pa.int64()),
+                ("text", _pa.string()),
+                ("lang", _pa.string()),
+                ("source", _pa.string()),
+                ("n_chars", _pa.int64()),
+            ]
+        ),
+    )
+    _pq_mod.write_table(tbl, str(d / "documents.parquet"))
+
+
+def _oracle_rows(sf_dir, name):
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    cur = con.execute(REGISTRY[name].sql)
+    return sorted(tuple(r) for r in cur.fetchall())
+
+
+def test_length_drift_all_early_corpus_null_late_shares(spark, tmp_path):
+    """A single-doc corpus puts every doc in the early half: late_n = 0
+    and the late-share divisions are NULL in BOTH engines (no crash,
+    no 0-divide) — the degenerate first crawl batch."""
+    _write_docs(tmp_path, [(0, "alpha beta gamma delta", "en", "s0", 22)])
+    s = sorted(
+        tuple(r)
+        for r in REGISTRY["q_length_drift"].spark(spark, str(tmp_path)).collect()
+    )
+    release_caches(spark)
+    d = _oracle_rows(str(tmp_path), "q_length_drift")
+    assert s == d
+    assert len(s) == 1
+    row = s[0]
+    assert row[1] == 1 and row[2] == 0  # early_n, late_n
+    assert row[4] is None  # late_share NULL, not a crash
+
+
+def test_containment_and_calibration_empty_on_all_unique(spark, tmp_path):
+    """A corpus whose docs share no band signature yields ZERO
+    candidate pairs: containment and calibration are empty in both
+    engines (the audit degrades to nothing, not an error)."""
+    rows = [
+        (
+            i,
+            f"totally unique{i} words{i} here{i} none{i} shared{i} at{i} all{i}",
+            "en",
+            f"s{i}",
+            40,
+        )
+        for i in range(6)
+    ]
+    _write_docs(tmp_path, rows)
+    for name in ("q_dedup_containment", "q_minhash_calibration"):
+        s = sorted(
+            tuple(r)
+            for r in REGISTRY[name].spark(spark, str(tmp_path)).collect()
+        )
+        release_caches(spark)
+        assert s == _oracle_rows(str(tmp_path), name) == []
+
+
+def test_context_truncation_empty_text_doc(spark, tmp_path):
+    """Empty-string text still counts 1 whitespace token in BOTH
+    engines (split('') = ['']) — the established q_token_count surface
+    — so totals stay consistent instead of diverging on empties."""
+    _write_docs(tmp_path, [(0, "", "en", "s0", 0), (1, "a b", "en", "s0", 3)])
+    s = sorted(
+        tuple(r)
+        for r in REGISTRY["q_context_truncation"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    )
+    release_caches(spark)
+    d = _oracle_rows(str(tmp_path), "q_context_truncation")
+    assert s == d
+    assert all(row[3] == 3 for row in s)  # tokens_total = 1 + 2
+
+
+def test_source_novelty_drops_shingleless_sources(spark, tmp_path):
+    """A source whose only doc is shorter than 3 tokens produces no
+    shingles and is absent from the report in BOTH engines (a join
+    semantics pin, so a refactor to outer joins can't silently change
+    the contract)."""
+    _write_docs(
+        tmp_path,
+        [
+            (0, "too short", "en", "tiny", 9),
+            (1, "one two three four five", "en", "big", 23),
+        ],
+    )
+    s = sorted(
+        tuple(r)
+        for r in REGISTRY["q_source_novelty"].spark(spark, str(tmp_path)).collect()
+    )
+    release_caches(spark)
+    d = _oracle_rows(str(tmp_path), "q_source_novelty")
+    assert s == d
+    assert [row[0] for row in s] == ["big"]
