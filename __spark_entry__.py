@@ -106,10 +106,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Spark plan changed (positional self-join → fused row-local bigram
 #: explode), taking q_ann_ivf_pq's slot (untouched, driver-green r06,
 #: still recall-gated inside q_ann_recall which stays in-gate).
-#: q_minhash_calibration landed after this round's gate was full
-#: (every head-50 slot holds a new op or a changed surface); it is
-#: parity-tested this round and takes a gate slot next round — the
-#: q_extract_pdf r6→r7 precedent.
+#: Round 8: q_minhash_calibration takes its promised slot (the r07
+#: post-freeze landing, q_extract_pdf r6→r7 precedent), completing
+#: 151/151 lifetime driver coverage; it replaces q_bigram_pmi
+#: (re-gated green r07 after the fused-plan change, untouched since).
+#: The packing/stream family (q_pack_sequences, q_pack_sequences_bpe,
+#: q_pack_efficiency, q_length_percentile, q_host_token_budget,
+#: q_vocab_coverage, q_shuffle_shards) stays in-gate: its cumsum
+#: backbone now derives range-partition count from the cluster
+#: (VERDICT r07 wrong #1), a physical-plan change the driver must
+#: re-hash.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_flate",
@@ -142,7 +148,7 @@ _GATE_PRIORITY = [
     "q_label_prop",
     "q_length_drift",
     "q_cluster_homogeneity",
-    "q_bigram_pmi",
+    "q_minhash_calibration",
     "q_ann_recall",
     "q_sample_quality",
     "q_hits",
