@@ -149,6 +149,7 @@ HEADLINE = [
     "q_label_prop",
     "q_length_drift",
     "q_cluster_homogeneity",
+    "q_minhash_calibration",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4
@@ -157,12 +158,12 @@ HEADLINE = [
 # q_bpe_train64, q_bpe_vocab, q_pack_sequences_bpe,
 # q_model_score_trained, q_model_pr_curve and q_tokenizer_fertility are
 # also skipped: each re-runs the same training loop its timed sibling
-# (q_bpe_tokenize / q_model_train) already covers end-to-end. q_extract_pdf (deferred
-# from the round-6 record freeze) and the round-7 q_extract_pdf_flate
-# join at the END of the list so like-for-like prefix comparisons
-# against prior rounds stay clean. q_minhash_calibration landed after
-# the round-7 b-record freeze (same precedent): it joins the headline
-# next round.
+# (q_bpe_tokenize / q_model_train) already covers end-to-end — a
+# one-time timed appendix substantiating that skip with numbers lives
+# in BENCH/README.md (VERDICT r07 #8). Late-landing queries join at
+# the END of the list so like-for-like prefix comparisons against
+# prior rounds stay clean (q_extract_pdf in r7, q_minhash_calibration
+# in r8).
 
 
 def _probe_single() -> float:
@@ -207,6 +208,21 @@ def _probe_multi(workers: int = 8) -> float:
 QUIET_MULTI8_FLOOR = 250.0
 QUIET_WAIT_CAP_S = 600.0
 QUIET_POLL_S = 20.0
+#: per-phase probes (VERDICT r07 wrong #2): a single gate sample
+#: cannot certify a multi-minute run on a microVM with minute-scale
+#: neighbor churn — BENCH_r07 passed the gate at 263.7 and was at
+#: 164.6 moments later. So the timed loop now re-probes every
+#: PROBE_EVERY queries and each query is tagged with the MIN of its
+#: two bracketing probes. Queries in a DEEPLY contended phase
+#: (< RERUN_MULTI8_FLOOR — a genuine collapse like r07's 164, not the
+#: ±10% hover around the quiet floor this host always shows) are
+#: re-timed once in the next quiet window, worst phase first, capped
+#: at MAX_RERUNS so the record's wall time stays bounded (an sf0.001
+#: dry run re-ran 70/116 queries when every sub-250 tag qualified).
+PROBE_EVERY = 10
+RERUN_MULTI8_FLOOR = 200.0
+MAX_RERUNS = 15
+RERUN_WAIT_CAP_S = 180.0
 
 
 def _wait_for_quiet_host() -> dict:
@@ -283,23 +299,93 @@ def main() -> None:
     flagship_extract(spark, f"{Path(sf_dir).parent}/sf0.001").count()
 
     # extraction throughput, two archetypes: the single-paragraph
-    # flagship corpus and the harder multi-paragraph+list DOM
-    t_extract, n_pages = timed_median(
-        lambda: flagship_extract(spark, sf_dir).count()
-    )
-    timings["q_extract_flagship"] = round(t_extract, 3)
-    t_arch, n_arch = timed_median(
-        lambda: REGISTRY["q_extract_archetypes"].spark(spark, sf_dir).count()
-    )
-    timings["q_extract_archetypes"] = round(t_arch, 3)
-
+    # flagship corpus and the harder multi-paragraph+list DOM; they
+    # run FIRST inside the same probed loop as the headline queries
+    jobs: list[tuple[str, object]] = [
+        ("q_extract_flagship", lambda: flagship_extract(spark, sf_dir).count()),
+        (
+            "q_extract_archetypes",
+            lambda: REGISTRY["q_extract_archetypes"].spark(spark, sf_dir).count(),
+        ),
+    ]
     for name in HEADLINE:
         qd = REGISTRY[name]
-        t_med, _ = timed_median(lambda: qd.spark(spark, sf_dir).count())
-        timings[name] = round(t_med, 3)
+        jobs.append((name, lambda qd=qd: qd.spark(spark, sf_dir).count()))
+
+    # probed timing loop (VERDICT r07 wrong #2): re-probe multi8 every
+    # PROBE_EVERY queries; each query's phase = MIN of its bracketing
+    # probes, so a mid-run collapse can't hide between a clean start
+    # and a clean end sample
+    counts: dict[str, int] = {}
+    phase_series: list[dict] = []
+    query_phase: dict[str, float] = {}
+
+    def run_block(names_runs) -> None:
+        block_start_probe = (
+            phase_series[-1]["multi8"] if phase_series else probes["multi8_start"]
+        )
+        for bi in range(0, len(names_runs), PROBE_EVERY):
+            block = names_runs[bi : bi + PROBE_EVERY]
+            before = block_start_probe
+            for name, run in block:
+                t_med, n = timed_median(run)
+                timings[name] = round(t_med, 3)
+                counts[name] = n
+            after = _probe_multi()
+            phase_series.append(
+                {"after_query": block[-1][0], "multi8": after}
+            )
+            for name, _ in block:
+                query_phase[name] = min(before, after)
+            block_start_probe = after
+
+    run_block(jobs)
+
+    # one bounded re-run pass for queries whose bracket shows a real
+    # collapse: wait (capped) for a quiet window, re-time worst phase
+    # first, and keep the re-run ONLY if its own bracket is quiet —
+    # the record then carries both samples so cross-round archaeology
+    # is unnecessary
+    contended = sorted(
+        (n for n, p in query_phase.items() if p < RERUN_MULTI8_FLOOR),
+        key=lambda n: query_phase[n],
+    )[:MAX_RERUNS]
+    reruns: dict[str, dict] = {}
+    if contended:
+        t0 = time.monotonic()
+        m = _probe_multi()
+        while m < QUIET_MULTI8_FLOOR and (
+            time.monotonic() - t0
+        ) < RERUN_WAIT_CAP_S:
+            time.sleep(QUIET_POLL_S)
+            m = _probe_multi()
+        if m >= QUIET_MULTI8_FLOOR:
+            by_name = dict(jobs)
+            for name in contended:
+                t_med, _ = timed_median(by_name[name])
+                after = _probe_multi()
+                rec = {
+                    "first_pass": timings[name],
+                    "first_phase_multi8": query_phase[name],
+                    "rerun": round(t_med, 3),
+                    "rerun_phase_multi8": min(m, after),
+                }
+                if min(m, after) >= QUIET_MULTI8_FLOOR:
+                    timings[name] = round(t_med, 3)
+                    query_phase[name] = min(m, after)
+                reruns[name] = rec
+                m = after
+
+    n_pages = counts.get("q_extract_flagship", 0)
+    t_extract = timings.get("q_extract_flagship", 0.0)
+    n_arch = counts.get("q_extract_archetypes", 0)
+    t_arch = timings.get("q_extract_archetypes", 0.0)
 
     probes["single_end"] = _probe_single()
     probes["multi8_end"] = _probe_multi()
+    probes["multi8_min_phase"] = min(
+        [probes["multi8_start"]] + [p["multi8"] for p in phase_series]
+    )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -324,6 +410,16 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "host_probes_m_iters_per_sec": probes,
+                "phase_probe_series": phase_series,
+                "query_phase_multi8": {
+                    k: round(v, 1) for k, v in query_phase.items()
+                },
+                "contended_phase_queries": sorted(
+                    n
+                    for n, p in query_phase.items()
+                    if p < QUIET_MULTI8_FLOOR
+                ),
+                "contended_reruns": reruns,
                 "cpus": int(cpus),
             },
             indent=1,
@@ -354,6 +450,16 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "host_probes_m_iters_per_sec": probes,
+                "contended_queries": len(
+                    [1 for p in query_phase.values() if p < QUIET_MULTI8_FLOOR]
+                ),
+                "rerun_recovered": len(
+                    [
+                        1
+                        for r in reruns.values()
+                        if r["rerun_phase_multi8"] >= QUIET_MULTI8_FLOOR
+                    ]
+                ),
                 "pages_per_sec": round(n_pages / t_extract, 1) if t_extract else None,
                 "pages_per_sec_archetype": (
                     round(n_arch / t_arch, 1) if t_arch else None

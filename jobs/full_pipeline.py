@@ -97,19 +97,22 @@ def link_table(extracted):
 def curation_docs(extracted, pages):
     """(doc_id, url, text, lang) off the persisted extraction: the
     curation funnel consumes EXTRACTED content (what a trainer would
-    see), not raw html. doc_id = xxhash64(url) — deterministic,
-    collision-negligible at corpus scale; lang rides back from the
-    input pages on a url-keyed equi-join (AQE decides the strategy)."""
-    # 40-bit id keeps every downstream packing expression (line keys
-    # multiply doc_id by 1e6) inside BIGINT under ANSI arithmetic;
-    # at 10^12 docs production would widen the id and re-pack keys
+    see), not raw html. doc_id = xxhash64(url) — deterministic; lang
+    rides back from the input pages on a url-keyed equi-join (AQE
+    decides the strategy)."""
+    # full 63-bit id (ADVICE r07: the previous 40-bit truncation hits
+    # birthday collisions at ~10^7 docs — N^2/2^41 — silently merging
+    # distinct documents in line-dedup keys, the eval split and
+    # packing). Nothing downstream does doc_id arithmetic any more:
+    # dedup_lines_global orders by a (doc_id, li) STRUCT min, so the
+    # id only needs to be unique, not small.
     return (
         extracted.filter(F.col("status") == "ok")
         .filter(F.col("content_text").isNotNull())
         .select("url", F.col("content_text").alias("text"))
         .join(pages.select("url", "lang"), "url")
         .select(
-            F.pmod(F.xxhash64("url"), F.lit(1 << 40))
+            F.pmod(F.xxhash64("url"), F.lit((1 << 63) - 1))
             .cast("long")
             .alias("doc_id"),
             "url",

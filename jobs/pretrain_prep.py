@@ -78,7 +78,11 @@ def dedup_lines_global(spark, docs):
     line is kept once corpus-wide (owner = lexicographic-min
     (doc_id, line_idx)); the CLEANED text flows to later stages.
     Same plan as q_dedup_lines_global: md5 line keys map-side, one
-    combining groupBy(h) MIN, one h-keyed join, one doc rollup."""
+    combining groupBy(h) MIN, one h-keyed join, one doc rollup. The
+    owner key is a STRUCT min (field-by-field ordering), not the
+    registry query's doc_id*1e6+li arithmetic — so any 63-bit doc_id
+    works without ANSI overflow (ADVICE r07: the arithmetic key forced
+    a 40-bit id upstream, which collides at ~10^7 docs)."""
     from readembedability_spark.textops import _ml_text_col
 
     lx = (
@@ -90,7 +94,7 @@ def dedup_lines_global(spark, docs):
             "line",
             F.md5(F.encode("line", "UTF-8")).alias("h"),
         )
-        .withColumn("k", F.col("doc_id") * F.lit(1000000) + F.col("li"))
+        .withColumn("k", F.struct("doc_id", "li"))
     )
     own = lx.groupBy("h").agg(F.min("k").alias("ok"))
     kept = lx.join(own, "h").filter(F.col("k") == F.col("ok"))

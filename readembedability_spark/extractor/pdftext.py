@@ -5,9 +5,10 @@ streams, decode filter CHAINS of FlateDecode / ASCIIHexDecode /
 ASCII85Decode (applied in declaration order; any unknown filter in the
 chain, e.g. DCTDecode, skips the stream), walk ``BT..ET`` text blocks
 and collect ``Tj`` / ``TJ`` / ``'`` show-text operators into LINES
-positioned by the ``Td``/``TD``/``T*`` text-line moves, emitted in
-layout order (columns left-to-right, lines top-to-bottom; streams with
-no positioning ops keep exact stream order — see _texts_from_content).
+positioned by the ``Td``/``TD``/``T*`` text-line moves and the
+translation components of ``Tm``, emitted in layout order (columns
+left-to-right, lines top-to-bottom; streams with no positioning ops
+keep exact stream order — see _texts_from_content).
 Handles literal ``( )`` strings with escapes and hex ``< >``
 strings (latin-1 interpretation — no font/CMap decoding). Anything
 non-decodable yields empty text; callers quarantine the row with
@@ -25,10 +26,13 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.DOTALL)
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-# one token stream: position ops (a b Td|TD, T*) interleaved with the
-# show ops — ( literal ) Tj|'  or  [ array ] TJ
+# one token stream: position ops (a b Td|TD, a b c d e f Tm, T*)
+# interleaved with the show ops — ( literal ) Tj|'  or  [ array ] TJ
+_NUM = rb"-?\d+(?:\.\d+)?"
 _TOK_RE = re.compile(
-    rb"(?:(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+(Td|TD)\b"
+    rb"(?:(" + _NUM + rb")\s+(" + _NUM + rb")\s+(Td|TD)\b"
+    rb"|" + _NUM + rb"\s+" + _NUM + rb"\s+" + _NUM + rb"\s+" + _NUM
+    + rb"\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+(Tm)\b"
     rb"|(T\*)"
     rb"|\(((?:\\.|[^\\()])*)\)\s*(Tj|')"
     rb"|\[((?:\s*(?:\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|-?\d+(?:\.\d+)?))*)\]\s*TJ)",
@@ -157,8 +161,11 @@ def _texts_from_content(content: bytes) -> list[str]:
     position is a LINE at (x, y), and lines emit sorted by
     (x ascending, y descending, stream order): columns left-to-right,
     each column top-to-bottom — so a two-column page whose stream
-    interleaves columns still reads column-major. ``Tm`` (full text
-    matrix) and horizontal kerning stay out of scope: a stream with no
+    interleaves columns still reads column-major. ``a b c d e f Tm``
+    (VERDICT r07 #4) is honored for its TRANSLATION (e, f) — the
+    position jumps there absolutely, covering generated reports that
+    place every line via Tm — while the scale/rotation components stay
+    out of scope (D-7), as does horizontal kerning: a stream with no
     positioning ops keeps every line at (0, 0) and the stable sort
     preserves exact stream order — the pre-layout behavior, so all
     stream-order fixtures are unchanged."""
@@ -181,7 +188,7 @@ def _texts_from_content(content: bytes) -> list[str]:
             parts = []
 
         for m in _TOK_RE.finditer(block):
-            tx, ty, tdop, tstar, lit, litop, arr = m.groups()
+            tx, ty, tdop, me, mf, tmop, tstar, lit, litop, arr = m.groups()
             if tdop is not None:
                 flush()
                 try:
@@ -192,6 +199,17 @@ def _texts_from_content(content: bytes) -> list[str]:
                 y += dy
                 if tdop == b"TD":
                     leading = -dy
+            elif tmop is not None:
+                # Tm REPLACES the text matrix: position jumps to the
+                # translation (e, f) absolutely; the scale/rotation
+                # components a b c d are parsed past but ignored (D-7
+                # scope — translation-only Tm covers generated reports
+                # that position every line via Tm). Leading unchanged.
+                flush()
+                try:
+                    x, y = float(me), float(mf)
+                except ValueError:  # pragma: no cover - regex-bounded
+                    x = y = 0.0
             elif tstar is not None:
                 flush()
                 y -= leading

@@ -65,6 +65,20 @@ def _ensure_workers_can_import(spark) -> None:
                 )
     sc.addPyFile(zip_path)
     sc._readembedability_pyfile = True
+    # the driver's file server serves the REGISTERED original path
+    # lazily (executors fetch on first task), so the zip must outlive
+    # the session — but not the process: unlink at interpreter exit
+    # rather than leak one zip per SparkSession into the temp dir
+    # (ADVICE r07)
+    import atexit
+
+    def _cleanup_zip(p=zip_path):
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+
+    atexit.register(_cleanup_zip)
 
 
 def make_extract_batches(run_id: str, metrics_dir: str | None):

@@ -1208,6 +1208,17 @@ def _archetype_pages(spark, docs, url_prefix, html_col, url_col=None):
     return salt_repartition(pages, parallelism)
 
 
+def _pdf_lit(txt: str) -> str:
+    """Escape PDF string-literal metacharacters for the synthesis UDFs
+    (ADVICE r07): a raw ``\\``, ``(`` or ``)`` in documents.text would
+    corrupt the literal and fail the whole Arrow batch instead of
+    hash-failing one row. The extractor unescapes these
+    (pdftext._unescape_literal), so escaping here is semantically
+    transparent — extracted text and the oracle's replay of the raw
+    text still agree byte-for-byte."""
+    return txt.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
 @q(
     "q_extract_archetypes",
     """
@@ -1887,11 +1898,12 @@ def q_extract_pdf_flate(spark, sf_dir):
     def flate_pdf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
         out = []
         for did, txt in zip(doc_id, text):
+            t = _pdf_lit(txt)
             content = (
-                f"BT 72 700 Td (Flate Doc {did}: ) Tj ({txt}) Tj (.) Tj "
-                f"ET\nBT 72 686 Td [({txt[40:60]}) -250 ({txt[60:80]})] "
-                f"TJ ET"
-            ).encode("latin-1")
+                f"BT 72 700 Td (Flate Doc {did}: ) Tj ({t}) Tj (.) Tj "
+                f"ET\nBT 72 686 Td [({_pdf_lit(txt[40:60])}) -250 "
+                f"({_pdf_lit(txt[60:80])})] TJ ET"
+            ).encode("latin-1", errors="replace")
             comp = zlib.compress(content)
             out.append(
                 b"%PDF-1.4\n1 0 obj\n<< /Length "
@@ -1943,9 +1955,9 @@ def q_extract_pdf_chain(spark, sf_dir):
         out = []
         for did, txt in zip(doc_id, text):
             content = (
-                f"BT 72 700 Td (Chain Doc {did}: ) Tj ({txt[80:120]}) "
-                f"Tj ET"
-            ).encode("latin-1")
+                f"BT 72 700 Td (Chain Doc {did}: ) Tj "
+                f"({_pdf_lit(txt[80:120])}) Tj ET"
+            ).encode("latin-1", errors="replace")
             enc = base64.a85encode(zlib.compress(content), adobe=True)
             out.append(
                 b"%PDF-1.4\n1 0 obj\n<< /Filter [/ASCII85Decode "
@@ -1957,6 +1969,64 @@ def q_extract_pdf_chain(spark, sf_dir):
 
     pdf = chain_pdf(F.col("doc_id"), F.col("text"))
     pages = _archetype_pages(spark, docs, "https://docs.example.com/pc/", pdf)
+    return extract_stage(pages).select("url", "content_text", "status")
+
+
+@q(
+    "q_extract_pdf_tm",
+    """
+    SELECT 'https://docs.example.com/pt/' || CAST(doc_id AS VARCHAR) AS url,
+           'Tm Doc ' || CAST(doc_id AS VARCHAR) || ': ' || text || '.'
+             || CASE WHEN trim(substr(text, 1, 40)) <> ''
+                     THEN chr(10) || trim(substr(text, 1, 40))
+                     ELSE '' END
+             || CASE WHEN trim(substr(text, 41, 40)) <> ''
+                     THEN chr(10) || trim(substr(text, 41, 40))
+                     ELSE '' END
+             AS content_text,
+           'pdf' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_pdf_tm(spark, sf_dir):
+    """Thirteenth oracle-checked extraction archetype — Tm-positioned
+    layout end-to-end (VERDICT r07 #4: generated reports commonly
+    position every line exclusively via the ``Tm`` text matrix, which
+    previously fell back to stream order): the synthesized content
+    stream plants its BOTTOM block FIRST — ``2 0 0 2 72 600 Tm`` with
+    non-identity scale components that must be parsed past and ignored
+    (D-7: translation-only) — then the TOP block anchored by
+    ``1 0 0 1 72 700 Tm`` whose second line advances with a RELATIVE
+    ``0 -14 Td`` off the Tm anchor. Layout ordering must emit top
+    (y=700), its continuation (686), then the bottom block (600);
+    stream-order extraction, or an extractor that ignores Tm, would
+    hash-fail every row. Pure-SQL synthesis (uncompressed stream, no
+    UDF); the oracle replays the construction."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    did = F.col("doc_id").cast("string")
+    s1 = F.substring("text", 1, 40)
+    s2 = F.substring("text", 41, 40)
+    pdf = F.encode(
+        F.concat(
+            F.lit(
+                "%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nstream\n"
+                "BT 2 0 0 2 72 600 Tm ("
+            ),
+            s2,
+            F.lit(") Tj ET\nBT 1 0 0 1 72 700 Tm (Tm Doc "),
+            did,
+            F.lit(": ) Tj ("),
+            F.col("text"),
+            F.lit(") Tj (.) Tj 0 -14 Td ("),
+            s1,
+            F.lit(") Tj ET\nendstream\nendobj\n%%EOF"),
+        ),
+        "UTF-8",
+    )
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/pt/", pdf)
     return extract_stage(pages).select("url", "content_text", "status")
 
 

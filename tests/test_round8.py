@@ -96,3 +96,69 @@ def test_grouped_cumsum_derived_parts_straddler_bound(spark):
             acc += (i * 3 + g) % 11 + 1
             exp[(f"g{g:03d}", i)] = (rnk, acc)
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r07 #4 — Tm translation honored for PDF layout ordering
+# ---------------------------------------------------------------------------
+
+
+def _pdf(body: bytes) -> bytes:
+    return b"%PDF-1.4\nstream\n" + body + b"\nendstream\n%%EOF"
+
+
+def test_pdf_tm_translation_orders_lines():
+    """A stream positioning exclusively via Tm (generated reports) gets
+    layout order: blocks planted bottom-first re-sort top-to-bottom by
+    the Tm translation (e, f)."""
+    from readembedability_spark.extractor.pdftext import extract_pdf_text
+
+    blob = _pdf(
+        b"BT 1 0 0 1 72 600 Tm (below) Tj ET\n"
+        b"BT 1 0 0 1 72 700 Tm (above) Tj ET"
+    )
+    assert extract_pdf_text(blob) == "above\nbelow"
+
+
+def test_pdf_tm_mid_block_starts_new_line():
+    """Tm inside a block flushes the current line and jumps to the new
+    absolute position — scale/rotation components are ignored (D-7)."""
+    from readembedability_spark.extractor.pdftext import extract_pdf_text
+
+    blob = _pdf(
+        b"BT 2 0 0 2 72 650 Tm (second) Tj "
+        b"0.5 0 0 0.5 72 700 Tm (first) Tj ET"
+    )
+    assert extract_pdf_text(blob) == "first\nsecond"
+
+
+def test_pdf_tm_then_td_moves_relative():
+    """Td after Tm translates RELATIVE to the Tm position, so a
+    Tm-anchored paragraph with Td line advances reads in order."""
+    from readembedability_spark.extractor.pdftext import extract_pdf_text
+
+    blob = _pdf(
+        b"BT 1 0 0 1 100 500 Tm (para top) Tj 0 -14 Td (para next) Tj ET\n"
+        b"BT 1 0 0 1 100 700 Tm (header) Tj ET"
+    )
+    assert extract_pdf_text(blob) == "header\npara top\npara next"
+
+
+def test_pdf_tm_decimal_and_negative_components():
+    """Tm components may be decimal/negative; only (e, f) position."""
+    from readembedability_spark.extractor.pdftext import extract_pdf_text
+
+    blob = _pdf(
+        b"BT 1.0 0 0 -1.0 72.5 600.25 Tm (lo) Tj ET\n"
+        b"BT -1 0.0 0 1 72.5 700.75 Tm (hi) Tj ET"
+    )
+    assert extract_pdf_text(blob) == "hi\nlo"
+
+
+def test_pdf_no_positioning_still_stream_order_after_tm_change():
+    """The Tm token branch must not disturb the no-positioning
+    fallback: streams without any positioning ops keep stream order."""
+    from readembedability_spark.extractor.pdftext import extract_pdf_text
+
+    blob = _pdf(b"BT (one ) Tj (two.) Tj ET\nBT (three) Tj ET")
+    assert extract_pdf_text(blob) == "one two.\nthree"
