@@ -239,13 +239,44 @@ def main() -> None:
     # line dedup drops the url column — ride it back for the blend
     cleaned = cleaned.join(docs.select("doc_id", "url"), "doc_id")
     stats["after_line_dedup"] = cleaned.count()
-    kept = near_dup_keep_best(
-        spark, cleaned.select("doc_id", "text", "lang")
-    ).join(docs.select("doc_id", "url"), "doc_id")
+    # persisted: the admission policy fans out into three signal
+    # branches (host prior / DSIR / CCNet) that each read this table —
+    # unpersisted, the whole LSH+CC near-dup chain would re-execute
+    # per branch (it OOM'd a 4g test driver)
+    kept = _persist(
+        near_dup_keep_best(
+            spark, cleaned.select("doc_id", "text", "lang")
+        ).join(docs.select("doc_id", "url"), "doc_id")
+    )
     stats["after_near_dedup"] = kept.count()
-    eval_docs = kept.filter(F.col("doc_id") % args.eval_mod == 0)
+
+    # ---- composed admission policy (q_admission_policy's blend) ------
+    # host prior × DSIR weight × CCNet tercile, first-gate attributed;
+    # the funnel counts go in the run stats so every drop is explained
+    from readembedability_spark.textops import admission_stages_from
+
+    staged = _persist(
+        admission_stages_from(
+            kept.withColumn(
+                "host", F.regexp_extract("url", HOST_RE, 1)
+            ).select("doc_id", "host", "lang", "text")
+        )
+    )
+    stats["admission_funnel"] = {
+        r["stage"]: r["n"]
+        for r in staged.groupBy("stage")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    admitted = kept.join(
+        staged.filter(F.col("stage") == "4_admitted").select("doc_id"),
+        "doc_id",
+    )
+    stats["after_admission"] = admitted.count()
+
+    eval_docs = admitted.filter(F.col("doc_id") % args.eval_mod == 0)
     train = decontaminate(
-        kept.filter(F.col("doc_id") % args.eval_mod != 0), eval_docs
+        admitted.filter(F.col("doc_id") % args.eval_mod != 0), eval_docs
     )
     stats["after_decontamination"] = train.count()
     sampled = _persist(authority_blended_sample(train, ranks))

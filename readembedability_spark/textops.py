@@ -1870,10 +1870,14 @@ def q_pagerank(spark, sf_dir):
     return _pagerank(spark, _rule_edges(spark, sf_dir))
 
 
-def _rule_edges(spark, sf_dir):
+def _rule_edges(spark, sf_dir, ev_filter=None):
     """The synthetic rule graph (mirrors _PR_GRAPH_SQL's edges CTE) —
-    shared by q_pagerank and q_trustrank."""
+    shared by q_pagerank and q_trustrank. ``ev_filter`` restricts the
+    EVENT rows before the edge rules apply (q_pagerank_incremental's
+    prior-crawl subgraph); None keeps the full graph."""
     ev = _t(spark, sf_dir, "events")
+    if ev_filter is not None:
+        ev = ev.filter(ev_filter)
     ruleA = ev.select(
         (F.col("event_id") % 50).alias("src"),
         ((F.col("event_id") * 7 + 3) % 50).alias("dst"),
@@ -1911,9 +1915,17 @@ def _graph_nodes(edges):
 
 
 def _pagerank(spark, edges, seeds=None):
+    """Rounded (node, pr) projection of `_pagerank_loop` — the shape
+    every gate query returns."""
+    r = _pagerank_loop(spark, edges, seeds=seeds)
+    return r.select(F.col("v").alias("node"), F.round("r", 6).alias("pr"))
+
+
+def _pagerank_loop(spark, edges, seeds=None, iters=_PR_ITERS, init=None):
     """The PageRank power-iteration loop over any (src, dst) edge
-    table — shared by q_pagerank (synthetic rule graph) and
-    q_pagerank_links (the graph EXTRACTED from pages by A-23).
+    table, returning the RAW (v, r) rank table — shared by q_pagerank
+    (synthetic rule graph), q_pagerank_links (the graph EXTRACTED from
+    pages by A-23) and q_pagerank_incremental (warm-start admission).
 
     With `seeds` (a (v)-column DataFrame) the teleport vector is
     PERSONALIZED: mass jumps (and dangling mass returns) only to seed
@@ -1921,7 +1933,14 @@ def _pagerank(spark, edges, seeds=None):
     The uniform path is kept expression-identical to its long-green
     hash (teleport (1−d)/n as a single division), while the seeded
     path multiplies by the per-node teleport share s(v), mirroring
-    its own oracle exactly."""
+    its own oracle exactly.
+
+    With `init` (a (v, r) DataFrame) the loop WARM-STARTS: r0(v) =
+    init.r where present else 1/n (new nodes enter at the uniform
+    share). The PageRank update is an affine contraction, so the
+    fixpoint is init-independent — a near-fixpoint init just needs
+    far fewer iterations (`iters`) to re-converge, which is the whole
+    economics of incremental admission."""
     # nodes/deg/sinks are iteration-invariant and referenced inside
     # every iteration's lineage — persisted once so no per-iteration
     # recompute (each carries a shuffle of its own); preamble shared
@@ -1962,11 +1981,22 @@ def _pagerank(spark, edges, seeds=None):
             )
         )
         r = tele.select("v", F.col("s").alias("r"))
+    elif init is not None:
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(init.select("v", F.col("r").alias("_ri")), "v", "left")
+            .select(
+                "v",
+                F.coalesce(
+                    F.col("_ri"), F.lit(1.0) / F.col("n")
+                ).alias("r"),
+            )
+        )
     else:
         r = nodes.crossJoin(F.broadcast(nn)).select(
             "v", (F.lit(1.0) / F.col("n")).alias("r")
         )
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         # each iteration reads r TWICE (contrib + dangling mass), so r
         # is localCheckpoint'ed per round — without it the lazy plan
         # re-derives r_{t-1} once per reference (2^iters subtree
@@ -2019,7 +2049,7 @@ def _pagerank(spark, edges, seeds=None):
                     ).alias("r"),
                 )
             )
-    return r.select(F.col("v").alias("node"), F.round("r", 6).alias("pr"))
+    return r
 
 
 #: one unrolled TrustRank iteration: rank = (1-d)·s(v) + d·(Σ_in r/deg
@@ -4214,7 +4244,13 @@ def q_dsir_weights(spark, sf_dir):
     production variant swaps the unigram buckets for hashed bigrams
     (same shapes, bigger b-domain, still broadcast-sized at 10^4-10^5
     buckets)."""
-    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights_from(_t(spark, sf_dir, "documents"))
+
+
+def dsir_weights_from(docs):
+    """q_dsir_weights over any (doc_id, text) DataFrame — the entry
+    point the admission-policy blend and jobs use on their own
+    corpus."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
@@ -7747,6 +7783,14 @@ def q_host_quality_prior(spark, sf_dir):
         F.lit("host"), (F.col("doc_id") % 50).cast("string"),
         F.lit(".example.com"),
     )
+    return host_quality_prior_from(docs.select(host.alias("host"), "text"))
+
+
+def host_quality_prior_from(docs):
+    """q_host_quality_prior over any (host, text) DataFrame — the
+    entry point the admission-policy blend and jobs use on their own
+    corpus (host from url there, the synthetic doc_id-derived host in
+    the gate query)."""
     alpha = F.coalesce(
         F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
         / F.nullif(F.length("text").cast("double"), F.lit(0.0)),
@@ -7760,7 +7804,7 @@ def q_host_quality_prior(spark, sf_dir):
         * F.lit(1000000.0)
     ).cast("long")
     per_host = (
-        docs.select(host.alias("host"), q_micro.alias("q_micro"))
+        docs.select("host", q_micro.alias("q_micro"))
         .groupBy("host")
         .agg(
             F.count("*").alias("n_docs"),
@@ -8015,7 +8059,13 @@ def q_ccnet_buckets(spark, sf_dir):
     rollup, one (lang, cb) rollup, a histogram-sized window, and a
     per-lang broadcast boundary join back; every corpus-sized exchange
     is map-side combining."""
-    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets_from(_t(spark, sf_dir, "documents"))
+
+
+def ccnet_buckets_from(docs):
+    """q_ccnet_buckets over any (doc_id, lang, text) DataFrame — the
+    entry point the admission-policy blend and jobs use on their own
+    corpus."""
     toks = _persist(
         docs.select(
             "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
@@ -9168,10 +9218,10 @@ def q_minhash_calibration(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@q(
-    "q_bm25_rank",
-    """
-    WITH toks AS (
+#: shared BM25 CTE body (ends at `ranked`, the top-5 table) — reused
+#: verbatim by q_bm25_rank (the ranking itself) and q_bm25_eval (the
+#: MRR regression gate over the same ranking).
+_BM25_SQL_BODY = """toks AS (
       SELECT doc_id, w FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w
         FROM documents) WHERE w <> ''),
@@ -9198,14 +9248,23 @@ def q_minhash_calibration(spark, sf_dir):
            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corp),
     sc AS (
       SELECT qid, doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro
-      FROM term GROUP BY qid, doc_id)
+      FROM term GROUP BY qid, doc_id),
+    ranked AS (
+      SELECT qid, rk, doc_id, score_micro
+      FROM (SELECT qid, doc_id, score_micro,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk
+            FROM sc)
+      WHERE rk <= 5)"""
+
+
+@q(
+    "q_bm25_rank",
+    f"""
+    WITH {_BM25_SQL_BODY}
     SELECT qid, rk, doc_id,
            ROUND(score_micro / 1000000.0, 4) + 0.0 AS score
-    FROM (SELECT qid, doc_id, score_micro,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
-                   ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk
-          FROM sc)
-    WHERE rk <= 5
+    FROM ranked
     """,
 )
 def q_bm25_rank(spark, sf_dir):
@@ -9231,6 +9290,20 @@ def q_bm25_rank(spark, sf_dir):
     per-query exchange carries ≤ 5·tasks rows per query no matter the
     corpus size. Query-set size is the only knob: it is O(queries)
     broadcast state, independent of corpus scale."""
+    return _bm25_top5(spark, sf_dir).select(
+        "qid",
+        "rk",
+        "doc_id",
+        F.round(F.col("score_micro") / F.lit(1000000.0), 4).alias(
+            "score"
+        ),
+    )
+
+
+def _bm25_top5(spark, sf_dir):
+    """Shared BM25 core: (qid, rk, doc_id, score_micro) top-5 table —
+    mirrors the `ranked` CTE of _BM25_SQL_BODY; consumed by
+    q_bm25_rank and q_bm25_eval."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -9284,12 +9357,615 @@ def q_bm25_rank(spark, sf_dir):
     return (
         sc.withColumn("rk", F.row_number().over(wnd).cast("long"))
         .filter(F.col("rk") <= 5)
+        .select("qid", "rk", "doc_id", "score_micro")
+    )
+
+
+@q(
+    "q_bm25_eval",
+    f"""
+    WITH {_BM25_SQL_BODY},
+    nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n FROM qt),
+    hits AS (
+      SELECT qid, MIN(rk) AS rk FROM ranked
+      WHERE doc_id = qid GROUP BY qid)
+    SELECT MAX(nq.n) AS n_queries,
+           CAST(COUNT(hits.qid) AS BIGINT) AS n_hit_top5,
+           ROUND(CAST(SUM(COALESCE(1000000 // hits.rk, 0)) AS BIGINT)
+                 * 1.0 / MAX(nq.n) / 1000000.0, 4) AS mrr_at_5
+    FROM nq LEFT JOIN hits ON TRUE
+    """,
+)
+def q_bm25_eval(spark, sf_dir):
+    """BM25 self-retrieval regression gate — the retrieval sibling of
+    q_ann_recall: every query is built from tokens 3..5 of a SOURCE
+    document, so that document is the planted relevant result; the
+    gate scores whether BM25 puts it in the top 5 and at what
+    reciprocal rank (MRR@5). A tokenizer, idf, length-norm or ranking
+    regression moves this single row immediately — the audit a
+    retrieval-training pipeline watches, not the raw postings.
+
+    Determinism: reciprocal ranks are exact integer micro units
+    (10^6 div rk), summed as BIGINTs; one final double division per
+    corpus. Plan: the shared `_bm25_top5` core plus a ≤|queries|-row
+    rollup — same cost class as q_bm25_rank itself."""
+    ranked = _bm25_top5(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    nq = (
+        docs.filter(F.col("doc_id") % 47 == 0)
         .select(
-            "qid",
-            "rk",
-            "doc_id",
-            F.round(F.col("score_micro") / F.lit(1000000.0), 4).alias(
-                "score"
+            F.col("doc_id").alias("qid"),
+            F.explode(F.slice(F.split("text", " "), 3, 3)).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .agg(F.count_distinct("qid").cast("long").alias("n"))
+    )
+    hits = (
+        ranked.filter(F.col("doc_id") == F.col("qid"))
+        .groupBy("qid")
+        .agg(F.min("rk").alias("rk"))
+    )
+    return (
+        hits.agg(
+            F.count("qid").cast("long").alias("n_hit_top5"),
+            F.sum(F.expr("1000000 div rk")).cast("long").alias("rr_sum"),
+        )
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("n").alias("n_queries"),
+            F.coalesce("n_hit_top5", F.lit(0).cast("long")).alias(
+                "n_hit_top5"
+            ),
+            F.round(
+                F.coalesce("rr_sum", F.lit(0).cast("long"))
+                * F.lit(1.0)
+                / F.col("n")
+                / F.lit(1000000.0),
+                4,
+            ).alias("mrr_at_5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: incremental PageRank admission (warm-start power iteration)
+# ---------------------------------------------------------------------------
+
+#: incremental re-convergence budget: a near-fixpoint warm start needs
+#: far fewer power iterations than a cold restart — that gap is the
+#: entire economics of per-batch authority updates.
+_PR_INC_ITERS = 2
+
+#: table-name-parameterized unrolled PageRank iteration — the same
+#: update as _PR_ITER_SQL, reused for BOTH the warm phase (o*-prefixed
+#: prior-graph tables) and the incremental phase (full-graph tables).
+_PR_GEN_ITER_SQL = """
+    {dm}{t} AS (
+      SELECT COALESCE(SUM(rp.r), 0) AS m
+      FROM {r}{p} rp JOIN {sinks} USING (v)),
+    {r}{t} AS (
+      SELECT {nodes}.v,
+             {teleport} / {nn}.n
+               + {damp} * (COALESCE(SUM(rp.r / {deg}.d), 0)
+                           + MAX({dm}{t}.m) / {nn}.n)
+               AS r
+      FROM {nodes} CROSS JOIN {nn} CROSS JOIN {dm}{t}
+      LEFT JOIN {edges} ON {edges}.dst = {nodes}.v
+      LEFT JOIN {r}{p} rp ON rp.v = {edges}.src
+      LEFT JOIN {deg} ON {deg}.src = {edges}.src
+      GROUP BY {nodes}.v, {nn}.n)
+"""
+
+
+def _pr_gen_iters(iters, r, dm, nodes, nn, edges, deg, sinks) -> str:
+    return ",".join(
+        _PR_GEN_ITER_SQL.format(
+            t=t,
+            p=t - 1,
+            r=r,
+            dm=dm,
+            nodes=nodes,
+            nn=nn,
+            edges=edges,
+            deg=deg,
+            sinks=sinks,
+            teleport=round(1 - _PR_DAMP, 2),
+            damp=_PR_DAMP,
+        )
+        for t in range(1, iters + 1)
+    )
+
+
+@q(
+    "q_pagerank_incremental",
+    f"""
+    WITH oedges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT event_id % 50 AS src, (event_id * 7 + 3) % 50 AS dst
+        FROM events WHERE event_id % 5 <> 0
+        UNION ALL
+        SELECT event_id % 50 AS src,
+               (event_id % 50 * 3 + event_id % 7) % 50 AS dst
+        FROM events WHERE event_id % 5 <> 0)
+      WHERE src <> dst AND src % 11 <> 0),
+    onodes AS (SELECT DISTINCT src AS v FROM oedges
+               UNION SELECT DISTINCT dst FROM oedges),
+    onn AS (SELECT COUNT(*) AS n FROM onodes),
+    odeg AS (SELECT src, COUNT(*) AS d FROM oedges GROUP BY src),
+    osinks AS (
+      SELECT onodes.v FROM onodes LEFT JOIN odeg ON odeg.src = onodes.v
+      WHERE odeg.src IS NULL),
+    o0 AS (SELECT v, 1.0 / onn.n AS r FROM onodes CROSS JOIN onn),
+    {_pr_gen_iters(_PR_ITERS, "o", "om", "onodes", "onn",
+                   "oedges", "odeg", "osinks")},
+    {_PR_GRAPH_SQL},
+    i0 AS (SELECT nodes.v, COALESCE(o{_PR_ITERS}.r, 1.0 / nn.n) AS r
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN o{_PR_ITERS} ON o{_PR_ITERS}.v = nodes.v),
+    {_pr_gen_iters(_PR_INC_ITERS, "i", "im", "nodes", "nn",
+                   "edges", "deg", "sinks")}
+    SELECT fin.v AS node, ROUND(fin.r, 6) AS pr,
+           onodes.v IS NULL AS is_new
+    FROM i{_PR_INC_ITERS} fin LEFT JOIN onodes ON onodes.v = fin.v
+    """,
+)
+def q_pagerank_incremental(spark, sf_dir):
+    """Incremental PageRank admission (VERDICT r07 #6) — the graph
+    sibling of q_dedup_incremental's O(batch) admission: when a new
+    crawl batch lands, host authority is UPDATED from the prior ranks
+    instead of recomputed from scratch. Prior crawl = the rule graph
+    restricted to events with event_id % 5 != 0, converged for
+    _PR_ITERS rounds from uniform; the batch unions in the remaining
+    edges, and the full graph re-converges for only _PR_INC_ITERS
+    rounds WARM-STARTED from the prior ranks (new nodes enter at the
+    uniform 1/n share). The PageRank update is an affine contraction,
+    so the fixpoint is init-independent — the warm start just lands
+    near it, which is why 2 rounds suffice where a cold restart needs
+    the full budget (pinned by test_round8's fixpoint-convergence
+    test). is_new flags nodes the batch introduced.
+
+    Plan/scale: both phases ride the SHARED `_pagerank_loop` (edge
+    join + 1-row dangling broadcast + per-round localCheckpoint; cost
+    class identical to q_pagerank per round). At 10^9 hosts the win is
+    the ROUND COUNT: prior ranks are a table you already have, the
+    batch union is O(batch) edges, and re-convergence is ~2 rounds —
+    the full-restart alternative re-pays every round on every batch.
+    Oracle: the same warm + incremental unroll via the
+    table-parameterized iteration template."""
+    old_filter = F.col("event_id") % 5 != 0
+    old_edges = _rule_edges(spark, sf_dir, ev_filter=old_filter)
+    full_edges = _rule_edges(spark, sf_dir)
+    warm = _pagerank_loop(spark, old_edges)
+    r = _pagerank_loop(
+        spark, full_edges, iters=_PR_INC_ITERS, init=warm
+    )
+    old_nodes = (
+        old_edges.select(F.col("src").alias("v"))
+        .union(old_edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    return (
+        r.join(old_nodes.withColumn("_old", F.lit(1)), "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.round("r", 6).alias("pr"),
+            F.col("_old").isNull().alias("is_new"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: composed admission policy (host prior × DSIR × CCNet tercile)
+# ---------------------------------------------------------------------------
+
+
+def admission_policy_from(docs):
+    """First-gate admission attribution over any (doc_id, host, lang,
+    text) DataFrame — the q_filter_funnel shape applied to the three
+    round-7 QUALITY signals, in serving order: (1) the EB host prior's
+    demote flag (host-level — cheapest, kills whole hosts), (2) the
+    DSIR importance weight (integer-exact score_micro > 0), (3) the
+    CCNet per-language perplexity tercile (tail dropped). Zero-token
+    docs carry no DSIR/CCNet row and attribute to the DSIR gate
+    (COALESCE(score, 0) <= 0) — the denominator never loses a doc.
+
+    The keep-DECISION itself is one row-local CASE over three joined
+    artifacts: a host-keyed table (broadcast here at 50 hosts; a
+    host-keyed join at 10^8 hosts), the per-doc DSIR score and the
+    per-doc tercile — each produced by the SAME `_from` entry points
+    the standalone gate queries run, so policy and audits can never
+    disagree. Output is the 4-row funnel (stage, n_docs, n_tokens,
+    frac); jobs that need the per-doc decision use
+    `admission_stages_from` directly (jobs/full_pipeline.py)."""
+    staged = admission_stages_from(docs)
+    total = staged.agg(F.count("*").alias("n"))
+    return (
+        staged.crossJoin(F.broadcast(total))
+        .groupBy("stage")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.count("*") * F.lit(1.0) / F.max("n"), 6).alias(
+                "frac"
             ),
         )
+    )
+
+
+def admission_stages_from(docs):
+    """Per-doc first-gate attribution (doc_id, n_tokens, stage) for
+    the composed admission policy — stage '4_admitted' is the keep
+    set."""
+    hq = F.broadcast(
+        host_quality_prior_from(docs.select("host", "text")).select(
+            "host", "demoted"
+        )
+    )
+    ds = dsir_weights_from(docs.select("doc_id", "text")).select(
+        "doc_id", "n_tokens", "score_micro"
+    )
+    cc = ccnet_buckets_from(
+        docs.select("doc_id", "lang", "text")
+    ).select("doc_id", "bucket")
+    return (
+        docs.select("doc_id", "host")
+        .join(hq, "host")
+        .join(ds, "doc_id", "left")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(F.col("demoted"), F.lit("1_host_demoted"))
+            .when(
+                F.coalesce("score_micro", F.lit(0)) <= 0,
+                F.lit("2_dsir_offtarget"),
+            )
+            .when(F.col("bucket") == "tail", F.lit("3_ccnet_tail"))
+            .otherwise(F.lit("4_admitted"))
+            .alias("stage"),
+        )
+    )
+
+
+@q(
+    "q_admission_policy",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, w FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+    lab AS (
+      SELECT doc_id, n_tok,
+             CAST(mwl BETWEEN 3 AND 10
+                  AND n_tok BETWEEN 50 AND 100000 AS INT) AS y
+      FROM (SELECT doc_id, COUNT(*) AS n_tok, AVG(length(w)) AS mwl
+            FROM toks GROUP BY doc_id)),
+    bc AS MATERIALIZED (
+      SELECT doc_id, substr(md5(w), 1, 2) AS b, COUNT(*) AS c
+      FROM toks GROUP BY doc_id, b),
+    raw AS (SELECT b, SUM(c) AS cr FROM bc GROUP BY b),
+    tgt AS (
+      SELECT bc.b, SUM(bc.c) AS ct
+      FROM bc JOIN lab USING (doc_id) WHERE lab.y = 1 GROUP BY bc.b),
+    totr AS (SELECT CAST(SUM(cr) AS BIGINT) AS t FROM raw),
+    tott AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS t FROM tgt),
+    ratio AS (
+      SELECT raw.b,
+             CAST(ROUND((ln((COALESCE(tgt.ct, 0) + 1) * 1.0
+                             / (tott.t + 256))
+                         - ln((raw.cr + 1) * 1.0 / (totr.t + 256)))
+                        * 1000000.0) AS BIGINT) AS lrq
+      FROM raw LEFT JOIN tgt ON tgt.b = raw.b
+      CROSS JOIN totr CROSS JOIN tott),
+    dsc AS (
+      SELECT bc.doc_id,
+             CAST(SUM(bc.c * ratio.lrq) AS BIGINT) AS score_micro
+      FROM bc JOIN ratio ON ratio.b = bc.b GROUP BY bc.doc_id),
+    cf AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    ctot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cf),
+    cperdoc AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(ROUND(-ln(cf.c * 1.0 / ctot.t) / ln(2)
+                                 * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS sum_micro
+      FROM toks JOIN cf USING (w) CROSS JOIN ctot
+      GROUP BY doc_id, lang),
+    cbd AS (
+      SELECT doc_id, lang, n_tokens, sum_micro,
+             sum_micro // (n_tokens * 10000) AS cb
+      FROM cperdoc),
+    hist AS (SELECT lang, cb, COUNT(*) AS hc FROM cbd GROUP BY lang, cb),
+    cum AS (
+      SELECT lang, cb,
+             CAST(SUM(hc) OVER (PARTITION BY lang ORDER BY cb) AS BIGINT)
+               AS cum,
+             CAST(SUM(hc) OVER (PARTITION BY lang) AS BIGINT) AS n_l
+      FROM hist),
+    bounds AS (
+      SELECT lang,
+             MIN(CASE WHEN cum >= (n_l + 2) // 3 THEN cb END) AS t1_cb,
+             MIN(CASE WHEN cum >= (2 * n_l + 2) // 3 THEN cb END) AS t2_cb
+      FROM cum GROUP BY lang),
+    cbuck AS (
+      SELECT cbd.doc_id,
+             CASE WHEN cbd.cb <= bounds.t1_cb THEN 'head'
+                  WHEN cbd.cb <= bounds.t2_cb THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM cbd JOIN bounds USING (lang)),
+    hperdoc AS (
+      SELECT 'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+               AS host,
+             CAST(ROUND((LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+                          * 0.5
+                         + COALESCE(
+                             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                               * 1.0 / NULLIF(length(text), 0), 0.0) * 0.5)
+                        * 1000000.0) AS BIGINT) AS q_micro
+      FROM documents),
+    per_host AS (
+      SELECT host, COUNT(*) AS n_docs,
+             CAST(SUM(q_micro) AS BIGINT) AS sum_micro
+      FROM hperdoc GROUP BY host),
+    prior AS (
+      SELECT CAST(SUM(sum_micro) AS BIGINT) AS tot_micro,
+             CAST(SUM(n_docs) AS BIGINT) AS tot_docs
+      FROM per_host),
+    hostflag AS (
+      SELECT host,
+             (sum_micro + 20.0 * tot_micro / tot_docs)
+               / 1000000.0 / (n_docs + 20) < 0.55 AS demoted
+      FROM per_host CROSS JOIN prior),
+    staged AS (
+      SELECT d.doc_id, COALESCE(l.n_tok, 0) AS n_tokens,
+             CASE WHEN hf.demoted THEN '1_host_demoted'
+                  WHEN COALESCE(s.score_micro, 0) <= 0
+                    THEN '2_dsir_offtarget'
+                  WHEN cb2.bucket = 'tail' THEN '3_ccnet_tail'
+                  ELSE '4_admitted' END AS stage
+      FROM documents d
+      JOIN hostflag hf
+        ON hf.host = 'host' || CAST(d.doc_id % 50 AS VARCHAR)
+                     || '.example.com'
+      LEFT JOIN lab l ON l.doc_id = d.doc_id
+      LEFT JOIN dsc s ON s.doc_id = d.doc_id
+      LEFT JOIN cbuck cb2 ON cb2.doc_id = d.doc_id),
+    total AS (SELECT COUNT(*) AS n FROM staged)
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(COUNT(*) * 1.0 / MAX(total.n), 6) AS frac
+    FROM staged CROSS JOIN total GROUP BY stage
+    """,
+)
+def q_admission_policy(spark, sf_dir):
+    """Composed admission policy (VERDICT r07 #7): the three round-7
+    quality signals — EB host prior (q_host_quality_prior), DSIR
+    importance weight (q_dsir_weights) and CCNet perplexity tercile
+    (q_ccnet_buckets) — blended into ONE curation keep-decision, with
+    q_filter_funnel-style first-gate attribution so the published
+    funnel explains exactly why every dropped doc dropped. All three
+    signals come from the SAME `_from` entry points the standalone
+    audits run (shared by construction, not by convention); the
+    synthetic host is the q_host_quality_prior doc_id%50 convention so
+    the host gate actually fires on the rule corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("host"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com"),
+    )
+    return admission_policy_from(
+        docs.select("doc_id", host.alias("host"), "lang", "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: leakage-free host-level split + change-rate recrawl scheduling
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_split_by_host",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+               AS host,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    hb AS (
+      SELECT host,
+             CAST('0x' || substr(md5('split' || host), 1, 6) AS BIGINT)
+               % 100 AS b
+      FROM (SELECT DISTINCT host FROM d)),
+    docsplit AS (
+      SELECT host,
+             CASE WHEN CAST('0x' || substr(md5('split'
+                          || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                       % 100 < {_SPLIT_TRAIN_PCT} THEN 'train'
+                  WHEN CAST('0x' || substr(md5('split'
+                          || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                       % 100 < {_SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS s
+      FROM d),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS doc_rule_leaky_hosts
+      FROM (SELECT host FROM docsplit GROUP BY host
+            HAVING COUNT(DISTINCT s) > 1)),
+    a AS (
+      SELECT d.lang, d.n_tokens, d.host,
+             CASE WHEN hb.b < {_SPLIT_TRAIN_PCT} THEN 'train'
+                  WHEN hb.b < {_SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM d JOIN hb USING (host))
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           MAX(leak.doc_rule_leaky_hosts) AS doc_rule_leaky_hosts
+    FROM a CROSS JOIN leak GROUP BY split, lang
+    """,
+)
+def q_split_by_host(spark, sf_dir):
+    """GROUP-aware train/val/test split: every document of a host
+    lands in the SAME split (bucket = hex-prefix(md5('split' ‖ host))
+    mod 100, the q_split_holdout rule applied at host grain). This is
+    the leakage-free split a web corpus actually needs — near-dups
+    concentrate WITHIN hosts (templates, boilerplate, mirrored
+    articles), so a doc-level split leaks train content into test
+    through host-internal near-dups. The audit column makes the
+    hazard concrete: doc_rule_leaky_hosts counts hosts that the
+    EXISTING doc-level rule (q_split_holdout's exact expression)
+    would straddle across ≥2 splits — every one is a potential
+    leak the host rule eliminates by construction.
+
+    Plan/scale: row-local host + bucket hash in the scan, one DISTINCT
+    host rollup for the assignment table (host-keyed join back — no
+    broadcast assumption at 10^8 hosts), one host rollup for the leak
+    audit, one (split, lang) rollup, and a 1-row audit broadcast.
+    Docs never migrate between splits as the corpus grows (hash rule,
+    no counters), and re-crawled pages keep their split because the
+    key is the host, not the snapshot."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("host"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com"),
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        host.alias("host"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+    def bucket(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.encode(F.concat(F.lit("split"), col), "UTF-8")),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+
+    hb = d.select("host").distinct().select(
+        "host", bucket(F.col("host")).alias("b")
+    )
+    doc_s = (
+        F.when(
+            bucket(F.col("doc_id").cast("string")) < _SPLIT_TRAIN_PCT,
+            "train",
+        )
+        .when(bucket(F.col("doc_id").cast("string")) < _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    leak = (
+        d.select("host", doc_s.alias("s"))
+        .groupBy("host")
+        .agg(F.count_distinct("s").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").cast("long").alias("doc_rule_leaky_hosts"))
+    )
+    split = (
+        F.when(F.col("b") < _SPLIT_TRAIN_PCT, "train")
+        .when(F.col("b") < _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.join(hb, "host")
+        .select(split.alias("split"), "lang", "n_tokens", "host")
+        .crossJoin(F.broadcast(leak))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.count_distinct("host").cast("long").alias("n_hosts"),
+            F.max("doc_rule_leaky_hosts").alias("doc_rule_leaky_hosts"),
+        )
+    )
+
+
+@q(
+    "q_recrawl_schedule",
+    """
+    WITH f AS (
+      SELECT user_id AS host, ts,
+             CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS changed
+      FROM events),
+    h AS (
+      SELECT host,
+             CAST(COUNT(*) AS BIGINT) AS n_fetches,
+             CAST(SUM(changed) AS BIGINT) AS n_changes,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+      FROM f GROUP BY host HAVING COUNT(*) >= 2 AND
+            epoch_us(MAX(ts)) - epoch_us(MIN(ts)) > 0),
+    est AS (
+      SELECT host, n_fetches, n_changes,
+             span_us / 3600000000.0 AS span_hours,
+             -ln((n_fetches - n_changes + 0.5) / (n_fetches + 0.5))
+               / (span_us / 3600000000.0 / (n_fetches - 1))
+               AS lam
+      FROM h)
+    SELECT host, n_fetches, n_changes,
+           ROUND(span_hours, 4) AS span_hours,
+           ROUND(lam, 6) AS lambda_per_hour,
+           ROUND(LEAST(168.0, 1.0 / lam), 4) AS recrawl_hours
+    FROM est
+    """,
+)
+def q_recrawl_schedule(spark, sf_dir):
+    """Change-rate-driven recrawl scheduling (Cho & Garcia-Molina
+    2003): per host, estimate the Poisson page-change rate λ from a
+    revisit history — n fetches over a span, X of which observed a
+    change — with the bias-corrected estimator
+    λ̂ = −ln((n − X + ½)/(n + ½)) / Ī, Ī the mean inter-fetch
+    interval; the recrawl interval is 1/λ̂ capped at a week. This is
+    the frequency half of crawl scheduling (q_frontier_schedule ranks
+    WHO to fetch; this decides HOW OFTEN to come back). The revisit
+    log is the events stream (host = user_id, deterministic change
+    indicator event_id % 3 = 0); the continuity correction keeps λ̂
+    finite at X = 0 (never-changing hosts get the cap) and X = n
+    (always-changing hosts get the fetch cadence itself).
+
+    Determinism: n and X are exact integers; the span is exact
+    integer MICROSECONDS (epoch_us / timestampdiff — the TS columns
+    are TIMESTAMP_NTZ), so both engines feed ln identical doubles.
+    Plan/scale: ONE map-side-combining groupBy(host) with min/max/sum
+    state, then row-local math over the host table — no window, no
+    per-event shuffle beyond the rollup, any host cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        F.col("user_id").alias("host"),
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, 1).otherwise(0).alias("changed"),
+    )
+    h = (
+        f.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_fetches"),
+            F.sum("changed").cast("long").alias("n_changes"),
+            F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias(
+                "span_us"
+            ),
+        )
+        .filter((F.col("n_fetches") >= 2) & (F.col("span_us") > 0))
+    )
+    span_hours = F.col("span_us") / F.lit(3600000000.0)
+    lam = -F.log(
+        (F.col("n_fetches") - F.col("n_changes") + 0.5)
+        / (F.col("n_fetches") + 0.5)
+    ) / (span_hours / (F.col("n_fetches") - 1))
+    return h.select(
+        "host",
+        "n_fetches",
+        "n_changes",
+        F.round(span_hours, 4).alias("span_hours"),
+        F.round(lam, 6).alias("lambda_per_hour"),
+        F.round(F.least(F.lit(168.0), F.lit(1.0) / lam), 4).alias(
+            "recrawl_hours"
+        ),
     )

@@ -162,3 +162,35 @@ def test_pdf_no_positioning_still_stream_order_after_tm_change():
 
     blob = _pdf(b"BT (one ) Tj (two.) Tj ET\nBT (three) Tj ET")
     assert extract_pdf_text(blob) == "one two.\nthree"
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r07 #6 — warm-start PageRank converges to the full-recompute
+# fixpoint
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_warm_start_converges_to_cold_fixpoint(spark):
+    """Run the power loop to near-fixpoint (a) cold from uniform on
+    the full rule graph and (b) warm-started from the prior-subgraph
+    ranks — the affine contraction must land both at the SAME
+    fixpoint, which is the correctness claim behind shipping only
+    _PR_INC_ITERS incremental rounds per batch."""
+    from readembedability_spark.textops import (
+        _pagerank_loop,
+        _rule_edges,
+    )
+    from pyspark.sql import functions as F
+
+    full = _rule_edges(spark, SF_SMALL)
+    old = _rule_edges(
+        spark, SF_SMALL, ev_filter=F.col("event_id") % 5 != 0
+    )
+    cold = _pagerank_loop(spark, full, iters=14)
+    warm0 = _pagerank_loop(spark, old)  # the production warm phase
+    warm = _pagerank_loop(spark, full, iters=14, init=warm0)
+    c = {r["v"]: r["r"] for r in cold.collect()}
+    w = {r["v"]: r["r"] for r in warm.collect()}
+    assert set(c) == set(w)
+    gap = max(abs(c[v] - w[v]) for v in c)
+    assert gap < 1e-6, gap
