@@ -9372,7 +9372,7 @@ def _bm25_top5(spark, sf_dir):
     SELECT MAX(nq.n) AS n_queries,
            CAST(COUNT(hits.qid) AS BIGINT) AS n_hit_top5,
            ROUND(CAST(SUM(COALESCE(1000000 // hits.rk, 0)) AS BIGINT)
-                 * 1.0 / MAX(nq.n) / 1000000.0, 4) AS mrr_at_5
+                 * 1.0 / NULLIF(MAX(nq.n), 0) / 1000000.0, 4) AS mrr_at_5
     FROM nq LEFT JOIN hits ON TRUE
     """,
 )
@@ -9419,7 +9419,7 @@ def q_bm25_eval(spark, sf_dir):
             F.round(
                 F.coalesce("rr_sum", F.lit(0).cast("long"))
                 * F.lit(1.0)
-                / F.col("n")
+                / F.nullif(F.col("n"), F.lit(0))
                 / F.lit(1000000.0),
                 4,
             ).alias("mrr_at_5"),
@@ -9965,7 +9965,160 @@ def q_recrawl_schedule(spark, sf_dir):
         "n_changes",
         F.round(span_hours, 4).alias("span_hours"),
         F.round(lam, 6).alias("lambda_per_hour"),
-        F.round(F.least(F.lit(168.0), F.lit(1.0) / lam), 4).alias(
-            "recrawl_hours"
-        ),
+        # a never-changing host has lam = 0 exactly: DuckDB's 1.0/0.0
+        # is +inf (LEAST caps it at the week); Spark ANSI throws on
+        # double divide-by-zero, so try_divide -> NULL, and LEAST
+        # skips NULLs -> the same 168.0 in both engines
+        F.round(
+            F.least(F.lit(168.0), F.try_divide(F.lit(1.0), lam)), 4
+        ).alias("recrawl_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: LSH banding-parameter tuner (S-curve audit over observed pairs)
+# ---------------------------------------------------------------------------
+
+
+def _pow2_expr(expr: str, n: int) -> str:
+    """expr**n for power-of-two n via repeated squaring — a FIXED
+    multiplication tree, so Spark and DuckDB evaluate the identical
+    IEEE sequence (libm POWER could differ in the last ulp; chained
+    multiplication cannot)."""
+    out = expr
+    while n > 1:
+        out = f"({out} * {out})"
+        n //= 2
+    return out
+
+
+#: candidate (bands, rows) factorizations of the _N_MINHASH-component
+#: sketch, with the EXACT P=1/2 similarity threshold
+#: s½ = (1 − 2^(−1/b))^(1/r) precomputed in Python and injected as a
+#: literal into BOTH engines (no runtime root-taking anywhere).
+_BAND_CONFIGS = [
+    (b, _N_MINHASH // b, round((1 - 0.5 ** (1 / b)) ** (b / _N_MINHASH), 6))
+    for b in (1, 2, 4, 8)
+]
+
+
+def _band_tuning_tail_sql() -> str:
+    parts = []
+    for b, r, s_half in _BAND_CONFIGS:
+        catch = f"(1.0 - {_pow2_expr(f'(1.0 - {_pow2_expr(chr(115), r)})', b)})"
+        cur = "TRUE" if b == _N_BANDS else "FALSE"
+        parts.append(
+            f"""SELECT CAST({b} AS BIGINT) AS bands,
+               CAST({r} AS BIGINT) AS rows_per_band,
+               CAST({s_half:.6f} AS DOUBLE) AS s_half,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(CAST(SUM(CAST(ROUND({catch} * 1000000.0) AS BIGINT))
+                          AS BIGINT) * 1.0 / COUNT(*) / 1000000.0, 4)
+                 AS mean_catch_prob,
+               {cur} AS current
+        FROM ps"""
+        )
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@q(
+    "q_minhash_band_tuning",
+    f"""
+    WITH {_MINHASH_CAND_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, COUNT(*) AS i
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.a
+      JOIN shingles sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+      GROUP BY c.a, c.b),
+    pj AS (
+      SELECT CAST(ROUND(COALESCE(n.i, 0) * 1000000.0
+                        / (za.sz + zb.sz - COALESCE(n.i, 0)))
+                  AS BIGINT) AS jac_micro
+      FROM cand c
+      LEFT JOIN inter n ON n.a = c.a AND n.b = c.b
+      JOIN sizes za ON za.doc_id = c.a
+      JOIN sizes zb ON zb.doc_id = c.b),
+    ps AS (SELECT jac_micro / 1000000.0 AS s FROM pj)
+    {_band_tuning_tail_sql()}
+    """,
+)
+def q_minhash_band_tuning(spark, sf_dir):
+    """Banding-parameter tuner: for every (bands, rows) factorization
+    of the {_N_MINHASH}-component MinHash sketch, the S-curve catch
+    probability P(s) = 1 − (1 − s^r)^b evaluated at the EXACT Jaccard
+    of every observed capped-LSH candidate pair — the expected recall
+    each configuration would deliver on THIS corpus's near-dup
+    similarity profile — plus the exact P = ½ threshold
+    s½ = (1 − 2^(−1/b))^(1/r). Read together with q_lsh_bucket_stats
+    (skew side) and q_minhash_calibration (estimator-noise side),
+    this is the knob-turning artifact for the banding split: move a
+    config's mean_catch_prob and you know what a re-band buys BEFORE
+    re-running dedup.
+
+    Cross-engine determinism: the only non-integer inputs are
+    s = jac_micro/10⁶ (an exact BIGINT divided by a constant) and the
+    powers — computed by a FIXED repeated-squaring multiplication
+    tree generated ONCE and interpolated into both engines' plans
+    (`_pow2_expr`; libm pow could differ in the last ulp, chained
+    multiplies cannot); per-pair P is micro-quantized before the sum.
+    s½ is precomputed in Python and injected as the same literal into
+    both. Plan/scale: the shared capped-candidate + exact-intersection
+    core (the verify pass it tunes), then ONE pass over the pair
+    table computing all four configs' micro sums in parallel
+    aggregates — no per-config rescan, no new corpus-sized shuffle."""
+    shingles = _persist(_shingles_df(spark, sf_dir))
+    cand = _minhash_pairs_from(shingles)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("a"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    i0 = F.coalesce("i", F.lit(0))
+    ps = (
+        cand.join(inter, ["a", "b"], "left")
+        .join(za, "a")
+        .join(zb, "b")
+        .select(
+            (
+                F.round(
+                    i0 * F.lit(1000000.0)
+                    / (F.col("sza") + F.col("szb") - i0)
+                ).cast("long")
+                / F.lit(1000000.0)
+            ).alias("s")
+        )
+    )
+    sums = [F.count("*").cast("long").alias("n_pairs")]
+    for b, r, _ in _BAND_CONFIGS:
+        catch = f"(1.0 - {_pow2_expr(f'(1.0 - {_pow2_expr(chr(115), r)})', b)})"
+        sums.append(
+            F.sum(
+                F.expr(f"CAST(ROUND({catch} * 1000000.0) AS BIGINT)")
+            )
+            .cast("long")
+            .alias(f"pm{b}")
+        )
+    one = ps.agg(*sums)
+    rows = [
+        F.struct(
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            F.lit(s_half).alias("s_half"),
+            F.col("n_pairs"),
+            F.round(
+                F.col(f"pm{b}") * F.lit(1.0) / F.col("n_pairs") / F.lit(1000000.0),
+                4,
+            ).alias("mean_catch_prob"),
+            F.lit(b == _N_BANDS).alias("current"),
+        )
+        for b, r, s_half in _BAND_CONFIGS
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("c")).select("c.*")

@@ -194,3 +194,183 @@ def test_pagerank_warm_start_converges_to_cold_fixpoint(spark):
     assert set(c) == set(w)
     gap = max(abs(c[v] - w[v]) for v in c)
     assert gap < 1e-6, gap
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine boundary probes for the round-8 operators
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+import duckdb as _duckdb
+import pandas as _pd
+import pyarrow as _pa
+import pyarrow.parquet as _pq_mod
+
+from readembedability_spark.queries import REGISTRY, release_caches
+
+
+def _write_docs(d, rows):
+    pdf = _pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    tbl = _pa.Table.from_pandas(
+        pdf,
+        schema=_pa.schema(
+            [
+                ("doc_id", _pa.int64()),
+                ("text", _pa.string()),
+                ("lang", _pa.string()),
+                ("source", _pa.string()),
+                ("n_chars", _pa.int64()),
+            ]
+        ),
+    )
+    _pq_mod.write_table(tbl, str(d / "documents.parquet"))
+
+
+def _write_events(d, rows):
+    pdf = _pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    tbl = _pa.Table.from_pandas(
+        pdf,
+        schema=_pa.schema(
+            [
+                ("event_id", _pa.int64()),
+                ("ts", _pa.timestamp("us")),
+                ("user_id", _pa.int64()),
+                ("event_type", _pa.string()),
+                ("value", _pa.float64()),
+                ("props", _pa.string()),
+            ]
+        ),
+    )
+    _pq_mod.write_table(tbl, str(d / "events.parquet"))
+
+
+def _oracle_rows(sf_dir, name):
+    con = _duckdb.connect()
+    for t in ("documents", "events"):
+        p = f"{sf_dir}/{t}.parquet"
+        import os as _os
+
+        if _os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return sorted(tuple(r) for r in con.execute(REGISTRY[name].sql).fetchall())
+
+
+def _spark_rows(spark, sf_dir, name):
+    rows = sorted(
+        tuple(r) for r in REGISTRY[name].spark(spark, str(sf_dir)).collect()
+    )
+    release_caches(spark)
+    return rows
+
+
+def test_recrawl_schedule_boundary_hosts(spark, tmp_path):
+    """Hosts at the estimator's edges: all-changed (X = n — continuity
+    correction keeps lambda finite), never-changed (X = 0 — interval
+    capped at a week), single-fetch and zero-span hosts (excluded:
+    no interval to estimate from)."""
+    t0 = _dt.datetime(2024, 1, 1)
+    hr = _dt.timedelta(hours=1)
+    rows = []
+    # host 1: 4 fetches, every one changed (event_id % 3 == 0)
+    rows += [(3 * k, t0 + k * hr, 1, "view", 1.0, "{}") for k in range(4)]
+    # host 2: 4 fetches, none changed
+    rows += [(3 * k + 1, t0 + k * hr, 2, "view", 1.0, "{}") for k in range(4)]
+    # host 3: single fetch — excluded
+    rows += [(5, t0, 3, "view", 1.0, "{}")]
+    # host 4: two fetches at the SAME instant — zero span, excluded
+    rows += [(7, t0, 4, "view", 1.0, "{}"), (8, t0, 4, "view", 1.0, "{}")]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_recrawl_schedule")
+    assert s == _oracle_rows(tmp_path, "q_recrawl_schedule")
+    by_host = {r[0]: r for r in s}
+    assert set(by_host) == {1, 2}  # hosts 3 and 4 excluded
+    # all-changed: lambda finite and recrawl fast (< the 3 h span)
+    assert by_host[1][2] == 4 and 0 < by_host[1][5] < 3.0
+    # never-changed: tiny lambda, recrawl capped at a week
+    assert by_host[2][2] == 0 and by_host[2][5] == 168.0
+
+
+def test_bm25_eval_self_retrieval_and_empty_query_set(spark, tmp_path):
+    """A corpus whose single query doc exists retrieves ITSELF at
+    rank 1 (mrr 1.0); a corpus whose query doc has < 3 tokens yields
+    an EMPTY query set — n_queries 0 and mrr NULL in both engines,
+    not a divide-by-zero."""
+    _write_docs(
+        tmp_path,
+        [
+            (0, "alpha beta gamma delta epsilon zeta", "en", "s0", 36),
+            (1, "totally different words here now ok", "en", "s0", 36),
+        ],
+    )
+    s = _spark_rows(spark, tmp_path, "q_bm25_eval")
+    assert s == _oracle_rows(tmp_path, "q_bm25_eval")
+    assert s == [(1, 1, 1.0)]
+    _write_docs(tmp_path, [(0, "just two", "en", "s0", 8)])
+    s = _spark_rows(spark, tmp_path, "q_bm25_eval")
+    assert s == _oracle_rows(tmp_path, "q_bm25_eval")
+    assert s[0][0] == 0 and s[0][2] is None
+
+
+def test_split_by_host_leak_audit_counts_straddled_hosts(spark, tmp_path):
+    """The leak audit equals a direct recount of hosts whose docs the
+    DOC-level rule scatters over >1 split, and host-level splits never
+    straddle (every host's docs share one split by construction)."""
+    import hashlib as _hl
+
+    rows = [
+        (i, "w" + str(i) + " lorem ipsum dolor sit amet", "en", "s0", 30)
+        for i in range(120)
+    ]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_split_by_host")
+    assert s == _oracle_rows(tmp_path, "q_split_by_host")
+
+    def bucket(key):
+        return int(_hl.md5(f"split{key}".encode()).hexdigest()[:6], 16) % 100
+
+    def split_of(b):
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    hosts = {}
+    for i, *_ in rows:
+        hosts.setdefault(f"host{i % 50}.example.com", set()).add(
+            split_of(bucket(i))
+        )
+    expected_leaky = sum(1 for v in hosts.values() if len(v) > 1)
+    assert {r[5] for r in s} == {expected_leaky}
+    # host-level assignment: recompute each host's split and check the
+    # per-split host counts add up to 50 distinct hosts, none shared
+    per_split_hosts = {r[0]: r[4] for r in s}
+    host_splits = {h: split_of(bucket(h)) for h in hosts}
+    for sp, n in per_split_hosts.items():
+        assert n == sum(1 for v in host_splits.values() if v == sp)
+
+
+def test_band_tuning_monotone_in_bands_and_shared_pairs(spark, tmp_path):
+    """More bands (shorter rows) can only RAISE the catch probability
+    at fixed sketch width — pointwise (1−s)^8 ≤ (1−s²)^4 ≤ (1−s⁴)² ≤
+    1−s⁸ — so the per-config means must be monotone; all configs read
+    the SAME candidate-pair set."""
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog " * 3 + str(i % 3),
+         "en", "s0", 100)
+        for i in range(12)
+    ]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_minhash_band_tuning")
+    assert s == _oracle_rows(tmp_path, "q_minhash_band_tuning")
+    assert len(s) == 4
+    by_bands = {r[0]: r for r in s}
+    assert len({r[3] for r in s}) == 1  # same n_pairs everywhere
+    assert (
+        by_bands[1][4] <= by_bands[2][4] <= by_bands[4][4] <= by_bands[8][4]
+    )
+    assert by_bands[2][5] is True  # the production config is flagged
