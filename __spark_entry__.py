@@ -115,31 +115,53 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_vocab_coverage, q_shuffle_shards) stays in-gate: its cumsum
 #: backbone now derives range-partition count from the cluster
 #: (VERDICT r07 wrong #1), a physical-plan change the driver must
-#: re-hash.
+#: re-hash. The 8 NEW round-8 operators gate first: q_extract_pdf_tm
+#: (Tm-translation layout, VERDICT r07 #4), q_bm25_rank + q_bm25_eval
+#: (retrieval ranking + its MRR gate, #5), q_pagerank_incremental
+#: (warm-start admission, #6), q_admission_policy (the composed
+#: host-prior x DSIR x CCNet keep decision, #7), q_split_by_host
+#: (leakage-free group split), q_recrawl_schedule (change-rate
+#: scheduling) and q_minhash_band_tuning (S-curve banding audit).
+#: q_extract_pdf_flate / q_extract_pdf_chain keep slots (their
+#: synthesis UDFs changed: literal escaping + errors=replace), as do
+#: q_pagerank / q_trustrank (power loop refactored into the shared
+#: _pagerank_loop) and q_host_quality_prior / q_dsir_weights /
+#: q_ccnet_buckets (factored into _from entry points the admission
+#: policy shares). Rotated out to hold 50 (all untouched this round +
+#: driver-green lifetime; their machinery remains in-gate via the
+#: named siblings): q_extract_links and q_extract_blocks /
+#: q_extract_table (the extract stage is gated by flagship + 3 PDF
+#: gates + archetypes + meta/jsonld/embed/keywords), q_pagerank_links
+#: (the shared loop is triple-gated via pagerank / trustrank /
+#: pagerank_incremental), q_crawl_frontier / q_anchor_text_index /
+#: q_frontier_schedule (frontier family; robots gate stays), and
+#: q_dedup_recall (the LSH candidate machinery is gated via
+#: band_tuning / calibration / bucket_stats / containment, and the
+#: recall criterion itself stays in-gate via q_ann_recall).
 _GATE_PRIORITY = [
     "q_extract_flagship",
+    "q_extract_pdf_tm",
     "q_extract_pdf_flate",
     "q_extract_pdf_chain",
     "q_extract_pdf",
+    "q_bm25_rank",
+    "q_bm25_eval",
+    "q_pagerank_incremental",
+    "q_admission_policy",
+    "q_split_by_host",
+    "q_recrawl_schedule",
+    "q_minhash_band_tuning",
     "q_host_token_budget",
     "q_frontier_robots",
-    "q_extract_links",
-    "q_pagerank_links",
     "q_pagerank",
     "q_trustrank",
-    "q_crawl_frontier",
-    "q_anchor_text_index",
-    "q_frontier_schedule",
     "q_pack_sequences",
     "q_pack_sequences_bpe",
     "q_pack_efficiency",
     "q_shuffle_shards",
     "q_length_percentile",
-    "q_dedup_recall",
     "q_vocab_coverage",
     "q_extract_archetypes",
-    "q_extract_blocks",
-    "q_extract_table",
     "q_extract_meta",
     "q_extract_jsonld",
     "q_extract_embed",

@@ -150,6 +150,14 @@ HEADLINE = [
     "q_length_drift",
     "q_cluster_homogeneity",
     "q_minhash_calibration",
+    "q_extract_pdf_tm",
+    "q_bm25_rank",
+    "q_bm25_eval",
+    "q_pagerank_incremental",
+    "q_admission_policy",
+    "q_split_by_host",
+    "q_recrawl_schedule",
+    "q_minhash_band_tuning",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -479,8 +479,8 @@ def _dedup_recall_probe(n_docs: int) -> int:
     SELECT 'dedup_lsh_verified' AS method,
            CAST(nt AS BIGINT) AS n_exact,
            CAST(nh AS BIGINT) AS n_found,
-           ROUND(nh * 1.0 / nt, 4) AS recall,
-           nh * 1.0 / nt >= {_DEDUP_RECALL_FLOOR} AS passed
+           ROUND(nh * 1.0 / NULLIF(nt, 0), 4) AS recall,
+           nh * 1.0 / NULLIF(nt, 0) >= {_DEDUP_RECALL_FLOOR} AS passed
     FROM hit CROSS JOIN tot
     """,
 )
@@ -527,7 +527,10 @@ def q_dedup_recall(spark, sf_dir):
     )
     hits = lsh.join(exact, ["a", "b"]).agg(F.count("*").alias("nh"))
     tot = exact.agg(F.count("*").alias("nt"))
-    recall = F.col("nh").cast("double") / F.col("nt")
+    # try_divide: an all-unique corpus has ZERO ground-truth pairs —
+    # Spark ANSI throws on the zero divisor where DuckDB's NULLIF
+    # yields NULL (SCALE.md round-7 note; same class as length drift)
+    recall = F.try_divide(F.col("nh").cast("double"), F.col("nt"))
     return hits.crossJoin(tot).select(
         F.lit("dedup_lsh_verified").alias("method"),
         F.col("nt").cast("long").alias("n_exact"),
@@ -3293,7 +3296,8 @@ def _ann_recall_method_sql(method: str) -> str:
              (SELECT COUNT(*) FROM m_{method} m
               JOIN gt ON gt.qid = m.qid AND gt.cid = m.cid
               WHERE gt.rn <= {k}) * 1.0
-             / (SELECT COUNT(*) FROM gt WHERE rn <= {k}) AS recall,
+             / NULLIF((SELECT COUNT(*) FROM gt WHERE rn <= {k}), 0)
+               AS recall,
              {thr} AS thr"""
 
 
@@ -3370,7 +3374,10 @@ def q_ann_recall(spark, sf_dir):
             .agg(F.count("*").alias("hits"))
         )
         tot = gt.filter(F.col("rn") <= k).agg(F.count("*").alias("tot"))
-        recall = F.col("hits").cast("double") / F.col("tot")
+        # try_divide: zero ground-truth pairs on a degenerate corpus
+        # (single embedding) must yield NULL in both engines, not an
+        # ANSI divide-by-zero (SCALE.md round-7 note)
+        recall = F.try_divide(F.col("hits").cast("double"), F.col("tot"))
         row = hits.crossJoin(tot).select(
             F.lit(method).alias("method"),
             F.round(recall, 4).alias("recall"),

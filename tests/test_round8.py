@@ -374,3 +374,59 @@ def test_band_tuning_monotone_in_bands_and_shared_pairs(spark, tmp_path):
         by_bands[1][4] <= by_bands[2][4] <= by_bands[4][4] <= by_bands[8][4]
     )
     assert by_bands[2][5] is True  # the production config is flagged
+
+
+def _write_embeddings(d, rows):
+    pdf = _pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    tbl = _pa.Table.from_pandas(
+        pdf,
+        schema=_pa.schema(
+            [
+                ("vec_id", _pa.int64()),
+                ("embedding", _pa.list_(_pa.float32())),
+                ("label", _pa.int32()),
+            ]
+        ),
+    )
+    _pq_mod.write_table(tbl, str(d / "embeddings.parquet"))
+
+
+def _oracle_rows_emb(sf_dir, name):
+    con = _duckdb.connect()
+    import os as _os
+
+    for t in ("documents", "events", "embeddings"):
+        p = f"{sf_dir}/{t}.parquet"
+        if _os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return sorted(tuple(r) for r in con.execute(REGISTRY[name].sql).fetchall())
+
+
+def test_dedup_recall_null_not_crash_on_all_unique(spark, tmp_path):
+    """An all-unique corpus has ZERO ground-truth near-dup pairs: the
+    recall ratio must be NULL in both engines (SCALE.md round-7 note —
+    Spark ANSI used to throw DIVIDE_BY_ZERO here)."""
+    _write_docs(
+        tmp_path,
+        [
+            (i, " ".join(f"tok{i}x{j}" for j in range(30)), "en", "s0", 200)
+            for i in range(6)
+        ],
+    )
+    s = _spark_rows(spark, tmp_path, "q_dedup_recall")
+    assert s == _oracle_rows(tmp_path, "q_dedup_recall")
+    assert len(s) == 1
+    assert s[0][1] == 0 and s[0][3] is None and s[0][4] is None
+
+
+def test_ann_recall_null_not_crash_on_single_embedding(spark, tmp_path):
+    """A single-embedding corpus has an EMPTY ground-truth top-k (no
+    candidate other than the query itself): every method's recall is
+    NULL in both engines, not an ANSI divide-by-zero."""
+    _write_embeddings(tmp_path, [(0, [1.0, 0.0, 0.5, 0.25], 0)])
+    s = _spark_rows(spark, tmp_path, "q_ann_recall")
+    assert s == _oracle_rows_emb(tmp_path, "q_ann_recall")
+    assert len(s) == 4
+    assert all(r[1] is None and r[2] is None for r in s)
