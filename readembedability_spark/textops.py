@@ -4254,13 +4254,19 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights_from(_t(spark, sf_dir, "documents"))
 
 
-def dsir_weights_from(docs):
+def dsir_weights_from(docs, toks=None):
     """q_dsir_weights over any (doc_id, text) DataFrame — the entry
     point the admission-policy blend and jobs use on their own
-    corpus."""
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
+    corpus. Pass a pre-tokenized (doc_id, w) `toks` to share ONE
+    corpus tokenize scan across signals (q_admission_policy does);
+    tokenization is the identical explode either way, so results and
+    hashes cannot differ."""
+    if toks is None:
+        toks = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        ).filter(F.col("w") != "")
+    else:
+        toks = toks.select("doc_id", "w")
     lab = (
         toks.groupBy("doc_id")
         .agg(F.count("*").alias("n_tok"), F.avg(F.length("w")).alias("mwl"))
@@ -8069,15 +8075,17 @@ def q_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets_from(_t(spark, sf_dir, "documents"))
 
 
-def ccnet_buckets_from(docs):
+def ccnet_buckets_from(docs, toks=None):
     """q_ccnet_buckets over any (doc_id, lang, text) DataFrame — the
     entry point the admission-policy blend and jobs use on their own
-    corpus."""
-    toks = _persist(
-        docs.select(
-            "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
-        ).filter(F.col("w") != "")
-    )
+    corpus. Pass a pre-tokenized persisted (doc_id, lang, w) `toks`
+    to share ONE corpus tokenize scan across signals."""
+    if toks is None:
+        toks = _persist(
+            docs.select(
+                "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+            ).filter(F.col("w") != "")
+        )
     cf = _persist(toks.groupBy("w").agg(F.count("*").alias("c")))
     tot = cf.agg(F.sum("c").cast("long").alias("t"))
     head = _persist(cf.orderBy(F.desc("c"), F.asc("w")).limit(_PPLX_HEAD_K))
@@ -9602,17 +9610,26 @@ def admission_policy_from(docs):
 def admission_stages_from(docs):
     """Per-doc first-gate attribution (doc_id, n_tokens, stage) for
     the composed admission policy — stage '4_admitted' is the keep
-    set."""
+    set. The corpus is TOKENIZED ONCE (persisted (doc_id, lang, w))
+    and shared by the DSIR and CCNet signals — composing three
+    standalone queries naively would re-explode the corpus per
+    signal; the host prior needs no token table (row-local
+    size(split))."""
+    toks = _persist(
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+        ).filter(F.col("w") != "")
+    )
     hq = F.broadcast(
         host_quality_prior_from(docs.select("host", "text")).select(
             "host", "demoted"
         )
     )
-    ds = dsir_weights_from(docs.select("doc_id", "text")).select(
-        "doc_id", "n_tokens", "score_micro"
-    )
+    ds = dsir_weights_from(
+        docs.select("doc_id", "text"), toks=toks
+    ).select("doc_id", "n_tokens", "score_micro")
     cc = ccnet_buckets_from(
-        docs.select("doc_id", "lang", "text")
+        docs.select("doc_id", "lang", "text"), toks=toks
     ).select("doc_id", "bucket")
     return (
         docs.select("doc_id", "host")
