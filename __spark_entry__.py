@@ -137,7 +137,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_frontier_schedule (frontier family; robots gate stays), and
 #: q_dedup_recall (the LSH candidate machinery is gated via
 #: band_tuning / calibration / bucket_stats / containment, and the
-#: recall criterion itself stays in-gate via q_ann_recall).
+#: recall criterion itself stays in-gate via q_ann_recall). The ninth
+#: round-8 operator q_crawl_plan (the crawl-half composition:
+#: authority x robots x recrawl cadence) takes q_model_pr_curve's
+#: slot (untouched, driver-green lifetime; the training loop it runs
+#: stays in-gate via q_model_calibration, which re-runs it).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",
@@ -151,6 +155,7 @@ _GATE_PRIORITY = [
     "q_split_by_host",
     "q_recrawl_schedule",
     "q_minhash_band_tuning",
+    "q_crawl_plan",
     "q_host_token_budget",
     "q_frontier_robots",
     "q_pagerank",
@@ -174,7 +179,6 @@ _GATE_PRIORITY = [
     "q_ann_recall",
     "q_sample_quality",
     "q_hits",
-    "q_model_pr_curve",
     "q_model_calibration",
     "q_dsir_weights",
     "q_host_quality_prior",

@@ -158,6 +158,7 @@ HEADLINE = [
     "q_split_by_host",
     "q_recrawl_schedule",
     "q_minhash_band_tuning",
+    "q_crawl_plan",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -10146,3 +10146,97 @@ def q_minhash_band_tuning(spark, sf_dir):
         for b, r, s_half in _BAND_CONFIGS
     ]
     return one.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: composed crawl plan (authority x robots x recrawl cadence)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_crawl_plan",
+    f"""
+    WITH auth AS (SELECT node, pr FROM ({REGISTRY["q_pagerank_links"].sql})),
+    rob AS (SELECT host, n_allowed, n_blocked
+            FROM ({REGISTRY["q_frontier_robots"].sql})),
+    rec AS (SELECT host AS hn, recrawl_hours
+            FROM ({REGISTRY["q_recrawl_schedule"].sql})),
+    j AS (
+      SELECT 'h' || CAST(a.node AS VARCHAR) || '.example.com' AS host,
+             a.pr AS authority,
+             COALESCE(r.n_allowed, 0) AS n_allowed,
+             COALESCE(r.n_blocked, 0) AS n_blocked,
+             rec.recrawl_hours
+      FROM auth a
+      LEFT JOIN rob r
+        ON r.host = 'h' || CAST(a.node AS VARCHAR) || '.example.com'
+      LEFT JOIN rec ON rec.hn = a.node),
+    f AS (
+      SELECT *,
+             n_allowed > 0 AND COALESCE(recrawl_hours <= 24.0, TRUE)
+               AS fetch_now
+      FROM j)
+    SELECT host, authority, n_allowed, n_blocked, recrawl_hours, fetch_now,
+           CASE WHEN fetch_now THEN CAST(ROW_NUMBER() OVER (
+             PARTITION BY fetch_now ORDER BY authority DESC, host)
+             AS BIGINT) END AS priority
+    FROM f
+    """,
+)
+def q_crawl_plan(spark, sf_dir):
+    """Composed crawl plan — the CRAWL-half sibling of
+    q_admission_policy: per host, blend (1) link-graph authority
+    (q_pagerank_links — who is worth fetching), (2) robots compliance
+    (q_frontier_robots — who may be fetched: hosts with zero allowed
+    frontier urls are never due), and (3) the change-rate cadence
+    (q_recrawl_schedule — who is due NOW: recrawl interval ≤ 24 h, or
+    no revisit history yet) into one fetch_now decision with an
+    authority-ranked priority. This is the artifact a crawler's
+    scheduler actually consumes; each signal remains independently
+    driver-gated, and the composition is value-level (the oracle
+    nests the three constituent oracles verbatim, the ann_recall
+    pattern), so the plan can never drift from its parts.
+
+    Plan/scale: three host-cardinality tables joined host-keyed (no
+    forced broadcast — the q_frontier_schedule discipline), one
+    row-local CASE, one window over the host table bounded by host
+    cardinality (at 10^8 hosts production would range-partition the
+    priority sort; the rank is only needed within the due set)."""
+    auth = REGISTRY["q_pagerank_links"].spark(spark, sf_dir)
+    rob = REGISTRY["q_frontier_robots"].spark(spark, sf_dir)
+    rec = REGISTRY["q_recrawl_schedule"].spark(spark, sf_dir).select(
+        F.col("host").alias("hn"), "recrawl_hours"
+    )
+    host_str = F.concat(
+        F.lit("h"), F.col("node").cast("string"), F.lit(".example.com")
+    )
+    j = (
+        auth.select("node", host_str.alias("host"), F.col("pr").alias("authority"))
+        .join(rob, "host", "left")
+        .join(rec, F.col("node") == F.col("hn"), "left")
+        .select(
+            "host",
+            "authority",
+            F.coalesce("n_allowed", F.lit(0).cast("long")).alias("n_allowed"),
+            F.coalesce("n_blocked", F.lit(0).cast("long")).alias("n_blocked"),
+            "recrawl_hours",
+        )
+    )
+    fetch_now = (F.col("n_allowed") > 0) & F.coalesce(
+        F.col("recrawl_hours") <= 24.0, F.lit(True)
+    )
+    f = j.withColumn("fetch_now", fetch_now)
+    w = Window.partitionBy("fetch_now").orderBy(
+        F.desc("authority"), F.asc("host")
+    )
+    return f.select(
+        "host",
+        "authority",
+        "n_allowed",
+        "n_blocked",
+        "recrawl_hours",
+        "fetch_now",
+        F.when(
+            F.col("fetch_now"), F.row_number().over(w).cast("long")
+        ).alias("priority"),
+    )
