@@ -239,15 +239,16 @@ def main() -> None:
     # line dedup drops the url column — ride it back for the blend
     cleaned = cleaned.join(docs.select("doc_id", "url"), "doc_id")
     stats["after_line_dedup"] = cleaned.count()
-    # persisted: the admission policy fans out into three signal
-    # branches (host prior / DSIR / CCNet) that each read this table —
-    # unpersisted, the whole LSH+CC near-dup chain would re-execute
-    # per branch (it OOM'd a 4g test driver)
-    kept = _persist(
-        near_dup_keep_best(
-            spark, cleaned.select("doc_id", "text", "lang")
-        ).join(docs.select("doc_id", "url"), "doc_id")
-    )
+    # localCheckpoint, not persist: the admission policy fans out into
+    # three signal branches (host prior / DSIR / CCNet) that each read
+    # this table. A persist stops re-EXECUTION but keeps the full
+    # LSH+CC lineage in the plan, and each InMemoryRelation reference
+    # re-prints that subtree — three branches of nested caches made
+    # the funnel query's explain string alone OOM a 4g driver. The
+    # checkpoint truncates lineage so downstream plans scan a leaf.
+    kept = near_dup_keep_best(
+        spark, cleaned.select("doc_id", "text", "lang")
+    ).join(docs.select("doc_id", "url"), "doc_id").localCheckpoint()
     stats["after_near_dedup"] = kept.count()
 
     # ---- composed admission policy (q_admission_policy's blend) ------

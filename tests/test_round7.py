@@ -291,10 +291,16 @@ def test_full_pipeline_composes_both_halves(spark, tmp_path, monkeypatch,
         stats["after_gates"]
         >= stats["after_line_dedup"]
         >= stats["after_near_dedup"]
+        >= stats["after_admission"]
         >= stats["after_decontamination"]
         > stats["after_authority_sample"]
         > 0
     )
+    # round-8 admission stage: the funnel is exhaustive (stage counts
+    # sum to the near-dedup survivors) and the admitted stage matches
+    funnel = stats["admission_funnel"]
+    assert sum(funnel.values()) == stats["after_near_dedup"]
+    assert funnel.get("4_admitted", 0) == stats["after_admission"]
     for artifact in (
         "authority",
         "frontier",
