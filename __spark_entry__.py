@@ -141,7 +141,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round-8 operator q_crawl_plan (the crawl-half composition:
 #: authority x robots x recrawl cadence) takes q_model_pr_curve's
 #: slot (untouched, driver-green lifetime; the training loop it runs
-#: stays in-gate via q_model_calibration, which re-runs it).
+#: stays in-gate via q_model_calibration, which re-runs it). The two
+#: late round-8 operators q_admission_marginal (per-gate marginal
+#: attribution off the shared admission_flags_from substrate — the
+#: same refactor also reshapes q_admission_policy's plan+oracle, so
+#: that stays in-gate for a re-hash) and q_surt_index (CDX-style
+#: SURT-keyed capture index) take the slots of q_context_truncation
+#: and q_degree_distribution (untouched this round, driver-green r07;
+#: both are pure audits whose rollup machinery has no other consumer
+#: to break).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",
@@ -191,8 +199,8 @@ _GATE_PRIORITY = [
     "q_lsh_bucket_stats",
     "q_dedup_containment",
     "q_source_novelty",
-    "q_context_truncation",
-    "q_degree_distribution",
+    "q_admission_marginal",
+    "q_surt_index",
 ]
 
 #: The quadratic all-pairs correctness baselines (q_dedup_jaccard,

@@ -159,6 +159,8 @@ HEADLINE = [
     "q_recrawl_schedule",
     "q_minhash_band_tuning",
     "q_crawl_plan",
+    "q_admission_marginal",
+    "q_surt_index",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

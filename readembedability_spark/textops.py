@@ -9607,14 +9607,18 @@ def admission_policy_from(docs):
     )
 
 
-def admission_stages_from(docs):
-    """Per-doc first-gate attribution (doc_id, n_tokens, stage) for
-    the composed admission policy — stage '4_admitted' is the keep
-    set. The corpus is TOKENIZED ONCE (persisted (doc_id, lang, w))
-    and shared by the DSIR and CCNet signals — composing three
-    standalone queries naively would re-explode the corpus per
+def admission_flags_from(docs):
+    """Per-doc boolean signal flags (doc_id, n_tokens, f_host, f_dsir,
+    f_ccnet) for the composed admission policy — the shared substrate
+    both admission audits read (first-gate attribution in
+    `admission_stages_from`, marginal attribution in
+    q_admission_marginal), so the two can never disagree on what each
+    gate would do. The corpus is TOKENIZED ONCE (persisted (doc_id,
+    lang, w)) and shared by the DSIR and CCNet signals — composing
+    three standalone queries naively would re-explode the corpus per
     signal; the host prior needs no token table (row-local
-    size(split))."""
+    size(split)). Zero-token docs carry no DSIR/CCNet row: f_dsir
+    coalesces to True (COALESCE(score, 0) <= 0), f_ccnet to False."""
     toks = _persist(
         docs.select(
             "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
@@ -9639,22 +9643,38 @@ def admission_stages_from(docs):
         .select(
             "doc_id",
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.when(F.col("demoted"), F.lit("1_host_demoted"))
-            .when(
-                F.coalesce("score_micro", F.lit(0)) <= 0,
-                F.lit("2_dsir_offtarget"),
-            )
-            .when(F.col("bucket") == "tail", F.lit("3_ccnet_tail"))
-            .otherwise(F.lit("4_admitted"))
-            .alias("stage"),
+            F.col("demoted").alias("f_host"),
+            (F.coalesce("score_micro", F.lit(0)) <= 0).alias("f_dsir"),
+            F.coalesce(F.col("bucket") == "tail", F.lit(False)).alias(
+                "f_ccnet"
+            ),
         )
     )
 
 
-@q(
-    "q_admission_policy",
-    """
-    WITH toks AS MATERIALIZED (
+def admission_stages_from(docs):
+    """Per-doc first-gate attribution (doc_id, n_tokens, stage) for
+    the composed admission policy — stage '4_admitted' is the keep
+    set. A row-local CASE in SERVING order over the shared
+    `admission_flags_from` signal flags."""
+    return admission_flags_from(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("f_host"), F.lit("1_host_demoted"))
+        .when(F.col("f_dsir"), F.lit("2_dsir_offtarget"))
+        .when(F.col("f_ccnet"), F.lit("3_ccnet_tail"))
+        .otherwise(F.lit("4_admitted"))
+        .alias("stage"),
+    )
+
+
+#: Shared oracle body for the admission-policy family: everything
+#: through the per-doc boolean signal flags (f_host / f_dsir /
+#: f_ccnet), mirroring `admission_flags_from`. q_admission_policy
+#: derives the first-gate stage from these flags; q_admission_marginal
+#: derives per-gate marginal attribution from the SAME flags — shared
+#: by construction in BOTH engines, like _BM25_SQL_BODY.
+_ADMISSION_FLAGS_SQL = """toks AS MATERIALIZED (
       SELECT doc_id, lang, w FROM (
         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
         FROM documents) WHERE w <> ''),
@@ -9740,20 +9760,31 @@ def admission_stages_from(docs):
              (sum_micro + 20.0 * tot_micro / tot_docs)
                / 1000000.0 / (n_docs + 20) < 0.55 AS demoted
       FROM per_host CROSS JOIN prior),
-    staged AS (
+    flags AS (
       SELECT d.doc_id, COALESCE(l.n_tok, 0) AS n_tokens,
-             CASE WHEN hf.demoted THEN '1_host_demoted'
-                  WHEN COALESCE(s.score_micro, 0) <= 0
-                    THEN '2_dsir_offtarget'
-                  WHEN cb2.bucket = 'tail' THEN '3_ccnet_tail'
-                  ELSE '4_admitted' END AS stage
+             hf.demoted AS f_host,
+             COALESCE(s.score_micro, 0) <= 0 AS f_dsir,
+             COALESCE(cb2.bucket = 'tail', FALSE) AS f_ccnet
       FROM documents d
       JOIN hostflag hf
         ON hf.host = 'host' || CAST(d.doc_id % 50 AS VARCHAR)
                      || '.example.com'
       LEFT JOIN lab l ON l.doc_id = d.doc_id
       LEFT JOIN dsc s ON s.doc_id = d.doc_id
-      LEFT JOIN cbuck cb2 ON cb2.doc_id = d.doc_id),
+      LEFT JOIN cbuck cb2 ON cb2.doc_id = d.doc_id)"""
+
+
+@q(
+    "q_admission_policy",
+    f"""
+    WITH {_ADMISSION_FLAGS_SQL},
+    staged AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN f_host THEN '1_host_demoted'
+                  WHEN f_dsir THEN '2_dsir_offtarget'
+                  WHEN f_ccnet THEN '3_ccnet_tail'
+                  ELSE '4_admitted' END AS stage
+      FROM flags),
     total AS (SELECT COUNT(*) AS n FROM staged)
     SELECT stage,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -9780,6 +9811,108 @@ def q_admission_policy(spark, sf_dir):
     )
     return admission_policy_from(
         docs.select("doc_id", host.alias("host"), "lang", "text")
+    )
+
+
+@q(
+    "q_admission_marginal",
+    f"""
+    WITH {_ADMISSION_FLAGS_SQL}
+    SELECT 'host_demoted' AS gate,
+           CAST(SUM(CASE WHEN f_host THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(CASE WHEN f_host AND NOT f_dsir AND NOT f_ccnet
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN f_host AND NOT f_dsir AND NOT f_ccnet
+                         THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS recovered_tokens
+    FROM flags
+    UNION ALL
+    SELECT 'dsir_offtarget' AS gate,
+           CAST(SUM(CASE WHEN f_dsir THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(CASE WHEN f_dsir AND NOT f_host AND NOT f_ccnet
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN f_dsir AND NOT f_host AND NOT f_ccnet
+                         THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS recovered_tokens
+    FROM flags
+    UNION ALL
+    SELECT 'ccnet_tail' AS gate,
+           CAST(SUM(CASE WHEN f_ccnet THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(CASE WHEN f_ccnet AND NOT f_host AND NOT f_dsir
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN f_ccnet AND NOT f_host AND NOT f_dsir
+                         THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS recovered_tokens
+    FROM flags
+    """,
+)
+def q_admission_marginal(spark, sf_dir):
+    """Per-gate MARGINAL attribution for the composed admission
+    policy — the complement of q_admission_policy's first-gate
+    funnel. First-gate attribution answers "which gate fired first";
+    what it hides is overlap: a doc the host prior demotes may also
+    be DSIR-off-target, so removing the host gate would NOT recover
+    it. Per gate this reports n_blocked (docs the gate flags at all,
+    regardless of the others), n_unique (docs ONLY this gate flags —
+    exactly what relaxing it would re-admit) and recovered_tokens
+    (token mass of those unique docs) — the numbers a curation owner
+    reads before loosening a threshold.
+
+    Both audits read the SAME `admission_flags_from` substrate (one
+    tokenize scan shared by DSIR and CCNet, broadcast host prior), so
+    funnel and marginal can never disagree on a gate's decision; the
+    oracle nests the shared _ADMISSION_FLAGS_SQL body the same way.
+
+    Plan/scale: the flags table is one pass over the corpus (the
+    admission join plan already accepted at 10^12 docs); the marginal
+    rollup is a single 1-row aggregate over 9 conditional sums —
+    map-side partials, no extra shuffle beyond the signal joins — and
+    a row-local 3-row stack. No per-gate re-scan: naive composition
+    would run the admission chain once per gate."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("host"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com"),
+    )
+    flags = admission_flags_from(
+        docs.select("doc_id", host.alias("host"), "lang", "text")
+    )
+
+    def _u(g, o1, o2):
+        return F.col(g) & ~F.col(o1) & ~F.col(o2)
+
+    agg = flags.agg(
+        *[
+            e
+            for g, o1, o2 in (
+                ("f_host", "f_dsir", "f_ccnet"),
+                ("f_dsir", "f_host", "f_ccnet"),
+                ("f_ccnet", "f_host", "f_dsir"),
+            )
+            for e in (
+                F.sum(F.col(g).cast("long")).alias(f"b_{g}"),
+                F.sum(_u(g, o1, o2).cast("long")).alias(f"u_{g}"),
+                F.sum(
+                    F.when(_u(g, o1, o2), F.col("n_tokens")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias(f"t_{g}"),
+            )
+        ]
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " 'host_demoted', b_f_host, u_f_host, t_f_host,"
+            " 'dsir_offtarget', b_f_dsir, u_f_dsir, t_f_dsir,"
+            " 'ccnet_tail', b_f_ccnet, u_f_ccnet, t_f_ccnet"
+            ") as (gate, n_blocked, n_unique, recovered_tokens)"
+        )
     )
 
 
@@ -10239,4 +10372,83 @@ def q_crawl_plan(spark, sf_dir):
         F.when(
             F.col("fetch_now"), F.row_number().over(w).cast("long")
         ).alias("priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: SURT-keyed capture index (CDX-style web-archive index)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_surt_index",
+    """
+    WITH cap AS (
+      SELECT 'https://News' || CAST(event_id % 300 AS VARCHAR)
+               || '.Example.COM/item/'
+               || CAST(event_id % 40 AS VARCHAR) AS url,
+             ts, event_type
+      FROM events),
+    parts AS (
+      SELECT lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+             regexp_replace(url, '^https?://[^/]+', '') AS path,
+             ts,
+             substr(md5(url || event_type), 1, 8) AS digest
+      FROM cap)
+    SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+             || ')' || path AS surt_key,
+           CAST(COUNT(*) AS BIGINT) AS n_captures,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_versions
+    FROM parts GROUP BY surt_key
+    """,
+)
+def q_surt_index(spark, sf_dir):
+    """SURT-keyed capture index — the CDX-style index every web
+    archive (and recrawl/replay consumer) builds over its captures.
+    Raw URLs are reduced to a Sort-friendly URI Reordering Transform
+    key (host lowercased and dot-REVERSED `com,example,news`, then
+    `)` + path), so one sorted index clusters all captures of a host
+    subtree contiguously; per key it reports capture count, first/last
+    capture time and distinct content versions (digest cardinality —
+    the recrawl-rate signal q_recrawl_schedule consumes at host
+    grain). Captures are synthesized from events (mixed-case raw
+    URLs, so the lowercase+reverse transform is actually exercised;
+    digest varies with event_type so n_versions > 1 fires).
+
+    Plan/scale: the SURT transform is row-local string work (regexp
+    extract + split/reverse/join — all JVM built-ins, whole-stage
+    codegen); the rollup is ONE hash aggregate on the SURT key with
+    map-side partials, and COUNT(DISTINCT digest) expands to the
+    standard two-level agg — no joins, no window. At 10^12 captures
+    this is a scan + one shuffle on the index key; writing the result
+    sorted-by-key (the archive's range-scan layout) is a sortWithin-
+    Partitions on the same exchange, not a second shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    b = (F.col("event_id") % 300).cast("string")
+    url = F.concat(
+        F.lit("https://News"), b, F.lit(".Example.COM/item/"),
+        (F.col("event_id") % 40).cast("string"),
+    )
+    host = F.lower(F.regexp_extract(url, r"^https?://([^/]+)", 1))
+    path = F.regexp_replace(url, r"^https?://[^/]+", "")
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"), path,
+    )
+    digest = F.substring(
+        F.md5(F.concat(url, F.col("event_type")).cast("binary")), 1, 8
+    )
+    return (
+        ev.select(
+            surt.alias("surt_key"), "ts", digest.alias("digest")
+        )
+        .groupBy("surt_key")
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.countDistinct("digest").alias("n_versions"),
+        )
     )

@@ -430,3 +430,77 @@ def test_ann_recall_null_not_crash_on_single_embedding(spark, tmp_path):
     assert s == _oracle_rows_emb(tmp_path, "q_ann_recall")
     assert len(s) == 4
     assert all(r[1] is None and r[2] is None for r in s)
+
+
+# ---------------------------------------------------------------------------
+# Late round-8 — marginal admission attribution + SURT capture index
+# ---------------------------------------------------------------------------
+
+
+def test_admission_marginal_consistent_with_funnel(spark):
+    """The marginal audit and the first-gate funnel read the SAME
+    admission_flags_from substrate, so their counts obey exact
+    identities: every host-demoted doc attributes first-gate to the
+    host stage (b_host == funnel['1_host_demoted']); each later
+    gate's first-gate count is bounded by its blocked count and
+    bounds its unique count; and relaxing one gate re-admits exactly
+    n_unique docs (recomputed independently from the flags table)."""
+    from readembedability_spark.queries import release_caches
+    from readembedability_spark.textops import (
+        REGISTRY,
+        admission_flags_from,
+    )
+
+    s = _spark_rows(spark, SF_SMALL, "q_admission_marginal")
+    assert s == _oracle_rows(SF_SMALL, "q_admission_marginal")
+    marg = {r[0]: r for r in s}  # gate -> (gate, b, u, tokens)
+    assert set(marg) == {"host_demoted", "dsir_offtarget", "ccnet_tail"}
+    funnel = {
+        r[0]: r[1]
+        for r in REGISTRY["q_admission_policy"]
+        .spark(spark, SF_SMALL)
+        .collect()
+    }
+    # host is the FIRST gate: blocked == first-gate attributed
+    assert marg["host_demoted"][1] == funnel.get("1_host_demoted", 0)
+    for gate, stage in (
+        ("dsir_offtarget", "2_dsir_offtarget"),
+        ("ccnet_tail", "3_ccnet_tail"),
+    ):
+        b, u = marg[gate][1], marg[gate][2]
+        assert u <= funnel.get(stage, 0) <= b
+    # relaxing the host gate re-admits exactly its unique docs
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    host = F.concat(
+        F.lit("host"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com"),
+    )
+    flags = admission_flags_from(
+        docs.select("doc_id", host.alias("host"), "lang", "text")
+    )
+    no_host_admitted = flags.filter(
+        ~F.col("f_dsir") & ~F.col("f_ccnet")
+    ).count()
+    release_caches(spark)
+    assert (
+        no_host_admitted
+        == funnel.get("4_admitted", 0) + marg["host_demoted"][2]
+    )
+
+
+def test_surt_index_case_collapse_and_capture_mass(spark):
+    """Every SURT key is fully lowercased with the host dot-reversed
+    (the Mixed-case raw URLs collapse), capture mass is conserved
+    (sum of n_captures == total events), version cardinality is
+    bounded by captures, and the time range is ordered."""
+    import re
+
+    s = _spark_rows(spark, SF_SMALL, "q_surt_index")
+    assert s == _oracle_rows(SF_SMALL, "q_surt_index")
+    total = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    pat = re.compile(r"^com,example,news\d+\)/item/\d+$")
+    assert sum(r[1] for r in s) == total
+    for key, n_cap, first_ts, last_ts, n_ver in s:
+        assert pat.match(key), key
+        assert 1 <= n_ver <= n_cap
+        assert first_ts <= last_ts
