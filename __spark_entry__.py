@@ -149,7 +149,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: SURT-keyed capture index) take the slots of q_context_truncation
 #: and q_degree_distribution (untouched this round, driver-green r07;
 #: both are pure audits whose rollup machinery has no other consumer
-#: to break).
+#: to break). q_stale_captures (digest-transition change rates feeding
+#: the Cho/Garcia-Molina interval + frontier-age staleness — the
+#: consumer composing q_surt_index's capture model with
+#: q_recrawl_schedule's estimator) and q_token_budget_mixture (budget
+#: x target-share allocation with the 4-epoch repetition cap, off the
+#: same _MIX_TARGETS dim as q_mixture_weights) take the slots of
+#: q_novelty_curve and q_graph_reciprocity (untouched, driver-green
+#: r07; novelty stays gated via q_source_novelty, the graph loops via
+#: pagerank/trustrank/hits/label_prop/pagerank_incremental).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",
@@ -193,8 +201,8 @@ _GATE_PRIORITY = [
     "q_epoch_schedule",
     "q_host_lang_entropy",
     "q_ccnet_buckets",
-    "q_graph_reciprocity",
-    "q_novelty_curve",
+    "q_token_budget_mixture",
+    "q_stale_captures",
     "q_tokenizer_fertility",
     "q_lsh_bucket_stats",
     "q_dedup_containment",

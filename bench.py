@@ -161,6 +161,8 @@ HEADLINE = [
     "q_crawl_plan",
     "q_admission_marginal",
     "q_surt_index",
+    "q_stale_captures",
+    "q_token_budget_mixture",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

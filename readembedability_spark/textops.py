@@ -10452,3 +10452,226 @@ def q_surt_index(spark, sf_dir):
             F.countDistinct("digest").alias("n_versions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: capture-staleness audit + token-budget mixture allocation
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_stale_captures",
+    """
+    WITH cap AS (
+      SELECT 'https://News' || CAST(event_id % 300 AS VARCHAR)
+               || '.Example.COM/item/'
+               || CAST(event_id % 40 AS VARCHAR) AS url,
+             'news' || CAST(event_id % 300 AS VARCHAR)
+               || '.example.com' AS host,
+             ts, event_id,
+             substr(md5('https://News' || CAST(event_id % 300 AS VARCHAR)
+                        || '.Example.COM/item/'
+                        || CAST(event_id % 40 AS VARCHAR)
+                        || event_type), 1, 8) AS digest
+      FROM events),
+    chg AS (
+      SELECT host, ts,
+             CASE WHEN lag(digest) OVER w IS NOT NULL
+                       AND digest <> lag(digest) OVER w
+                  THEN 1 ELSE 0 END AS changed
+      FROM cap WINDOW w AS (PARTITION BY url ORDER BY ts, event_id)),
+    h AS (
+      SELECT host,
+             CAST(COUNT(*) AS BIGINT) AS n_captures,
+             CAST(SUM(changed) AS BIGINT) AS n_changes,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM chg GROUP BY host
+      HAVING COUNT(*) >= 2
+         AND epoch_us(MAX(ts)) - epoch_us(MIN(ts)) > 0),
+    est AS (
+      SELECT host, n_captures, n_changes, last_ts,
+             -ln((n_captures - n_changes + 0.5) / (n_captures + 0.5))
+               / ((epoch_us(last_ts) - epoch_us(first_ts))
+                  / 3600000000.0 / (n_captures - 1)) AS lam
+      FROM h),
+    mx AS (SELECT MAX(ts) AS now_ts FROM cap)
+    SELECT host, n_captures, n_changes, last_ts,
+           ROUND((epoch_us(mx.now_ts) - epoch_us(last_ts))
+                 / 3600000000.0, 4) AS age_hours,
+           ROUND(LEAST(168.0, 1.0 / lam), 4) AS recrawl_hours,
+           ROUND((epoch_us(mx.now_ts) - epoch_us(last_ts))
+                 / 3600000000.0, 4)
+             > ROUND(LEAST(168.0, 1.0 / lam), 4) AS is_stale
+    FROM est CROSS JOIN mx
+    """,
+)
+def q_stale_captures(spark, sf_dir):
+    """Capture-staleness audit — the consumer that closes the archive
+    loop: q_surt_index's capture model (url, ts, digest) + the
+    Cho/Garcia-Molina change-rate estimator q_recrawl_schedule uses,
+    but driven by a REAL change signal: a 'change' is a digest
+    transition between consecutive captures of the SAME url (lag over
+    the per-url capture sequence), not a synthetic flag. Per host it
+    reports the estimated revisit interval (lam from the per-host
+    fetch/change counts, week-capped), the age of the newest capture
+    relative to the archive's frontier max(ts), and is_stale = age
+    exceeds the interval — the work-list a recrawl scheduler drains
+    first. Hosts with one capture or a zero time-span are excluded
+    (no interval to estimate), matching q_recrawl_schedule.
+
+    Cross-engine notes: the never-changing host has lam = 0 exactly —
+    DuckDB's 1.0/0.0 = +inf is week-capped by LEAST; Spark ANSI
+    throws, so try_divide -> NULL and LEAST skips NULLs -> 168.0 in
+    both. is_stale compares the two ROUNDED values so a last-ulp ln()
+    difference cannot flip the boolean across engines.
+
+    Plan/scale: the change signal is a lag window partitioned by url
+    (captures per url are bounded; the window hash-partitions on url,
+    no global ordering), followed by one host rollup whose aggregate
+    state is four numbers, then row-local estimator math against a
+    broadcast 1-row frontier. At 10^12 captures: one url-keyed
+    exchange + one host-keyed exchange, both AQE-skew-splittable."""
+    ev = _t(spark, sf_dir, "events")
+    b = (F.col("event_id") % 300).cast("string")
+    url = F.concat(
+        F.lit("https://News"), b, F.lit(".Example.COM/item/"),
+        (F.col("event_id") % 40).cast("string"),
+    )
+    host = F.concat(F.lit("news"), b, F.lit(".example.com"))
+    digest = F.substring(
+        F.md5(F.concat(url, F.col("event_type")).cast("binary")), 1, 8
+    )
+    cap = ev.select(
+        url.alias("url"), host.alias("host"), "ts", "event_id",
+        digest.alias("digest"),
+    )
+    w = Window.partitionBy("url").orderBy("ts", "event_id")
+    prev = F.lag("digest").over(w)
+    chg = cap.select(
+        "host",
+        "ts",
+        F.when(prev.isNotNull() & (prev != F.col("digest")), 1)
+        .otherwise(0)
+        .alias("changed"),
+    )
+    span_us = F.expr("timestampdiff(MICROSECOND, first_ts, last_ts)")
+    h = (
+        chg.groupBy("host")
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.sum("changed").cast("long").alias("n_changes"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .filter((F.col("n_captures") >= 2) & (span_us > 0))
+    )
+    span_hours = span_us / F.lit(3600000000.0)
+    lam = -F.log(
+        (F.col("n_captures") - F.col("n_changes") + 0.5)
+        / (F.col("n_captures") + 0.5)
+    ) / (span_hours / (F.col("n_captures") - 1))
+    mx = F.broadcast(cap.agg(F.max("ts").alias("now_ts")))
+    age_hours = F.round(
+        F.expr("timestampdiff(MICROSECOND, last_ts, now_ts)")
+        / F.lit(3600000000.0),
+        4,
+    )
+    recrawl_hours = F.round(
+        F.least(F.lit(168.0), F.try_divide(F.lit(1.0), lam)), 4
+    )
+    return h.crossJoin(mx).select(
+        "host",
+        "n_captures",
+        "n_changes",
+        "last_ts",
+        age_hours.alias("age_hours"),
+        recrawl_hours.alias("recrawl_hours"),
+        (age_hours > recrawl_hours).alias("is_stale"),
+    )
+
+
+@q(
+    "q_token_budget_mixture",
+    f"""
+    WITH tok AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS t FROM tok),
+    targets(lang, share) AS (VALUES {_MIX_TARGETS_SQL}),
+    alloc AS (
+      SELECT tok.lang, tok.n_docs, tok.avail,
+             CAST(tt.t // 2 AS BIGINT) AS budget,
+             CAST(ROUND((tt.t // 2) * CAST(tg.share AS DOUBLE))
+                  AS BIGINT) AS requested
+      FROM tok JOIN targets tg USING (lang) CROSS JOIN tot tt)
+    SELECT lang, n_docs, avail AS avail_tokens,
+           requested AS requested_tokens,
+           LEAST(requested, 4 * avail) AS granted_tokens,
+           ROUND(LEAST(requested, 4 * avail) * 1.0
+                 / NULLIF(avail, 0), 4) AS epochs,
+           ROUND(LEAST(requested, 4 * avail) * 1.0
+                 / NULLIF(budget, 0), 6) AS budget_frac
+    FROM alloc
+    """,
+)
+def q_token_budget_mixture(spark, sf_dir):
+    """Token-budget allocation across the training mixture — the step
+    between q_mixture_weights (per-doc sampling weight toward target
+    shares) and q_epoch_schedule (how often each doc repeats): given
+    a total token budget (half the corpus here — the literal a real
+    run sets from its compute budget), each language requests
+    budget x target share, and the grant is capped at 4 EPOCHS of
+    that language's available tokens (the public data-mixing rule of
+    thumb: past ~4 repetitions, extra epochs of the same data stop
+    helping). Output per language: available/requested/granted
+    tokens, the implied epoch count, and the granted share of the
+    budget — under-filled grants (granted < requested) are exactly
+    the headroom a mixture owner re-allocates.
+
+    The target-share table is _MIX_TARGETS — the same broadcast dim
+    q_mixture_weights uses, so the two views of the mixture can't
+    drift. Shares are CAST to DOUBLE in the oracle (DuckDB bare
+    decimal literals are Decimal-typed); divisions NULLIF/try_divide
+    so an empty-text language yields NULL epochs in both engines.
+
+    Plan/scale: one groupBy(lang) rollup (a handful of groups,
+    map-side partials), a 1-row total broadcast, a broadcast join to
+    the 3-row target dim, then row-local arithmetic. Nothing after
+    the first rollup scales with the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail"),
+    )
+    tot = tok.agg(F.sum("avail").cast("long").alias("t"))
+    targets = spark.createDataFrame(
+        _MIX_TARGETS, "lang string, share double"
+    )
+    alloc = (
+        tok.join(F.broadcast(targets), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "avail",
+            F.expr("t DIV 2").alias("budget"),
+            F.round(F.expr("t DIV 2") * F.col("share"))
+            .cast("long")
+            .alias("requested"),
+        )
+    )
+    granted = F.least("requested", F.col("avail") * 4)
+    return alloc.select(
+        "lang",
+        "n_docs",
+        F.col("avail").alias("avail_tokens"),
+        F.col("requested").alias("requested_tokens"),
+        granted.alias("granted_tokens"),
+        F.round(
+            F.try_divide(granted * F.lit(1.0), F.col("avail")), 4
+        ).alias("epochs"),
+        F.round(
+            F.try_divide(granted * F.lit(1.0), F.col("budget")), 6
+        ).alias("budget_frac"),
+    )

@@ -504,3 +504,75 @@ def test_surt_index_case_collapse_and_capture_mass(spark):
         assert pat.match(key), key
         assert 1 <= n_ver <= n_cap
         assert first_ts <= last_ts
+
+
+def test_stale_captures_boundary_hosts(spark, tmp_path):
+    """Three engineered hosts: a fast-changing host whose newest
+    capture is ancient (stale), a never-changing host (week-capped
+    interval), and the frontier host that defines now_ts (age 0,
+    fresh). Host/url derive from event_id % 300 / % 40, so event ids
+    are chosen by residue; digest = md5(url ‖ event_type), so a
+    change is planted by varying event_type between captures of the
+    same url (ids congruent mod 600 share a url)."""
+    t0 = _dt.datetime(2024, 1, 1)
+    hr = _dt.timedelta(hours=1)
+    rows = []
+    # host news7: url item/7 captured 4x long ago, EVERY capture a
+    # digest change (distinct event_type per capture) -> lambda high,
+    # interval << age once the frontier moves 500 h past it
+    for k, eid in enumerate((7, 607, 1207, 1807)):
+        rows.append((eid, t0 + k * hr, 1, f"type{k}", 1.0, "{}"))
+    # host news8: 4 captures, SAME event_type -> digest never changes
+    # -> lambda 0 -> week cap in both engines
+    for k, eid in enumerate((8, 608, 1208, 1808)):
+        rows.append((eid, t0 + k * hr, 1, "view", 1.0, "{}"))
+    # host news9: two captures, the later one IS the frontier
+    rows.append((9, t0, 1, "view", 1.0, "{}"))
+    rows.append((609, t0 + 500 * hr, 1, "click", 1.0, "{}"))
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_stale_captures")
+    assert s == _oracle_rows(tmp_path, "q_stale_captures")
+    by_host = {r[0]: r for r in s}
+    assert set(by_host) == {
+        "news7.example.com", "news8.example.com", "news9.example.com"
+    }
+    # columns: host, n_captures, n_changes, last_ts, age_hours,
+    #          recrawl_hours, is_stale
+    fast = by_host["news7.example.com"]
+    assert fast[2] == 3 and fast[4] > fast[5] and fast[6] is True
+    never = by_host["news8.example.com"]
+    assert never[2] == 0 and never[5] == 168.0
+    # 497 h old > the week cap -> even the never-changing host is due
+    assert never[6] is True
+    frontier = by_host["news9.example.com"]
+    assert frontier[4] == 0.0 and frontier[6] is False
+
+
+def test_token_budget_mixture_epoch_cap(spark, tmp_path):
+    """A language whose available tokens are tiny relative to its
+    target share hits the 4-epoch cap exactly (granted == 4 x avail,
+    epochs == 4.0, headroom = requested - granted > 0); an abundant
+    language is granted its full request; a language outside the
+    target mix is excluded."""
+    rows = []
+    # en: 60 docs x 100 tokens = 6000 avail
+    for i in range(60):
+        rows.append((i, " ".join(["tok"] * 100), "en", "web", 100))
+    # de: 2 docs x 10 tokens = 20 avail; share 0.2 of budget ~3012
+    #     -> requested ~602 >> 4*20
+    for i in range(60, 62):
+        rows.append((i, " ".join(["wort"] * 10), "de", "web", 10))
+    # xx: not in _MIX_TARGETS -> no output row
+    rows.append((62, " ".join(["zz"] * 5), "xx", "web", 5))
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_token_budget_mixture")
+    assert s == _oracle_rows(tmp_path, "q_token_budget_mixture")
+    by_lang = {r[0]: r for r in s}
+    assert set(by_lang) == {"en", "de"}
+    # columns: lang, n_docs, avail_tokens, requested_tokens,
+    #          granted_tokens, epochs, budget_frac
+    de = by_lang["de"]
+    assert de[4] == 4 * de[2] < de[3]  # capped at 4 epochs
+    assert de[5] == 4.0
+    en = by_lang["en"]
+    assert en[4] == en[3] and en[5] < 4.0  # full grant, no cap
