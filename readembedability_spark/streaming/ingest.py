@@ -331,3 +331,94 @@ def streaming_link_frontier(
         F.col("link") == F.col("known_url"),
         "left_anti",
     )
+
+
+def streaming_surt_index(
+    pages_stream: DataFrame, max_versions: int = 64
+) -> DataFrame:
+    """Incremental SURT-keyed capture index (the streaming maintainer
+    of q_surt_index's CDX-style table): as captures stream in, state
+    per SURT key tracks capture count, first/last capture time and
+    the distinct content digests seen, emitting the updated index row
+    each micro-batch via ``applyInPandasWithState``.
+
+    State is BOUNDED by design: the digest set is capped at
+    ``max_versions`` entries (8-char md5 prefixes); past the cap,
+    n_versions saturates and ``versions_saturated`` flips true —
+    exact low cardinalities (the common case: most urls have a
+    handful of versions) and an explicit marker instead of unbounded
+    state for churn-heavy urls. Timestamps ride through state as
+    epoch micros (state columns are flat longs; TIMESTAMP_NTZ inputs
+    convert via timestampdiff, which accepts NTZ where unix_micros
+    does not). At 10^12 captures the key space is the SURT-key
+    universe — RocksDB-backed state at ~10^9-10^10 keys; the cap
+    keeps per-key state O(max_versions) regardless of recrawl churn.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        first_us = None
+        last_us = None
+        digests: set = set()
+        overflow = 0
+        if state.exists:
+            n, first_us, last_us, dstr, overflow = state.get
+            digests = set(dstr.split(",")) if dstr else set()
+        for pdf in pdfs:
+            n += len(pdf)
+            lo = int(pdf["ts_us"].min())
+            hi = int(pdf["ts_us"].max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+            for d in pdf["digest"]:
+                if d not in digests:
+                    if len(digests) < max_versions:
+                        digests.add(d)
+                    else:
+                        overflow = 1
+        state.update(
+            (n, first_us, last_us, ",".join(sorted(digests)), overflow)
+        )
+        yield pd.DataFrame(
+            {
+                "surt_key": [key[0]],
+                "n_captures": [n],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "n_versions": [len(digests)],
+                "versions_saturated": [bool(overflow)],
+            }
+        )
+
+    host = F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1))
+    path = F.regexp_replace("url", r"^https?://[^/]+", "")
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"), path,
+    )
+    keyed = pages_stream.select(
+        surt.alias("surt_key"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " timestamp'1970-01-01 00:00:00', warc_ts)"
+        ).alias("ts_us"),
+        F.substring(F.md5(F.coalesce("html", F.lit(b""))), 1, 8).alias(
+            "digest"
+        ),
+    )
+    return keyed.groupBy("surt_key").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "surt_key string, n_captures long, first_ts timestamp,"
+            " last_ts timestamp, n_versions long,"
+            " versions_saturated boolean"
+        ),
+        stateStructType=(
+            "n_captures long, first_us long, last_us long,"
+            " digests string, overflow long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -291,3 +291,115 @@ def test_streaming_link_frontier(spark, tmp_path):
     assert len(rows) == 1, rows
     assert rows[0]["link"] == "https://new.example.com/b"
     assert rows[0]["url"] == "https://src.example.com/p"
+
+
+def test_streaming_surt_index_matches_batch(spark, stream_dirs):
+    """The stateful SURT-index maintainer must converge to the batch
+    index over the same files: per key, capture count / time range /
+    distinct-version count all match, and nothing saturates below the
+    version cap."""
+    from pyspark.sql import functions as F
+
+    from readembedability_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_surt_index,
+    )
+
+    in_dir, _, _ = stream_dirs
+    idx = streaming_surt_index(
+        read_pages_stream(spark, str(in_dir), max_files_per_trigger=1)
+    )
+    q = (
+        idx.writeStream.format("memory")
+        .queryName("surt_idx")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: the row with the highest n_captures per key is final
+    got = (
+        spark.sql("select * from surt_idx")
+        .groupBy("surt_key")
+        .agg(
+            F.max("n_captures").alias("n_captures"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+            F.max("n_versions").alias("n_versions"),
+            F.max(F.col("versions_saturated").cast("int")).alias("sat"),
+        )
+    )
+    host = F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1))
+    path = F.regexp_replace("url", r"^https?://[^/]+", "")
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"), path,
+    )
+    expected = (
+        spark.read.parquet(str(in_dir))
+        .select(
+            surt.alias("surt_key"),
+            "warc_ts",
+            F.substring(
+                F.md5(F.coalesce("html", F.lit(b""))), 1, 8
+            ).alias("digest"),
+        )
+        .groupBy("surt_key")
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+            F.countDistinct("digest").alias("n_versions"),
+        )
+    )
+    assert got.count() == expected.count()
+    j = got.alias("g").join(expected.alias("e"), "surt_key")
+    mism = j.filter(
+        (F.col("g.n_captures") != F.col("e.n_captures"))
+        | (F.col("g.first_ts") != F.col("e.first_ts"))
+        | (F.col("g.last_ts") != F.col("e.last_ts"))
+        | (F.col("g.n_versions") != F.col("e.n_versions"))
+        | (F.col("g.sat") != 0)
+    )
+    assert mism.count() == 0
+
+
+def test_streaming_surt_index_version_cap_saturates(spark, stream_dirs):
+    """With max_versions=1, any key with >1 distinct digest must
+    report exactly the cap and flip versions_saturated — bounded
+    state, explicitly marked, never an unbounded digest set."""
+    from pyspark.sql import functions as F
+
+    from readembedability_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_surt_index,
+    )
+
+    in_dir, _, _ = stream_dirs
+    idx = streaming_surt_index(
+        read_pages_stream(spark, str(in_dir), max_files_per_trigger=1),
+        max_versions=1,
+    )
+    q = (
+        idx.writeStream.format("memory")
+        .queryName("surt_idx_cap")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = (
+        spark.sql("select * from surt_idx_cap")
+        .groupBy("surt_key")
+        .agg(
+            F.max("n_versions").alias("n_versions"),
+            F.max(F.col("versions_saturated").cast("int")).alias("sat"),
+            F.max("n_captures").alias("n_captures"),
+        )
+    )
+    assert final.filter("n_versions > 1").count() == 0
+    # the synthetic corpus has recrawled urls with changed bodies, so
+    # at least one key must have hit the cap
+    assert final.filter("sat = 1").count() > 0
+    # saturation implies the key saw more captures than the cap
+    assert final.filter("sat = 1 and n_captures < 2").count() == 0
