@@ -157,7 +157,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: same _MIX_TARGETS dim as q_mixture_weights) take the slots of
 #: q_novelty_curve and q_graph_reciprocity (untouched, driver-green
 #: r07; novelty stays gated via q_source_novelty, the graph loops via
-#: pagerank/trustrank/hits/label_prop/pagerank_incremental).
+#: pagerank/trustrank/hits/label_prop/pagerank_incremental). The two
+#: multimodal-plumbing additions q_image_resize (aspect-preserving
+#: 64-box thumbnail fit inside the Arrow batch) and
+#: q_video_frame_sample (stride sampling with in-batch row fan-out)
+#: take the slots of q_lsh_bucket_stats and q_host_lang_entropy
+#: (untouched, driver-green r07; the LSH audit family stays gated via
+#: band_tuning/calibration/containment, host rollups via
+#: host_quality_prior and host_token_budget).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",
@@ -199,12 +206,12 @@ _GATE_PRIORITY = [
     "q_dsir_weights",
     "q_host_quality_prior",
     "q_epoch_schedule",
-    "q_host_lang_entropy",
+    "q_video_frame_sample",
     "q_ccnet_buckets",
     "q_token_budget_mixture",
     "q_stale_captures",
     "q_tokenizer_fertility",
-    "q_lsh_bucket_stats",
+    "q_image_resize",
     "q_dedup_containment",
     "q_source_novelty",
     "q_admission_marginal",

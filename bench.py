@@ -163,6 +163,8 @@ HEADLINE = [
     "q_surt_index",
     "q_stale_captures",
     "q_token_budget_mixture",
+    "q_image_resize",
+    "q_video_frame_sample",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

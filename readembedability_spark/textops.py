@@ -10675,3 +10675,187 @@ def q_token_budget_mixture(spark, sf_dir):
             F.try_divide(granted * F.lit(1.0), F.col("budget")), 6
         ).alias("budget_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: multimodal resize + frame-sample plumbing (mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_image_resize",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 640 + 1 AS width,
+             (octet_length(encode(text)) * 7) % 480 + 1 AS height
+      FROM documents),
+    t AS (
+      SELECT doc_id, width, height,
+             CASE WHEN width >= height THEN 64
+                  ELSE GREATEST(1, (width * 64) // height) END AS thumb_w,
+             CASE WHEN width >= height
+                  THEN GREATEST(1, (height * 64) // width)
+                  ELSE 64 END AS thumb_h
+      FROM m)
+    SELECT doc_id, width, height, thumb_w, thumb_h,
+           substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(thumb_w AS VARCHAR) || 'x'
+                      || CAST(thumb_h AS VARCHAR)), 1, 8) AS thumb_digest
+    FROM t
+    """,
+)
+def q_image_resize(spark, sf_dir):
+    """Multimodal RESIZE plumbing: opaque binary payloads flow through
+    mapInPandas (Arrow batches), the stubbed decode yields per-image
+    dimensions (the q_multimodal_meta deterministic fake — real
+    imaging libs absent, SURVEY.md §0), and the thumbnail-fit math —
+    aspect-preserving integer scale into a 64x64 box, floor division,
+    1-pixel floor on the short side — runs vectorized inside the UDF.
+    The thumbnail content digest is then derived JVM-side (md5 over
+    doc_id:WxH) so only the decode-shaped work pays the Python toll;
+    a real deployment swaps the digest for the encoded thumbnail
+    bytes at the same column position.
+
+    Plan/scale: one mapInPandas pass (numpy-vectorized body, no
+    per-row Python), then row-local JVM string/hash functions in
+    whole-stage codegen. Nothing shuffles; partitioning is inherited
+    from the scan, exactly like the extract stage."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def resize_batches(batches):
+        for pdf in batches:
+            n = pdf["payload"].map(
+                lambda b: len(b) if b is not None else 0
+            ).to_numpy()
+            w = (n % 640 + 1).astype("int64")
+            h = (n * 7 % 480 + 1).astype("int64")
+            tw = np.where(w >= h, 64, np.maximum(1, w * 64 // h))
+            th = np.where(w >= h, np.maximum(1, h * 64 // w), 64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "thumb_w": tw.astype("int64"),
+                    "thumb_h": th.astype("int64"),
+                }
+            )
+
+    dims = docs.mapInPandas(
+        resize_batches,
+        schema=(
+            "doc_id long, width long, height long,"
+            " thumb_w long, thumb_h long"
+        ),
+    )
+    digest = F.substring(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"),
+                F.col("thumb_w").cast("string"), F.lit("x"),
+                F.col("thumb_h").cast("string"),
+            ).cast("binary")
+        ),
+        1, 8,
+    )
+    return dims.select(
+        "doc_id", "width", "height", "thumb_w", "thumb_h",
+        digest.alias("thumb_digest"),
+    )
+
+
+@q(
+    "q_video_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 240 + 1 AS n_frames
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_frames, (n_frames + 7) // 8 AS stride FROM m),
+    f AS (
+      SELECT doc_id, n_frames,
+             unnest(generate_series(0, n_frames - 1, stride))
+               AS frame_idx
+      FROM s)
+    SELECT doc_id, n_frames, frame_idx,
+           frame_idx * 1000000 // 24 AS ts_us,
+           substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(frame_idx AS VARCHAR)), 1, 8)
+             AS frame_digest
+    FROM f
+    """,
+)
+def q_video_frame_sample(spark, sf_dir):
+    """Multimodal FRAME-SAMPLE plumbing: an opaque binary payload is
+    treated as a 24 fps video whose frame count the stubbed decode
+    derives deterministically (n_bytes % 240 + 1 — real codecs absent,
+    SURVEY.md §0); the UDF samples at a stride that yields at most 8
+    frames per video (stride = ceil(n_frames / 8)) and FANS OUT one
+    row per sampled frame — the rows-out > rows-in batch shape a real
+    frame extractor has. Per frame: the sampled index, its exact
+    integer-microsecond timestamp at 24 fps, and a content digest
+    derived JVM-side (a deployment replaces it with the frame bytes).
+
+    Plan/scale: the fan-out happens INSIDE the Arrow batch (numpy
+    repeat/arange — no explode shuffle, no per-row Python UDF), then
+    row-local JVM hash/string work. Output is at most 8x the input
+    row count and partitioning is inherited from the scan; downstream
+    consumers (per-frame embedding, dedup) shuffle on their own keys."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def frame_batches(batches):
+        for pdf in batches:
+            n = pdf["payload"].map(
+                lambda b: len(b) if b is not None else 0
+            ).to_numpy()
+            nf = (n % 240 + 1).astype("int64")
+            stride = (nf + 7) // 8
+            reps = (nf - 1) // stride + 1
+            if len(pdf):
+                idx = np.concatenate(
+                    [np.arange(0, f, s) for f, s in zip(nf, stride)]
+                ).astype("int64")
+            else:
+                idx = np.array([], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(), reps
+                    ),
+                    "n_frames": np.repeat(nf, reps),
+                    "frame_idx": idx,
+                }
+            )
+
+    frames = docs.mapInPandas(
+        frame_batches,
+        schema="doc_id long, n_frames long, frame_idx long",
+    )
+    digest = F.substring(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"),
+                F.col("frame_idx").cast("string"),
+            ).cast("binary")
+        ),
+        1, 8,
+    )
+    return frames.select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        F.expr("frame_idx * 1000000 DIV 24").alias("ts_us"),
+        digest.alias("frame_digest"),
+    )

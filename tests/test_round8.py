@@ -576,3 +576,37 @@ def test_token_budget_mixture_epoch_cap(spark, tmp_path):
     assert de[5] == 4.0
     en = by_lang["en"]
     assert en[4] == en[3] and en[5] < 4.0  # full grant, no cap
+
+
+def test_image_resize_fit_invariants(spark):
+    """Aspect-preserving 64-box fit: the long side is exactly 64, the
+    short side is >= 1 and <= 64, orientation survives the resize, and
+    the thumbnail digest is the JVM-side md5 of doc_id:WxH."""
+    import hashlib
+
+    s = _spark_rows(spark, SF_SMALL, "q_image_resize")
+    assert s == _oracle_rows(SF_SMALL, "q_image_resize")
+    for doc_id, w, h, tw, th, digest in s:
+        assert max(tw, th) == 64 and 1 <= min(tw, th) <= 64
+        assert (w >= h) == (tw >= th)
+        assert digest == hashlib.md5(
+            f"{doc_id}:{tw}x{th}".encode()
+        ).hexdigest()[:8]
+
+
+def test_video_frame_sample_stride_invariants(spark):
+    """Every video yields between 1 and 8 sampled frames, each index
+    is a stride multiple below n_frames, timestamps are the exact
+    integer-microsecond 24 fps positions, and every document appears
+    (the fan-out drops no inputs)."""
+    s = _spark_rows(spark, SF_SMALL, "q_video_frame_sample")
+    assert s == _oracle_rows(SF_SMALL, "q_video_frame_sample")
+    per_doc: dict = {}
+    for doc_id, n_frames, idx, ts_us, digest in s:
+        stride = (n_frames + 7) // 8
+        assert idx % stride == 0 and 0 <= idx < n_frames
+        assert ts_us == idx * 1000000 // 24
+        per_doc.setdefault(doc_id, []).append(idx)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    assert len(per_doc) == docs.count()
+    assert all(1 <= len(v) <= 8 for v in per_doc.values())
