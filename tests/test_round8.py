@@ -610,3 +610,60 @@ def test_video_frame_sample_stride_invariants(spark):
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     assert len(per_doc) == docs.count()
     assert all(1 <= len(v) <= 8 for v in per_doc.values())
+
+
+def test_archive_index_job_composes(spark, tmp_path, monkeypatch, capsys):
+    """jobs/archive_index.py over a synthesized recrawl-bearing corpus:
+    the written index matches an independent batch recompute key-for-
+    key, index files are range-clustered (sorted by key within each
+    part file), recrawled urls surface as multi-capture keys, and the
+    staleness table covers exactly the multi-capture nonzero-span
+    hosts."""
+    import importlib
+    import json as json_
+    import sys as sys_
+
+    import pyarrow.parquet as pq_
+
+    sys_.path.insert(
+        0, str(__import__("pathlib").Path(__file__).resolve().parent.parent
+               / "jobs")
+    )
+    aj = importlib.import_module("archive_index")
+    out = tmp_path / "archive"
+    monkeypatch.setattr(
+        sys_, "argv",
+        ["archive_index.py", "--pages", "200", "--output", str(out)],
+    )
+    aj.main()
+    stats = json_.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the synth corpus adds ~3% recrawl duplicates ON TOP of the
+    # requested page count (they are the change signal under test)
+    assert stats["captures"] == stats["pages"] >= 200
+    assert 0 < stats["index_keys"] <= stats["captures"]
+    # recrawl dups exist in the synthetic corpus -> fewer keys than caps
+    assert stats["index_keys"] < stats["captures"]
+    assert stats["hosts_estimated"] >= 1
+    # index content == independent batch recompute
+    got = {
+        r["surt_key"]: (r["n_captures"], r["n_versions"])
+        for r in spark.read.parquet(str(out / "index")).collect()
+    }
+    exp = {
+        r["surt_key"]: (r["n_captures"], r["n_versions"])
+        for r in aj.surt_index(
+            aj.captures(spark.read.parquet(str(out / "_synth")))
+        ).collect()
+    }
+    assert got == exp
+    assert sum(v[0] for v in got.values()) == stats["captures"]
+    # range layout: every part file is internally sorted by surt_key
+    for part in (out / "index").glob("*.parquet"):
+        keys = pq_.read_table(str(part), columns=["surt_key"])
+        keys = keys.column("surt_key").to_pylist()
+        assert keys == sorted(keys), part
+    # staleness rows: multi-capture hosts only, interval week-capped
+    stale = spark.read.parquet(str(out / "stale")).collect()
+    assert all(r["n_captures"] >= 2 for r in stale)
+    assert all(0 < r["recrawl_hours"] <= 168.0 for r in stale)
+    assert all(r["age_hours"] >= 0.0 for r in stale)
