@@ -93,3 +93,40 @@ def test_whole_stage_codegen_on_relational_path(spark, pages_path):
         F.length("html").alias("n")
     )
     assert "codegen id" in _plan(df)  # scan/filter/project fused
+
+
+def test_multimodal_plumbing_zero_exchange_pruned_read(spark):
+    """The resize and frame-sample ops must stay shuffle-free (one
+    mapInPandas pass inheriting scan partitioning) and must prune the
+    documents read to exactly (doc_id, text)."""
+    from readembedability_spark.textops import REGISTRY
+
+    for name in ("q_image_resize", "q_video_frame_sample"):
+        df = REGISTRY[name].spark(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "Exchange" not in plan, name
+        reads = [
+            line for line in plan.splitlines() if "ReadSchema" in line
+        ]
+        assert reads and all(
+            "doc_id" in r and "text" in r and "lang" not in r
+            and "source" not in r
+            for r in reads
+        ), (name, reads)
+
+
+def test_surt_index_single_keyed_aggregate(spark):
+    """The CDX index is one hash aggregate on the SURT key: the only
+    non-broadcast exchanges are the count-distinct pair (key+digest,
+    then key) — no joins, no windows, pruned 3-column read."""
+    from readembedability_spark.textops import REGISTRY
+
+    df = REGISTRY["q_surt_index"].spark(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" not in plan
+    # operator-tree section: each Exchange appears once as "Exchange hashpartitioning"
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 2, plan[:2000]
+    reads = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert reads and all("props" not in r and "value" not in r for r in reads)
