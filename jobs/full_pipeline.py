@@ -252,22 +252,53 @@ def main() -> None:
     stats["after_near_dedup"] = kept.count()
 
     # ---- composed admission policy (q_admission_policy's blend) ------
-    # host prior × DSIR weight × CCNet tercile, first-gate attributed;
-    # the funnel counts go in the run stats so every drop is explained
-    from readembedability_spark.textops import admission_stages_from
+    # host prior × DSIR weight × CCNet tercile. ONE persisted flags
+    # table feeds BOTH audits: the first-gate funnel (which gate fired
+    # first — the stage counts in the run stats) and the marginal
+    # attribution (what relaxing each gate would re-admit) — computing
+    # them from separate calls would re-run the whole signal chain
+    from readembedability_spark.textops import (
+        admission_flags_from,
+        admission_stages_from_flags,
+    )
 
-    staged = _persist(
-        admission_stages_from(
+    flags = _persist(
+        admission_flags_from(
             kept.withColumn(
                 "host", F.regexp_extract("url", HOST_RE, 1)
             ).select("doc_id", "host", "lang", "text")
         )
     )
+    staged = admission_stages_from_flags(flags)
     stats["admission_funnel"] = {
         r["stage"]: r["n"]
         for r in staged.groupBy("stage")
         .agg(F.count("*").alias("n"))
         .collect()
+    }
+    marg = flags.agg(
+        *[
+            e
+            for g, o1, o2 in (
+                ("f_host", "f_dsir", "f_ccnet"),
+                ("f_dsir", "f_host", "f_ccnet"),
+                ("f_ccnet", "f_host", "f_dsir"),
+            )
+            for e in (
+                F.sum(F.col(g).cast("long")).alias(f"b_{g}"),
+                F.sum(
+                    (F.col(g) & ~F.col(o1) & ~F.col(o2)).cast("long")
+                ).alias(f"u_{g}"),
+            )
+        ]
+    ).collect()[0]
+    stats["admission_marginal"] = {
+        gate: {"blocked": int(marg[f"b_{g}"]), "unique": int(marg[f"u_{g}"])}
+        for gate, g in (
+            ("host_demoted", "f_host"),
+            ("dsir_offtarget", "f_dsir"),
+            ("ccnet_tail", "f_ccnet"),
+        )
     }
     admitted = kept.join(
         staged.filter(F.col("stage") == "4_admitted").select("doc_id"),

@@ -9657,7 +9657,14 @@ def admission_stages_from(docs):
     the composed admission policy — stage '4_admitted' is the keep
     set. A row-local CASE in SERVING order over the shared
     `admission_flags_from` signal flags."""
-    return admission_flags_from(docs).select(
+    return admission_stages_from_flags(admission_flags_from(docs))
+
+
+def admission_stages_from_flags(flags):
+    """The first-gate CASE over an already-computed flags table —
+    jobs that also read the marginal audit persist ONE flags table
+    and derive both views from it (jobs/full_pipeline.py)."""
+    return flags.select(
         "doc_id",
         "n_tokens",
         F.when(F.col("f_host"), F.lit("1_host_demoted"))

@@ -301,6 +301,15 @@ def test_full_pipeline_composes_both_halves(spark, tmp_path, monkeypatch,
     funnel = stats["admission_funnel"]
     assert sum(funnel.values()) == stats["after_near_dedup"]
     assert funnel.get("4_admitted", 0) == stats["after_admission"]
+    # both audits come off ONE flags table: the first gate's funnel
+    # count equals its blocked count, and unique <= blocked per gate
+    marg = stats["admission_marginal"]
+    assert marg["host_demoted"]["blocked"] == funnel.get(
+        "1_host_demoted", 0
+    )
+    assert all(
+        v["unique"] <= v["blocked"] for v in marg.values()
+    )
     for artifact in (
         "authority",
         "frontier",
