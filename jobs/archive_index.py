@@ -33,26 +33,20 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import SparkSession, Window  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
-
-#: the week cap and the frontier comparison mirror q_stale_captures
-WEEK_HOURS = 168.0
-
 
 def captures(pages):
     """(surt_key, host, url, ts, digest) — the capture model both
-    halves read. SURT key = lowercased dot-reversed host + ')' +
-    path; digest = md5 prefix of the raw payload (the content
-    identity the index versions on). Row-local string work only."""
+    halves read. SURT key via the SHARED surt_key_expr (the same
+    definition the gate query and the streaming maintainer use);
+    digest = md5 prefix of the raw payload (the content identity the
+    index versions on). Row-local string work only."""
+    from readembedability_spark.textops import surt_key_expr
+
     host = F.lower(F.regexp_extract("url", r"^https?://([^/?#]+)", 1))
-    path = F.regexp_replace("url", r"^https?://[^/?#]+", "")
-    surt = F.concat(
-        F.array_join(F.reverse(F.split(host, r"\.")), ","),
-        F.lit(")"), path,
-    )
     return pages.select(
-        surt.alias("surt_key"),
+        surt_key_expr(F.col("url")).alias("surt_key"),
         host.alias("host"),
         "url",
         F.col("warc_ts").alias("ts"),
@@ -74,55 +68,14 @@ def surt_index(caps):
 
 
 def staleness(caps):
-    """Per-host staleness work-list: digest transitions between
-    consecutive captures of the same url (lag over the per-url
-    sequence) feed the Cho/Garcia-Molina estimator; age of the
-    newest capture vs the archive frontier decides is_stale
-    (q_stale_captures's plan over real captures). Hosts with one
-    capture or a zero span are excluded — nothing to estimate."""
-    w = Window.partitionBy("url").orderBy("ts", "digest")
-    prev = F.lag("digest").over(w)
-    chg = caps.select(
-        "host",
-        "ts",
-        F.when(prev.isNotNull() & (prev != F.col("digest")), 1)
-        .otherwise(0)
-        .alias("changed"),
-    )
-    span_us = F.expr("timestampdiff(MICROSECOND, first_ts, last_ts)")
-    h = (
-        chg.groupBy("host")
-        .agg(
-            F.count("*").alias("n_captures"),
-            F.sum("changed").cast("long").alias("n_changes"),
-            F.min("ts").alias("first_ts"),
-            F.max("ts").alias("last_ts"),
-        )
-        .filter((F.col("n_captures") >= 2) & (span_us > 0))
-    )
-    span_hours = span_us / F.lit(3600000000.0)
-    lam = -F.log(
-        (F.col("n_captures") - F.col("n_changes") + 0.5)
-        / (F.col("n_captures") + 0.5)
-    ) / (span_hours / (F.col("n_captures") - 1))
-    mx = F.broadcast(caps.agg(F.max("ts").alias("now_ts")))
-    age_hours = F.round(
-        F.expr("timestampdiff(MICROSECOND, last_ts, now_ts)")
-        / F.lit(3600000000.0),
-        4,
-    )
-    recrawl_hours = F.round(
-        F.least(F.lit(WEEK_HOURS), F.try_divide(F.lit(1.0), lam)), 4
-    )
-    return h.crossJoin(mx).select(
-        "host",
-        "n_captures",
-        "n_changes",
-        "last_ts",
-        age_hours.alias("age_hours"),
-        recrawl_hours.alias("recrawl_hours"),
-        (age_hours > recrawl_hours).alias("is_stale"),
-    )
+    """Per-host staleness work-list via the SHARED staleness core
+    (q_stale_captures's exact plan: digest-transition lag window →
+    host rollup → Cho/Garcia-Molina interval → frontier-age
+    is_stale); equal-ts captures tie-break on digest here (real
+    capture tables carry no event_id)."""
+    from readembedability_spark.textops import staleness_from
+
+    return staleness_from(caps, tiebreak="digest")
 
 
 def main() -> None:
@@ -174,12 +127,19 @@ def main() -> None:
         .write.mode("overwrite")
         .parquet(str(out / "index"))
     )
-    stats["index_keys"] = idx.count()
-
-    st = staleness(caps)
-    st.write.mode("overwrite").parquet(str(out / "stale"))
-    stats["hosts_estimated"] = st.count()
-    stats["stale_hosts"] = st.filter("is_stale").count()
+    staleness(caps).write.mode("overwrite").parquet(str(out / "stale"))
+    # stats counters read BACK the written tables (parquet row counts
+    # are metadata reads) instead of re-running either plan
+    stats["index_keys"] = spark.read.parquet(str(out / "index")).count()
+    st = spark.read.parquet(str(out / "stale"))
+    counts = st.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.col("is_stale").cast("long")), F.lit(0)
+        ).alias("stale"),
+    ).collect()[0]
+    stats["hosts_estimated"] = counts["n"]
+    stats["stale_hosts"] = counts["stale"]
     stats["wall_sec"] = round(time.time() - t0, 1)
     release_caches(spark)
     print(json.dumps(stats))

@@ -245,10 +245,15 @@ def main() -> None:
     # LSH+CC lineage in the plan, and each InMemoryRelation reference
     # re-prints that subtree — three branches of nested caches made
     # the funnel query's explain string alone OOM a 4g driver. The
-    # checkpoint truncates lineage so downstream plans scan a leaf.
-    kept = near_dup_keep_best(
-        spark, cleaned.select("doc_id", "text", "lang")
-    ).join(docs.select("doc_id", "url"), "doc_id").localCheckpoint()
+    # checkpoint truncates lineage so downstream plans scan a leaf;
+    # the TRACKED helper lets release_caches free its storage blocks.
+    from readembedability_spark.queries import _local_checkpoint
+
+    kept = _local_checkpoint(
+        near_dup_keep_best(
+            spark, cleaned.select("doc_id", "text", "lang")
+        ).join(docs.select("doc_id", "url"), "doc_id")
+    )
     stats["after_near_dedup"] = kept.count()
 
     # ---- composed admission policy (q_admission_policy's blend) ------
@@ -259,6 +264,7 @@ def main() -> None:
     # them from separate calls would re-run the whole signal chain
     from readembedability_spark.textops import (
         admission_flags_from,
+        admission_marginal_from_flags,
         admission_stages_from_flags,
     )
 
@@ -276,29 +282,13 @@ def main() -> None:
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    marg = flags.agg(
-        *[
-            e
-            for g, o1, o2 in (
-                ("f_host", "f_dsir", "f_ccnet"),
-                ("f_dsir", "f_host", "f_ccnet"),
-                ("f_ccnet", "f_host", "f_dsir"),
-            )
-            for e in (
-                F.sum(F.col(g).cast("long")).alias(f"b_{g}"),
-                F.sum(
-                    (F.col(g) & ~F.col(o1) & ~F.col(o2)).cast("long")
-                ).alias(f"u_{g}"),
-            )
-        ]
-    ).collect()[0]
     stats["admission_marginal"] = {
-        gate: {"blocked": int(marg[f"b_{g}"]), "unique": int(marg[f"u_{g}"])}
-        for gate, g in (
-            ("host_demoted", "f_host"),
-            ("dsir_offtarget", "f_dsir"),
-            ("ccnet_tail", "f_ccnet"),
-        )
+        r["gate"]: {
+            "blocked": r["n_blocked"],
+            "unique": r["n_unique"],
+            "recovered_tokens": r["recovered_tokens"],
+        }
+        for r in admission_marginal_from_flags(flags).collect()
     }
     admitted = kept.join(
         staged.filter(F.col("stage") == "4_admitted").select("doc_id"),

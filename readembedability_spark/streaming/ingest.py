@@ -392,14 +392,10 @@ def streaming_surt_index(
             }
         )
 
-    host = F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1))
-    path = F.regexp_replace("url", r"^https?://[^/]+", "")
-    surt = F.concat(
-        F.array_join(F.reverse(F.split(host, r"\.")), ","),
-        F.lit(")"), path,
-    )
+    from readembedability_spark.textops import surt_key_expr
+
     keyed = pages_stream.select(
-        surt.alias("surt_key"),
+        surt_key_expr(F.col("url")).alias("surt_key"),
         F.expr(
             "timestampdiff(MICROSECOND,"
             " timestamp'1970-01-01 00:00:00', warc_ts)"

@@ -9826,32 +9826,38 @@ def q_admission_policy(spark, sf_dir):
     f"""
     WITH {_ADMISSION_FLAGS_SQL}
     SELECT 'host_demoted' AS gate,
-           CAST(SUM(CASE WHEN f_host THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_blocked,
-           CAST(SUM(CASE WHEN f_host AND NOT f_dsir AND NOT f_ccnet
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-           CAST(SUM(CASE WHEN f_host AND NOT f_dsir AND NOT f_ccnet
-                         THEN n_tokens ELSE 0 END) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN f_host THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_blocked,
+           CAST(COALESCE(SUM(CASE WHEN f_host AND NOT f_dsir
+                                  AND NOT f_ccnet
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unique,
+           CAST(COALESCE(SUM(CASE WHEN f_host AND NOT f_dsir
+                                  AND NOT f_ccnet
+                         THEN n_tokens ELSE 0 END), 0) AS BIGINT)
              AS recovered_tokens
     FROM flags
     UNION ALL
     SELECT 'dsir_offtarget' AS gate,
-           CAST(SUM(CASE WHEN f_dsir THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_blocked,
-           CAST(SUM(CASE WHEN f_dsir AND NOT f_host AND NOT f_ccnet
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-           CAST(SUM(CASE WHEN f_dsir AND NOT f_host AND NOT f_ccnet
-                         THEN n_tokens ELSE 0 END) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN f_dsir THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_blocked,
+           CAST(COALESCE(SUM(CASE WHEN f_dsir AND NOT f_host
+                                  AND NOT f_ccnet
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unique,
+           CAST(COALESCE(SUM(CASE WHEN f_dsir AND NOT f_host
+                                  AND NOT f_ccnet
+                         THEN n_tokens ELSE 0 END), 0) AS BIGINT)
              AS recovered_tokens
     FROM flags
     UNION ALL
     SELECT 'ccnet_tail' AS gate,
-           CAST(SUM(CASE WHEN f_ccnet THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_blocked,
-           CAST(SUM(CASE WHEN f_ccnet AND NOT f_host AND NOT f_dsir
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-           CAST(SUM(CASE WHEN f_ccnet AND NOT f_host AND NOT f_dsir
-                         THEN n_tokens ELSE 0 END) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN f_ccnet THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_blocked,
+           CAST(COALESCE(SUM(CASE WHEN f_ccnet AND NOT f_host
+                                  AND NOT f_dsir
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unique,
+           CAST(COALESCE(SUM(CASE WHEN f_ccnet AND NOT f_host
+                                  AND NOT f_dsir
+                         THEN n_tokens ELSE 0 END), 0) AS BIGINT)
              AS recovered_tokens
     FROM flags
     """,
@@ -9884,9 +9890,18 @@ def q_admission_marginal(spark, sf_dir):
         F.lit("host"), (F.col("doc_id") % 50).cast("string"),
         F.lit(".example.com"),
     )
-    flags = admission_flags_from(
-        docs.select("doc_id", host.alias("host"), "lang", "text")
+    return admission_marginal_from_flags(
+        admission_flags_from(
+            docs.select("doc_id", host.alias("host"), "lang", "text")
+        )
     )
+
+
+def admission_marginal_from_flags(flags):
+    """The marginal rollup over an already-computed flags table — the
+    ONE implementation q_admission_marginal and jobs/full_pipeline.py
+    share (a job that persists one flags table derives funnel AND
+    marginal from it). One 9-sum aggregate + row-local 3-row stack."""
 
     def _u(g, o1, o2):
         return F.col(g) & ~F.col(o1) & ~F.col(o2)
@@ -9910,6 +9925,14 @@ def q_admission_marginal(spark, sf_dir):
                 .cast("long")
                 .alias(f"t_{g}"),
             )
+        ]
+    )
+    # an empty flags table sums to NULL — a 3-row all-zero marginal is
+    # the honest answer (and what the job's stats consumer expects)
+    agg = agg.select(
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(c)
+            for c in agg.columns
         ]
     )
     return agg.select(
@@ -10387,6 +10410,20 @@ def q_crawl_plan(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def surt_key_expr(url):
+    """SURT key for a raw url column: lowercased dot-REVERSED host
+    (authority ends at '/', '?' or '#') + ')' + the rest. The ONE
+    definition every consumer shares — the gate query, the streaming
+    maintainer and the archive job — so the batch-written and
+    incrementally-maintained indexes can never drift on key shape."""
+    host = F.lower(F.regexp_extract(url, r"^https?://([^/?#]+)", 1))
+    rest = F.regexp_replace(url, r"^https?://[^/?#]+", "")
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"), rest,
+    )
+
+
 @q(
     "q_surt_index",
     """
@@ -10397,8 +10434,8 @@ def q_crawl_plan(spark, sf_dir):
              ts, event_type
       FROM events),
     parts AS (
-      SELECT lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
-             regexp_replace(url, '^https?://[^/]+', '') AS path,
+      SELECT lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+             regexp_replace(url, '^https?://[^/?#]+', '') AS path,
              ts,
              substr(md5(url || event_type), 1, 8) AS digest
       FROM cap)
@@ -10438,18 +10475,14 @@ def q_surt_index(spark, sf_dir):
         F.lit("https://News"), b, F.lit(".Example.COM/item/"),
         (F.col("event_id") % 40).cast("string"),
     )
-    host = F.lower(F.regexp_extract(url, r"^https?://([^/]+)", 1))
-    path = F.regexp_replace(url, r"^https?://[^/]+", "")
-    surt = F.concat(
-        F.array_join(F.reverse(F.split(host, r"\.")), ","),
-        F.lit(")"), path,
-    )
     digest = F.substring(
         F.md5(F.concat(url, F.col("event_type")).cast("binary")), 1, 8
     )
     return (
         ev.select(
-            surt.alias("surt_key"), "ts", digest.alias("digest")
+            surt_key_expr(url).alias("surt_key"),
+            "ts",
+            digest.alias("digest"),
         )
         .groupBy("surt_key")
         .agg(
@@ -10552,9 +10585,20 @@ def q_stale_captures(spark, sf_dir):
         url.alias("url"), host.alias("host"), "ts", "event_id",
         digest.alias("digest"),
     )
-    w = Window.partitionBy("url").orderBy("ts", "event_id")
+    return staleness_from(cap, tiebreak="event_id")
+
+
+def staleness_from(caps, tiebreak="digest"):
+    """The staleness core over any (url, host, ts, digest[, tiebreak])
+    capture table — the ONE implementation q_stale_captures and
+    jobs/archive_index.py share: per-url lag window for the digest-
+    transition change signal (``tiebreak`` breaks equal-ts captures
+    deterministically), host rollup, Cho/Garcia-Molina interval
+    (week-capped, try_divide for the lam=0 host), frontier-age
+    comparison on ROUNDED values."""
+    w = Window.partitionBy("url").orderBy("ts", tiebreak)
     prev = F.lag("digest").over(w)
-    chg = cap.select(
+    chg = caps.select(
         "host",
         "ts",
         F.when(prev.isNotNull() & (prev != F.col("digest")), 1)
@@ -10577,7 +10621,7 @@ def q_stale_captures(spark, sf_dir):
         (F.col("n_captures") - F.col("n_changes") + 0.5)
         / (F.col("n_captures") + 0.5)
     ) / (span_hours / (F.col("n_captures") - 1))
-    mx = F.broadcast(cap.agg(F.max("ts").alias("now_ts")))
+    mx = F.broadcast(caps.agg(F.max("ts").alias("now_ts")))
     age_hours = F.round(
         F.expr("timestampdiff(MICROSECOND, last_ts, now_ts)")
         / F.lit(3600000000.0),
@@ -10737,8 +10781,8 @@ def q_image_resize(spark, sf_dir):
 
     def resize_batches(batches):
         for pdf in batches:
-            n = pdf["payload"].map(
-                lambda b: len(b) if b is not None else 0
+            n = (
+                pdf["payload"].str.len().fillna(0).astype("int64")
             ).to_numpy()
             w = (n % 640 + 1).astype("int64")
             h = (n * 7 % 480 + 1).astype("int64")
@@ -10824,8 +10868,8 @@ def q_video_frame_sample(spark, sf_dir):
 
     def frame_batches(batches):
         for pdf in batches:
-            n = pdf["payload"].map(
-                lambda b: len(b) if b is not None else 0
+            n = (
+                pdf["payload"].str.len().fillna(0).astype("int64")
             ).to_numpy()
             nf = (n % 240 + 1).astype("int64")
             stride = (nf + 7) // 8

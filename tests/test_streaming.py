@@ -329,16 +329,12 @@ def test_streaming_surt_index_matches_batch(spark, stream_dirs):
             F.max(F.col("versions_saturated").cast("int")).alias("sat"),
         )
     )
-    host = F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1))
-    path = F.regexp_replace("url", r"^https?://[^/]+", "")
-    surt = F.concat(
-        F.array_join(F.reverse(F.split(host, r"\.")), ","),
-        F.lit(")"), path,
-    )
+    from readembedability_spark.textops import surt_key_expr
+
     expected = (
         spark.read.parquet(str(in_dir))
         .select(
-            surt.alias("surt_key"),
+            surt_key_expr(F.col("url")).alias("surt_key"),
             "warc_ts",
             F.substring(
                 F.md5(F.coalesce("html", F.lit(b""))), 1, 8
