@@ -164,7 +164,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #: take the slots of q_lsh_bucket_stats and q_host_lang_entropy
 #: (untouched, driver-green r07; the LSH audit family stays gated via
 #: band_tuning/calibration/containment, host rollups via
-#: host_quality_prior and host_token_budget).
+#: host_quality_prior and host_token_budget). The four final round-8
+#: operators — q_extract_feeds (F-1..F-5 feed autodiscovery through
+#: the REAL extractor; also re-hashes the one-pass PageMeta link
+#: branch the oEmbed discovery rule now shares), q_redirect_resolve
+#: (pointer-jumping 3xx chain collapse with a planted 2-cycle),
+#: q_host_boilerplate (host-conditional document-frequency template
+#: detection) and q_mime_sniff (magic-byte vs claimed Content-Type
+#: confusion matrix over true binary payloads) — take the slots of
+#: q_cluster_homogeneity, q_hits, q_epoch_schedule and
+#: q_tokenizer_fertility (all untouched this round + driver-green
+#: r07: the candidates→verify→CC path stays gated via
+#: q_dedup_containment / q_minhash_calibration / q_minhash_band_tuning,
+#: the graph power loops via q_pagerank / q_trustrank /
+#: q_pagerank_incremental / q_label_prop, the mixture math via
+#: q_token_budget_mixture, and the BPE vocab loop via
+#: q_pack_sequences_bpe).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",
@@ -197,20 +212,20 @@ _GATE_PRIORITY = [
     "q_extract_keywords_text",
     "q_label_prop",
     "q_length_drift",
-    "q_cluster_homogeneity",
+    "q_extract_feeds",
     "q_minhash_calibration",
     "q_ann_recall",
     "q_sample_quality",
-    "q_hits",
+    "q_redirect_resolve",
     "q_model_calibration",
     "q_dsir_weights",
     "q_host_quality_prior",
-    "q_epoch_schedule",
+    "q_host_boilerplate",
     "q_video_frame_sample",
     "q_ccnet_buckets",
     "q_token_budget_mixture",
     "q_stale_captures",
-    "q_tokenizer_fertility",
+    "q_mime_sniff",
     "q_image_resize",
     "q_dedup_containment",
     "q_source_novelty",

@@ -165,6 +165,10 @@ HEADLINE = [
     "q_token_budget_mixture",
     "q_image_resize",
     "q_video_frame_sample",
+    "q_extract_feeds",
+    "q_redirect_resolve",
+    "q_host_boilerplate",
+    "q_mime_sniff",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -35,6 +35,7 @@ class PageMeta:
         "h1",
         "jsonld_texts",
         "discovery_link",
+        "feed_links",
         "iframes",
         "time_datetime",
         "rel_author_texts",
@@ -49,6 +50,7 @@ class PageMeta:
         self.h1: str | None = None
         self.jsonld_texts: list[str] = []
         self.discovery_link: str | None = None
+        self.feed_links: list[str] = []  # rel=alternate rss/atom hrefs (F-1)
         self.iframes: list[dict[str, str]] = []
         self.time_datetime: str | None = None
         self.rel_author_texts: list[str] = []
@@ -93,13 +95,16 @@ def collect_meta(root: Element) -> PageMeta:
             if rel and href:
                 rel_l = rel.strip().lower()
                 pm.links.setdefault(rel_l, href)
-                if (
-                    pm.discovery_link is None
-                    and "alternate" in rel_l.split()
-                    and (el.attrs.get("type") or "").strip().lower()
-                    in ("application/json+oembed", "text/xml+oembed")
-                ):
-                    pm.discovery_link = href.strip()
+                if "alternate" in rel_l.split():
+                    typ = (el.attrs.get("type") or "").strip().lower()
+                    typ = typ.split(";", 1)[0].strip()  # drop parameters
+                    if pm.discovery_link is None and typ in (
+                        "application/json+oembed",
+                        "text/xml+oembed",
+                    ):
+                        pm.discovery_link = href.strip()
+                    elif typ in ("application/rss+xml", "application/atom+xml"):
+                        pm.feed_links.append(href)  # F-1, doc order
         elif tag == "title" and pm.title_tag is None:
             pm.title_tag = el.text_content()
         elif tag == "h1" and pm.h1 is None:

@@ -18,6 +18,7 @@ from readembedability_spark.extractor.authors import extract_authors
 from readembedability_spark.extractor.cleanup import clean
 from readembedability_spark.extractor.dates import extract_published
 from readembedability_spark.extractor.dom import free_tree, parse_html
+from readembedability_spark.extractor.feeds import extract_feeds
 from readembedability_spark.extractor.images import extract_image
 from readembedability_spark.extractor.jsonld import parse_jsonld_texts
 from readembedability_spark.extractor.keywords import extract_keywords, extract_summary
@@ -56,6 +57,7 @@ def _empty_row(url: str, status: str) -> dict[str, Any]:
         "links": None,
         "anchor_texts": None,
         "link_nofollow": None,
+        "feeds": None,
         "confidences": {},
         "status": status,
     }
@@ -111,6 +113,7 @@ def _extract_from_dom(url: str, root) -> dict[str, Any]:
     embed, _endpoint = detect_embed(pm, root, url)  # A-16/A-17
     canonical = extract_canonical(pm, url)  # A-12
     anchors = extract_anchors(root, url)  # A-23 (raw dom, pre-cleanup)
+    feeds = extract_feeds(pm, url)  # F-1..F-5 (head facts, raw dom)
 
     result = ParseResult()
     for value, conf in extract_title(pm, ld.headline, url):  # A-9/13/14
@@ -154,6 +157,7 @@ def _extract_from_dom(url: str, root) -> dict[str, Any]:
         "links": [a for a, _, _ in anchors] or None,
         "anchor_texts": [t for _, t, _ in anchors] or None,
         "link_nofollow": [nf for _, _, nf in anchors] or None,
+        "feeds": feeds or None,
         "confidences": result.confidences,
         "status": "ok",
     }

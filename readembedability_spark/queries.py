@@ -1642,6 +1642,108 @@ def q_extract_embed(spark, sf_dir):
 
 
 @q(
+    "q_extract_feeds",
+    """
+    SELECT 'https://docs.example.com/f/' || CAST(doc_id AS VARCHAR) AS url,
+           CASE
+             WHEN doc_id % 4 = 0 THEN 'https://docs.example.com/feed.xml'
+             WHEN doc_id % 4 = 1 THEN
+               'https://Feeds.example.com/atom/' || CAST(doc_id AS VARCHAR)
+                 || ',https://docs.example.com/rss/' || CAST(doc_id AS VARCHAR)
+             WHEN doc_id % 4 = 2 THEN
+               'https://docs.example.com/rss2/' || CAST(doc_id AS VARCHAR)
+           END AS feeds,
+           'ok' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_feeds(spark, sf_dir):
+    """Feed-autodiscovery archetype (F-1..F-5) through the REAL
+    extractor: per doc_id rule the head carries a root-relative RSS
+    link (mod 4 = 0 — exercises F-3 resolution against the page url),
+    an UPPERCASE-rel/parameterized-type Atom link followed by an RSS
+    link (mod 4 = 1 — case folding, `; charset` parameter stripping
+    and document-order preservation), an oEmbed DISCOVERY decoy plus
+    the same fragment-carrying RSS link twice (mod 4 = 2 — the
+    json+oembed alternate must NOT leak in, the fragment is stripped
+    and the dup collapses to one entry), or no feed at all
+    (mod 4 = 3 → feeds NULL). The oracle states the resolved feed list
+    per rule, so a regression in type filtering, resolution,
+    normalization or ordered dedup hash-fails the driver gate."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    head_links = (
+        F.when(
+            m == 0,
+            F.lit(
+                '<link rel="alternate" type="application/rss+xml"'
+                ' href="/feed.xml">'
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit(
+                    '<link rel="ALTERNATE"'
+                    ' type="APPLICATION/ATOM+XML; charset=UTF-8"'
+                    ' href="https://Feeds.example.com/atom/'
+                ),
+                did,
+                F.lit(
+                    '"><link rel="alternate" type="application/rss+xml"'
+                    ' href="https://docs.example.com/rss/'
+                ),
+                did,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit(
+                    '<link rel="alternate" type="application/json+oembed"'
+                    ' href="https://docs.example.com/oembed?u='
+                ),
+                did,
+                F.lit(
+                    '"><link rel="alternate" type="application/rss+xml"'
+                    ' href="https://docs.example.com/rss2/'
+                ),
+                did,
+                F.lit(
+                    '#top"><link rel="alternate"'
+                    ' type="application/rss+xml"'
+                    ' href="https://docs.example.com/rss2/'
+                ),
+                did,
+                F.lit('#top">'),
+            ),
+        )
+        .otherwise("")
+    )
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            did,
+            F.lit("</title>"),
+            head_links,
+            F.lit('</head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit("</p></div></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/f/", html)
+    return extract_stage(pages).select(
+        "url", F.array_join("feeds", ",").alias("feeds"), "status"
+    )
+
+
+@q(
     "q_extract_keywords",
     """
     SELECT 'https://docs.example.com/k/' || CAST(doc_id AS VARCHAR) AS url,

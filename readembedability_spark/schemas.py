@@ -59,6 +59,9 @@ EXTRACTED_SCHEMA = StructType(
         # link_nofollow is positionally aligned with links (L-8):
         # rel contains nofollow|sponsored|ugc on the kept occurrence
         StructField("link_nofollow", ArrayType(BooleanType()), True),
+        # discovered rel=alternate RSS/Atom feed urls (F-1..F-5),
+        # ordered/absolutized/deduped — the recrawl-notification surface
+        StructField("feeds", ArrayType(StringType()), True),
         StructField("confidences", MapType(StringType(), DoubleType()), True),
         # ok|empty|non_html|parse_error|pdf|oversize
         StructField("status", StringType(), False),

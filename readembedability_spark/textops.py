@@ -10910,3 +10910,347 @@ def q_video_frame_sample(spark, sf_dir):
         F.expr("frame_idx * 1000000 DIV 24").alias("ts_us"),
         digest.alias("frame_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): redirect-chain resolution, host boilerplate, MIME sniffing
+# ---------------------------------------------------------------------------
+
+
+def _redir_url_expr(idx):
+    """Synthetic capture url for rule index ``idx`` — the ONE shape the
+    redirect gate's Spark synthesis and its closed-form oracle share."""
+    return F.concat(
+        F.lit("https://r"),
+        (idx % 97).cast("string"),
+        F.lit(".example.com/p/"),
+        idx.cast("string"),
+    )
+
+
+@q(
+    "q_redirect_resolve",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://r' || CAST(doc_id % 97 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents)
+    SELECT url,
+           CASE
+             WHEN doc_id % 64 IN (62, 63) THEN url
+             WHEN doc_id % 8 = 0 THEN url
+             ELSE 'https://r' || CAST((doc_id - doc_id % 8) % 97 AS VARCHAR)
+                    || '.example.com/p/'
+                    || CAST(doc_id - doc_id % 8 AS VARCHAR)
+           END AS final_url,
+           CAST(CASE
+             WHEN doc_id % 64 IN (62, 63) THEN 8
+             ELSE doc_id % 8
+           END AS BIGINT) AS hops,
+           doc_id % 64 NOT IN (62, 63) AS resolved
+    FROM urls
+    """,
+)
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling — the crawl-side
+    canonicalization every archive/crawler runs before dedup: each
+    capture's 3xx target chain is collapsed to its final landing url
+    so the capture index, dedup keys and the link graph all speak in
+    final urls. Chains are resolved with the classic parallel
+    pointer-jumping recurrence (Wyllie list ranking): round k joins
+    the current successor table with itself on ``dst = src``, so every
+    page reaches min(2^k, chain length) hops in k rounds — chains up
+    to L hops need only ceil(log2 L) key-partitioned equi-joins, never
+    an L-step sequential walk. Cycles (redirect loops — they exist in
+    every real crawl) never terminate pointer jumping by themselves;
+    the round cap IS the guard: after the final round a page whose
+    current target still has an outgoing redirect is flagged
+    ``resolved = false`` with its (deterministic) hop count at the
+    cap, exactly how a production resolver reports loop pages.
+
+    Synthesis: page i redirects to page i-1 unless i ≡ 0 (mod 8)
+    (terminal), giving chains 0..7 hops long; pages with i ≡ 62
+    (mod 64) instead redirect UP to i+1, planting a real 2-cycle
+    (62↔63) whose members must come out resolved=false with hops
+    pinned at 2^3 = 8. The oracle states the closed form of that rule
+    — final landing page, exact hop count, cycle flag — so a resolver
+    that walks the wrong direction, miscounts hops, or fails to flag
+    loops hash-fails every affected row.
+
+    Plan/scale: 3 doubling rounds = 3 shuffle equi-joins on the url
+    key (each side the successor table, partitioned identically — AQE
+    coalesces the tiny test exchanges), then one left join back to
+    the page set and one left anti-style probe against the out-edge
+    set for the cycle flag. At 10^12 captures with a 32-hop cap this
+    is 5 doubling rounds over the redirect subset (a few percent of
+    captures) — no collect, no iteration proportional to chain
+    length, no skew beyond the url key's own distribution."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    dst_idx = F.when(i % 64 == 62, i + 1).when(i % 8 != 0, i - 1)
+    edges = (
+        docs.select(
+            _redir_url_expr(i).alias("src"),
+            _redir_url_expr(dst_idx).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .withColumn("hops", F.lit(1).cast("long"))
+    )
+    r = edges
+    for _ in range(3):  # covers chains up to 2^3 hops (cap = 8)
+        b = r.select(
+            F.col("src").alias("b_src"),
+            F.col("dst").alias("b_dst"),
+            F.col("hops").alias("b_hops"),
+        )
+        r = r.join(b, F.col("dst") == F.col("b_src"), "left").select(
+            "src",
+            F.coalesce("b_dst", "dst").alias("dst"),
+            (F.col("hops") + F.coalesce(F.col("b_hops"), F.lit(0)))
+            .cast("long")
+            .alias("hops"),
+        )
+    pages = docs.select(_redir_url_expr(i).alias("url"))
+    resolved = pages.join(r, pages.url == r.src, "left").select(
+        "url",
+        F.coalesce("dst", "url").alias("final_url"),
+        F.coalesce("hops", F.lit(0).cast("long")).alias("hops"),
+    )
+    # srcs are unique (≤1 redirect per page), so this probe is an
+    # existence test: a final target that still redirects = loop page
+    out_edges = edges.select(F.col("src").alias("t_src"))
+    return resolved.join(
+        out_edges, resolved.final_url == out_edges.t_src, "left"
+    ).select(
+        "url",
+        "final_url",
+        "hops",
+        F.col("t_src").isNull().alias("resolved"),
+    )
+
+
+@q(
+    "q_host_boilerplate",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
+             ['NAV home about contact ' || CAST(doc_id % 40 AS VARCHAR),
+              CASE WHEN doc_id % 2 = 0
+                   THEN 'PROMO subscribe newsletter '
+                          || CAST(doc_id % 40 AS VARCHAR) END,
+              'BODY ' || CAST(doc_id AS VARCHAR) || ' '
+                || substr(text, 1, 48)] AS lines
+      FROM documents),
+    lx AS (
+      SELECT host, doc_id, unnest(lines) AS line FROM pages),
+    lines AS (
+      SELECT host, line,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(MIN(len(string_split(line, ' '))) AS BIGINT) AS tok
+      FROM lx WHERE line IS NOT NULL GROUP BY host, line),
+    hp AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages
+      FROM pages GROUP BY host),
+    flagged AS (
+      SELECT l.host, l.df, l.tok, h.n_pages,
+             (l.df * 10 >= 3 * h.n_pages AND h.n_pages >= 10) AS boiler
+      FROM lines l JOIN hp h ON l.host = h.host)
+    SELECT host,
+           CAST(MIN(n_pages) AS BIGINT) AS n_pages,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_distinct,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler_lines,
+           CAST(SUM(CASE WHEN boiler THEN df * tok ELSE 0 END) AS BIGINT)
+             AS boiler_tokens,
+           CAST(SUM(df * tok) AS BIGINT) AS total_tokens,
+           SUM(CASE WHEN boiler THEN df * tok ELSE 0 END) * 1000000
+             // SUM(df * tok) AS boiler_token_ppm
+    FROM flagged GROUP BY host
+    """,
+)
+def q_host_boilerplate(spark, sf_dir):
+    """Host-template (boilerplate) detection — the corpus-level
+    sibling of the extractor's per-page cleanup (A-4): a line that
+    repeats across a large share of a HOST's pages is navigation /
+    footer / promo chrome, not content, and a curation pipeline wants
+    to know how much of each host's token mass that chrome is before
+    spending training budget on it (CCNet and trafilatura both apply
+    exactly this host-conditional document-frequency rule). A line is
+    boilerplate when it appears on ≥30% of the host's pages AND the
+    host has ≥10 pages (integer cross-multiplied threshold — no
+    double compare); per host the audit reports page count, distinct
+    lines, boilerplate lines and the boilerplate token share in ppm
+    (exact integer DIV — engine-stable, no float division).
+
+    Synthesis: every page carries its host's NAV line (df = 100%),
+    even pages add a PROMO line (df = 50% — above threshold), and each
+    page has a unique BODY line (df = 1/n — below). The oracle
+    replays the rule over the same exploded lines, so a wrong
+    document-frequency grain (corpus-global instead of per-host), a
+    broken threshold, or token miscounts hash-fail the gate.
+
+    Plan/scale: one projection builds the line array row-locally,
+    explode + ONE (host, line)-keyed hash aggregate with map-side
+    partials carries the heavy lifting; page counts are a host-keyed
+    rollup joined back on the same key (no broadcast — the host dim
+    is 10^7+ at corpus scale), then a final host-keyed rollup. No
+    windows, no collect, no per-host single tasks: every exchange is
+    keyed by host (+line) and AQE handles residual host skew."""
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 40).cast("string")
+    host = F.concat(F.lit("h"), h, F.lit(".example.com"))
+    nav = F.concat(F.lit("NAV home about contact "), h)
+    promo = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("PROMO subscribe newsletter "), h),
+    )
+    body = F.concat(
+        F.lit("BODY "),
+        F.col("doc_id").cast("string"),
+        F.lit(" "),
+        F.substring("text", 1, 48),
+    )
+    pages = docs.select(
+        "doc_id", host.alias("host"), F.array(nav, promo, body).alias("lines")
+    )
+    lx = pages.select(
+        "host", F.explode("lines").alias("line")
+    ).filter(F.col("line").isNotNull())
+    lines = lx.groupBy("host", "line").agg(
+        F.count("*").alias("df"),
+        F.min(F.size(F.split(F.col("line"), " "))).cast("long").alias("tok"),
+    )
+    hp = pages.groupBy("host").agg(F.count("*").alias("n_pages"))
+    boiler = (F.col("df") * 10 >= 3 * F.col("n_pages")) & (
+        F.col("n_pages") >= 10
+    )
+    flagged = lines.join(hp, "host").withColumn("boiler", boiler)
+    btok = F.when(F.col("boiler"), F.col("df") * F.col("tok")).otherwise(
+        F.lit(0)
+    )
+    return flagged.groupBy("host").agg(
+        F.min("n_pages").cast("long").alias("n_pages"),
+        F.count("*").alias("n_lines_distinct"),
+        F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boiler_lines"),
+        F.sum(btok).cast("long").alias("boiler_tokens"),
+        F.sum(F.col("df") * F.col("tok")).cast("long").alias("total_tokens"),
+        F.expr(
+            "SUM(CASE WHEN boiler THEN df * tok ELSE 0 END) * 1000000"
+            " DIV SUM(df * tok)"
+        ).alias("boiler_token_ppm"),
+    )
+
+
+#: claimed Content-Type per synthetic kind index (doc_id % 6) — the
+#: mapping both the Spark synthesis and the closed-form oracle share
+_MIME_BY_KIND = [
+    "application/pdf",
+    "application/gzip",
+    "image/gif",
+    "application/zip",
+    "text/html",
+    "text/plain",
+]
+
+#: magic-byte hex prefix per kind index (pdf, gzip, gif89a, zip, html;
+#: kind 5 = no magic, raw text)
+_MAGIC_HEX = [
+    "255044462D312E34",          # %PDF-1.4
+    "1F8B08",                    # gzip member header
+    "474946383961",              # GIF89a
+    "504B0304",                  # PK\x03\x04 (zip local file header)
+    "3C68746D6C3E3C626F64793E",  # <html><body>
+    "",
+]
+
+
+@q(
+    "q_mime_sniff",
+    """
+    WITH k AS (
+      SELECT doc_id % 6 AS kind,
+             CASE WHEN doc_id % 7 = 0 THEN 'text/html'
+                  WHEN doc_id % 6 = 0 THEN 'application/pdf'
+                  WHEN doc_id % 6 = 1 THEN 'application/gzip'
+                  WHEN doc_id % 6 = 2 THEN 'image/gif'
+                  WHEN doc_id % 6 = 3 THEN 'application/zip'
+                  WHEN doc_id % 6 = 4 THEN 'text/html'
+                  ELSE 'text/plain' END AS claimed_type,
+             CASE WHEN doc_id % 6 = 0 THEN 'application/pdf'
+                  WHEN doc_id % 6 = 1 THEN 'application/gzip'
+                  WHEN doc_id % 6 = 2 THEN 'image/gif'
+                  WHEN doc_id % 6 = 3 THEN 'application/zip'
+                  WHEN doc_id % 6 = 4 THEN 'text/html'
+                  ELSE 'text/plain' END AS sniffed_type
+      FROM documents)
+    SELECT claimed_type, sniffed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           claimed_type <> sniffed_type AS is_mismatch
+    FROM k GROUP BY claimed_type, sniffed_type
+    """,
+)
+def q_mime_sniff(spark, sf_dir):
+    """Content-type sniffing audit — the corpus-wide version of the
+    extractor's A-1 kind dispatch: servers lie about Content-Type
+    (the classic failure is everything claimed as text/html), so a
+    WARC-scale pipeline sniffs magic bytes and routes on the SNIFFED
+    kind, and this audit reports the claimed x sniffed confusion
+    matrix that tells it how much the headers can be trusted. The
+    sniffer inspects the payload's leading bytes JVM-side (hex-prefix
+    compare — %PDF-, gzip 1F 8B, GIF8, PK 03 04) and falls back to a
+    byte-preserving ISO-8859-1 decode of the head for the <html> /
+    <!doctype marker, else text/plain; no Python touches the bytes.
+
+    Synthesis: doc_id % 6 picks the real payload kind (magic prefix +
+    the document's own text via unhex, so payloads are true BINARY
+    with non-UTF-8 magics); the claimed header is correct except every
+    7th doc claims text/html (the misconfigured-server rule). The
+    oracle states the confusion matrix in closed form, so a sniffer
+    that misreads any magic, case-folds wrong, or mis-groups the
+    matrix hash-fails.
+
+    Plan/scale: payload synthesis and sniffing are row-local
+    whole-stage-codegen expressions (unhex/hex/substring/startswith
+    on binary + one bounded charset decode); ONE hash aggregate on
+    the (claimed, sniffed) pair — at most |types|^2 groups — with
+    map-side partials. At 10^12 captures this is a scan plus a
+    trivially small shuffle; no UDF, no join, no window."""
+    docs = _t(spark, sf_dir, "documents")
+    kind = F.col("doc_id") % 6
+    magic = F.when(kind == 0, F.lit(_MAGIC_HEX[0]))
+    for j in range(1, 6):
+        magic = magic.when(kind == j, F.lit(_MAGIC_HEX[j]))
+    payload = F.unhex(
+        F.concat(magic, F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")))
+    )
+    correct = F.when(kind == 0, F.lit(_MIME_BY_KIND[0]))
+    for j in range(1, 6):
+        correct = correct.when(kind == j, F.lit(_MIME_BY_KIND[j]))
+    claimed = F.when(F.col("doc_id") % 7 == 0, F.lit("text/html")).otherwise(
+        correct
+    )
+    hexp = F.hex(F.substring(payload, 1, 12))
+    head = F.lower(F.decode(F.substring(payload, 1, 16), "ISO-8859-1"))
+    sniffed = (
+        F.when(hexp.startswith("255044462D"), F.lit("application/pdf"))
+        .when(hexp.startswith("1F8B"), F.lit("application/gzip"))
+        .when(hexp.startswith("47494638"), F.lit("image/gif"))
+        .when(hexp.startswith("504B0304"), F.lit("application/zip"))
+        .when(
+            head.startswith("<html") | head.startswith("<!doctype"),
+            F.lit("text/html"),
+        )
+        .otherwise(F.lit("text/plain"))
+    )
+    return (
+        docs.select(claimed.alias("claimed_type"), sniffed.alias("sniffed_type"))
+        .groupBy("claimed_type", "sniffed_type")
+        .agg(F.count("*").alias("n_pages"))
+        .withColumn(
+            "is_mismatch", F.col("claimed_type") != F.col("sniffed_type")
+        )
+    )
