@@ -10999,6 +10999,11 @@ def q_redirect_resolve(spark, sf_dir):
     )
     r = edges
     for _ in range(3):  # covers chains up to 2^3 hops (cap = 8)
+        # checkpoint each round: the self-join references r TWICE, so
+        # without lineage truncation the join tree doubles per round
+        # (2^rounds joins at execution — the classic pointer-jumping
+        # blowup); with it every round is exactly ONE keyed equi-join
+        r = _local_checkpoint(r)
         b = r.select(
             F.col("src").alias("b_src"),
             F.col("dst").alias("b_dst"),

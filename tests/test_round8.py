@@ -667,3 +667,101 @@ def test_archive_index_job_composes(spark, tmp_path, monkeypatch, capsys):
     assert all(r["n_captures"] >= 2 for r in stale)
     assert all(0 < r["recrawl_hours"] <= 168.0 for r in stale)
     assert all(r["age_hours"] >= 0.0 for r in stale)
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): redirect resolution, host boilerplate, MIME sniffing
+# ---------------------------------------------------------------------------
+
+
+def _fmt_plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_redirect_resolve_closed_form_and_bounded_plan(spark, tmp_path):
+    """Pointer jumping reaches every chain end in exactly 3 doubling
+    rounds (chains ≤ 7 hops), planted 2-cycles come out resolved=false
+    with hops pinned at the 2^3 cap, and the physical plan carries a
+    CONSTANT number of joins with no cartesian product, regardless of
+    corpus size: per-round localCheckpoint truncates lineage, so the
+    final plan shows the LAST doubling join + landing + out-edge probe
+    (without it the self-join tree doubles per round — 2^rounds
+    joins)."""
+    import re as _re
+
+    rows = [(i, "text " + str(i), "en", "s0", 20) for i in range(128)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_redirect_resolve")
+    assert s == _oracle_rows(tmp_path, "q_redirect_resolve")
+
+    def u(i):
+        return f"https://r{i % 97}.example.com/p/{i}"
+
+    by_url = {r[0]: r for r in s}
+    assert len(by_url) == 128
+    for i in range(128):
+        url, final, hops, resolved = by_url[u(i)]
+        if i % 64 in (62, 63):  # cycle members: 62, 63, 126, 127
+            assert not resolved and hops == 8 and final == u(i)
+        else:
+            assert resolved and hops == i % 8 and final == u(i - i % 8)
+
+    plan = _fmt_plan(REGISTRY["q_redirect_resolve"].spark(spark, str(tmp_path)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = _re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan
+    )
+    assert len(joins) == 3, plan
+
+
+def test_host_boilerplate_page_floor_boundary(spark, tmp_path):
+    """A host at exactly the 10-page floor flags its repeated lines;
+    a 9-page host flags NOTHING even at 100% line frequency — the
+    floor is a strict ≥, checked per host, not corpus-global."""
+    # host 0: ids 0,40,...,360 (10 pages, all even → NAV + PROMO on all)
+    # host 1: ids 1,41,...,321 (9 pages, all odd → NAV only)
+    ids = [40 * k for k in range(10)] + [40 * k + 1 for k in range(9)]
+    rows = [(i, f"unique body text {i}", "en", "s0", 20) for i in ids]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_host_boilerplate")
+    assert s == _oracle_rows(tmp_path, "q_host_boilerplate")
+    by_host = {r[0]: r for r in s}
+    h0 = by_host["h0.example.com"]
+    h1 = by_host["h1.example.com"]
+    # host 0: NAV (df 10/10) + PROMO (df 10/10) both boilerplate;
+    # 12 distinct lines = 2 shared + 10 unique bodies
+    assert h0[1] == 10 and h0[2] == 12 and h0[3] == 2
+    assert h0[4] > 0 and h0[6] == h0[4] * 1000000 // h0[5]
+    # host 1: 9 pages < floor → zero boilerplate despite NAV at 100%
+    assert h1[1] == 9 and h1[3] == 0 and h1[4] == 0 and h1[6] == 0
+    # exactly one explode feeds the (host, line) aggregate
+    plan = _fmt_plan(REGISTRY["q_host_boilerplate"].spark(spark, str(tmp_path)))
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+
+
+def test_mime_sniff_matrix_and_joinless_plan(spark, tmp_path):
+    """Every magic byte class sniffs to its true type (the only
+    mismatches are the planted every-7th text/html claims), the matrix
+    masses add up to the corpus, and the plan is a scan + one pair-
+    keyed aggregate — no join of any kind."""
+    rows = [(i, "plain body " + str(i), "en", "s0", 20) for i in range(84)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_mime_sniff")
+    assert s == _oracle_rows(tmp_path, "q_mime_sniff")
+    assert sum(r[2] for r in s) == 84
+    for claimed, sniffed, n, mismatch in s:
+        assert mismatch == (claimed != sniffed)
+        if mismatch:  # only the planted lie direction exists
+            assert claimed == "text/html" and sniffed != "text/html"
+    # kinds 0..5 all present on the sniffed axis
+    assert {r[1] for r in s} == {
+        "application/pdf", "application/gzip", "image/gif",
+        "application/zip", "text/html", "text/plain",
+    }
+    plan = _fmt_plan(REGISTRY["q_mime_sniff"].spark(spark, str(tmp_path)))
+    assert "Join" not in plan, plan
