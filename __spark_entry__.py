@@ -179,7 +179,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the graph power loops via q_pagerank / q_trustrank /
 #: q_pagerank_incremental / q_label_prop, the mixture math via
 #: q_token_budget_mixture, and the BPE vocab loop via
-#: q_pack_sequences_bpe).
+#: q_pack_sequences_bpe). q_extract_charset (the A-2 driver gate:
+#: latin-1/meta, BOM-beats-lying-meta precedence, UTF-16 BOM sniff +
+#: strip — true binary payloads through the real extractor; the
+#: decode path CHANGED this round, so it must gate) takes the slot of
+#: q_length_drift (untouched, driver-green r07; a pure audit rollup
+#: with no other consumer, the q_context_truncation precedent).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",
@@ -211,7 +216,7 @@ _GATE_PRIORITY = [
     "q_extract_keywords",
     "q_extract_keywords_text",
     "q_label_prop",
-    "q_length_drift",
+    "q_extract_charset",
     "q_extract_feeds",
     "q_minhash_calibration",
     "q_ann_recall",

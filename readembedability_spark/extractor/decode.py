@@ -38,8 +38,10 @@ _META_CHARSET_RE = re.compile(
 )
 _BOMS = (
     (codecs.BOM_UTF8, "utf-8-sig"),
-    (codecs.BOM_UTF16_LE, "utf-16-le"),
-    (codecs.BOM_UTF16_BE, "utf-16-be"),
+    # the 'utf-16' codec reads the BOM for endianness AND strips it —
+    # the -le/-be codecs would leak U+FEFF as document text
+    (codecs.BOM_UTF16_LE, "utf-16"),
+    (codecs.BOM_UTF16_BE, "utf-16"),
 )
 
 
@@ -68,6 +70,16 @@ def sniff_kind(blob: bytes | None) -> str:
     for magic in _IMAGE_MAGIC:
         if blob.startswith(magic):
             return KIND_IMAGE
+    if blob[:2] in (codecs.BOM_UTF16_LE, codecs.BOM_UTF16_BE):
+        # UTF-16 HTML exists on the web; the raw marker scan would see
+        # NUL-interleaved bytes and misroute it to non_html. Re-sniff
+        # the decoded head (the 'utf-16' codec strips the BOM).
+        try:
+            blob = blob[:4096].decode("utf-16", errors="replace").encode(
+                "utf-8", errors="replace"
+            )
+        except Exception:
+            return KIND_OTHER
     head = blob[:2048].lstrip()[:512].lower()
     for marker in _HTML_MARKERS:
         if head.startswith(marker):

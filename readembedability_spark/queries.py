@@ -1744,6 +1744,69 @@ def q_extract_feeds(spark, sf_dir):
 
 
 @q(
+    "q_extract_charset",
+    """
+    SELECT 'https://docs.example.com/c/' || CAST(doc_id AS VARCHAR) AS url,
+           'Dôc ' || CAST(doc_id AS VARCHAR) AS title,
+           'Café naïve nº ' || CAST(doc_id AS VARCHAR) || '. ' || text
+             AS content_text,
+           'ok' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_charset(spark, sf_dir):
+    """Charset-decode archetype — A-2 through the REAL extractor with
+    TRUE non-UTF-8 binary payloads: per doc_id rule the page arrives
+    as ISO-8859-1 bytes with a declaring <meta charset> (mod 4 = 0 —
+    the meta-scan branch), as UTF-8 with a BOM AND a LYING
+    iso-8859-1 meta declaration (mod 4 = 1 — BOM precedence must beat
+    the meta scan or every accent double-decodes), as UTF-16LE with
+    its BOM (mod 4 = 2 — the NUL-interleaved payload the raw marker
+    sniff would misroute to non_html; the BOM must also be STRIPPED,
+    not leaked as U+FEFF text), or as bare UTF-8 (mod 4 = 3 — the
+    fallback). Title and body carry latin-1 accents (é ï ô º), so the
+    oracle's plain-text expectation hash-fails any wrong codec,
+    precedence order, or BOM leak on every affected row."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    meta = (
+        F.when(m == 0, F.lit('<meta charset="iso-8859-1">'))
+        .when(m == 1, F.lit('<meta charset="iso-8859-1">'))  # the lie
+        .otherwise("")
+    )
+    page = F.concat(
+        F.lit("<html><head><title>Dôc "),
+        did,
+        F.lit("</title>"),
+        meta,
+        F.lit('</head><body><div class="content"><p>'
+              "Café naïve nº "),
+        did,
+        F.lit(". "),
+        F.col("text"),
+        F.lit("</p></div></body></html>"),
+    )
+    html = (
+        F.when(m == 0, F.encode(page, "ISO-8859-1"))
+        .when(
+            m == 1,
+            F.concat(F.unhex(F.lit("EFBBBF")), F.encode(page, "UTF-8")),
+        )
+        .when(
+            m == 2,
+            F.concat(F.unhex(F.lit("FFFE")), F.encode(page, "UTF-16LE")),
+        )
+        .otherwise(F.encode(page, "UTF-8"))
+    )
+    pages = _archetype_pages(spark, docs, "https://docs.example.com/c/", html)
+    return extract_stage(pages).select("url", "title", "content_text", "status")
+
+
+@q(
     "q_extract_keywords",
     """
     SELECT 'https://docs.example.com/k/' || CAST(doc_id AS VARCHAR) AS url,

@@ -135,3 +135,29 @@ def test_gunzip_corrupt_member_partial_fragment_dropped():
     # falls back to the raw blob, unchanged behavior
     only_bad = bytes(full_bad)
     assert gunzip_if_needed(only_bad) == only_bad
+
+
+def test_bom_utf16_both_endians_sniff_and_strip():
+    """UTF-16 HTML must sniff as HTML (the raw marker scan sees
+    NUL-interleaved bytes) and decode with the BOM STRIPPED — the
+    -le/-be codecs would leak U+FEFF as leading document text."""
+    html = "<html><body>café</body></html>"
+    for bom, enc in ((b"\xff\xfe", "utf-16-le"), (b"\xfe\xff", "utf-16-be")):
+        blob = bom + html.encode(enc)
+        assert sniff_kind(blob) == "html"
+        assert detect_charset(blob) == "utf-16"
+        out = decode_html(blob)
+        assert "café" in out and "﻿" not in out
+
+
+def test_bom_beats_lying_meta_declaration():
+    """Precedence: a UTF-8 BOM wins over a lying iso-8859-1 meta
+    declaration — decoding the meta way would double-decode accents."""
+    blob = (
+        b"\xef\xbb\xbf<html><head>"
+        b'<meta charset="iso-8859-1"></head>'
+        b"<body>na\xc3\xafve</body></html>"
+    )
+    assert detect_charset(blob) == "utf-8-sig"
+    assert "naïve" in decode_html(blob)
+    assert "naÃ¯ve" not in decode_html(blob)
