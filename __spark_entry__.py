@@ -185,6 +185,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: decode path CHANGED this round, so it must gate) takes the slot of
 #: q_length_drift (untouched, driver-green r07; a pure audit rollup
 #: with no other consumer, the q_context_truncation precedent).
+#: q_graph_triangles (degree-oriented triangle counting + exact-ppm
+#: clustering coefficient — the static-graph join path none of the
+#: power loops exercise) takes the slot of q_label_prop (untouched,
+#: driver-green r07; the iterative-graph machinery stays gated via
+#: q_pagerank / q_trustrank / q_pagerank_incremental, which share its
+#: per-round checkpoint discipline).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",
@@ -215,7 +221,7 @@ _GATE_PRIORITY = [
     "q_extract_embed",
     "q_extract_keywords",
     "q_extract_keywords_text",
-    "q_label_prop",
+    "q_graph_triangles",
     "q_extract_charset",
     "q_extract_feeds",
     "q_minhash_calibration",

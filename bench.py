@@ -170,6 +170,7 @@ HEADLINE = [
     "q_host_boilerplate",
     "q_mime_sniff",
     "q_extract_charset",
+    "q_graph_triangles",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -11259,3 +11259,113 @@ def q_mime_sniff(spark, sf_dir):
             "is_mismatch", F.col("claimed_type") != F.col("sniffed_type")
         )
     )
+
+
+@q(
+    "q_graph_triangles",
+    f"""
+    WITH {_PR_GRAPH_SQL},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM edges),
+    nd AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+      GROUP BY x),
+    ori AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN u ELSE v END AS a,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN v ELSE u END AS b
+      FROM und
+      JOIN nd du ON du.x = u
+      JOIN nd dv ON dv.x = v),
+    tri AS (
+      SELECT o1.a AS a, o1.b AS b1, o2.b AS b2
+      FROM ori o1
+      JOIN ori o2 ON o1.a = o2.a AND o1.b < o2.b
+      JOIN und e ON e.u = least(o1.b, o2.b)
+               AND e.v = greatest(o1.b, o2.b)),
+    tx AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b1 FROM tri
+      UNION ALL SELECT b2 FROM tri),
+    tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM tx GROUP BY node)
+    SELECT nd.x AS node,
+           nd.d AS degree,
+           CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN nd.d >= 2
+                THEN COALESCE(tc.t, 0) * 2000000 // (nd.d * (nd.d - 1))
+                ELSE 0 END AS BIGINT) AS clustering_ppm
+    FROM nd LEFT JOIN tc ON tc.node = nd.x
+    """,
+)
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counting + local clustering coefficient over the host
+    link graph — the cohesion audit link-spam hunters read next to
+    reciprocity (q_graph_reciprocity): organic topical neighborhoods
+    close triangles (high clustering), cross-linking farms built from
+    star templates mostly don't, and a node with huge degree but
+    near-zero clustering is the classic splog hub. Counted once per
+    triangle via DEGREE ORIENTATION (the node-iterator bound): every
+    undirected edge is oriented from its lower-(degree, id) endpoint,
+    so each triangle has exactly ONE pivot with two outgoing edges;
+    wedges are pivot-keyed out-neighbor pairs and a triangle is a
+    wedge whose closing edge exists. Clustering coefficient is exact
+    integer ppm (2T·10^6 DIV d(d−1), zero for degree < 2).
+
+    Plan/scale: undirected dedup + degree rollup, one self-join of the
+    oriented edge list on the pivot key, one closing-edge equi-join on
+    the (b1, b2) pair key, then a node rollup — every exchange is
+    keyed, nothing is broadcast-sized by assumption. Degree
+    orientation is WHY this survives a web graph: out-degree under the
+    (d, id) order is O(sqrt(m)) even at celebrity-host skew, so the
+    wedge fan-out per pivot is bounded and the hub that would explode
+    a naive neighbor-join receives its edges instead of emitting
+    them."""
+    e = _rule_edges(spark, sf_dir)
+    und = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    und = _local_checkpoint(und)  # consumed three times below
+    nd = (
+        und.select(F.col("u").alias("x"))
+        .unionByName(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    du = nd.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = nd.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    j = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = j.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    o1 = ori.select("a", F.col("b").alias("b1"))
+    o2 = ori.select("a", F.col("b").alias("b2"))
+    wedges = o1.join(o2, "a").filter(F.col("b1") < F.col("b2"))
+    closing = und.select(F.col("u").alias("b1"), F.col("v").alias("b2"))
+    tri = wedges.join(closing, ["b1", "b2"])
+    tx = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b1").alias("node")))
+        .unionByName(tri.select(F.col("b2").alias("node")))
+    )
+    tc = tx.groupBy("node").agg(F.count("*").cast("long").alias("t"))
+    out = nd.join(tc, nd.x == tc.node, "left").select(
+        F.col("x").alias("node"),
+        F.col("d").alias("degree"),
+        F.coalesce("t", F.lit(0).cast("long")).alias("n_triangles"),
+    )
+    return out.withColumn(
+        "clustering_ppm",
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("n_triangles * 2000000 DIV (degree * (degree - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )

@@ -765,3 +765,27 @@ def test_mime_sniff_matrix_and_joinless_plan(spark, tmp_path):
     }
     plan = _fmt_plan(REGISTRY["q_mime_sniff"].spark(spark, str(tmp_path)))
     assert "Join" not in plan, plan
+
+
+def test_graph_triangles_identities(spark, tmp_path):
+    """Participation counts sum to 3x the number of distinct
+    triangles (each triangle touches exactly 3 nodes), clustering is
+    bounded by the closed-wedge maximum, and degree-1 nodes carry a
+    zero coefficient by the d >= 2 guard."""
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, 1, "view", 1.0, "{}") for i in range(200)
+    ]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_graph_triangles")
+    assert s == _oracle_rows(tmp_path, "q_graph_triangles")
+    part_sum = sum(r[2] for r in s)
+    assert part_sum > 0 and part_sum % 3 == 0
+    for node, degree, t, ppm in s:
+        assert degree >= 1
+        # at most every wedge closes: T <= d(d-1)/2 -> ppm <= 1e6
+        assert 0 <= ppm <= 1_000_000
+        if degree < 2:
+            assert t == 0 and ppm == 0
+        else:
+            assert ppm == t * 2_000_000 // (degree * (degree - 1))
