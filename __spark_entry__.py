@@ -190,7 +190,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: power loops exercise) takes the slot of q_label_prop (untouched,
 #: driver-green r07; the iterative-graph machinery stays gated via
 #: q_pagerank / q_trustrank / q_pagerank_incremental, which share its
-#: per-round checkpoint discipline).
+#: per-round checkpoint discipline). q_canonical_clusters (A-12's
+#: table-side consumer: rel=canonical alias families collapsed in one
+#: keyed aggregate with a conditional-MIN keeper election and planted
+#: missing-canonical fallbacks) takes the slot of q_dedup_containment
+#: (untouched, driver-green r07; its shared `_pair_intersections_from`
+#: candidate core stays double-gated via q_minhash_calibration and
+#: q_minhash_band_tuning).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",
@@ -238,7 +244,7 @@ _GATE_PRIORITY = [
     "q_stale_captures",
     "q_mime_sniff",
     "q_image_resize",
-    "q_dedup_containment",
+    "q_canonical_clusters",
     "q_source_novelty",
     "q_admission_marginal",
     "q_surt_index",

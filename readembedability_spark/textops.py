@@ -11369,3 +11369,97 @@ def q_graph_triangles(spark, sf_dir):
         .otherwise(F.lit(0))
         .cast("long"),
     )
+
+
+@q(
+    "q_canonical_clusters",
+    """
+    WITH cap AS (
+      SELECT doc_id,
+             'https://site' || CAST((doc_id // 4) % 25 AS VARCHAR)
+               || '.example.com/art/' || CAST(doc_id // 4 AS VARCHAR)
+               AS canonical_url,
+             CASE doc_id % 4
+               WHEN 0 THEN ''
+               WHEN 1 THEN '?utm_source=feed'
+               WHEN 2 THEN '/amp'
+               ELSE '?m=1'
+             END AS suffix,
+             n_chars
+      FROM documents),
+    cap2 AS (
+      SELECT canonical_url,
+             canonical_url || suffix AS url,
+             n_chars
+      FROM cap
+      -- every 5th family never captured its canonical (keeper falls
+      -- back to the lexicographic minimum alias)
+      WHERE NOT (doc_id % 4 = 0 AND (doc_id // 4) % 5 = 0))
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_captures,
+           MAX(url = canonical_url) AS canonical_captured,
+           COALESCE(MIN(CASE WHEN url = canonical_url THEN url END),
+                    MIN(url)) AS keeper_url,
+           CAST(SUM(n_chars)
+                - COALESCE(MIN(CASE WHEN url = canonical_url
+                                    THEN n_chars END),
+                           MIN(n_chars)) AS BIGINT) AS dup_chars
+    FROM cap2 GROUP BY canonical_url
+    """,
+)
+def q_canonical_clusters(spark, sf_dir):
+    """Canonical-URL alias consolidation — the table-side consumer of
+    the extractor's A-12 rel=canonical field (q_url_normalize is its
+    SYNTACTIC sibling; this is the semantic one): AMP pages, mobile
+    mirrors and tracking-param variants all DECLARE the same
+    canonical, so grouping captures by the extracted canonical
+    collapses each alias family into one cluster, elects a keeper (the
+    canonical itself when captured, else the lexicographic minimum —
+    deterministic, no window needed), and prices the duplicate
+    character mass a crawler re-fetched. Synthesis plants 4-variant
+    families (clean / utm / /amp / ?m=1) per article, with partial
+    families at the corpus edge, so a wrong keeper rule or alias
+    grouping hash-fails.
+
+    Plan/scale: row-local url construction + ONE hash aggregate keyed
+    by the canonical url with map-side partials; the keeper election
+    is conditional MIN aggregates inside the same pass (no window, no
+    self-join, no collect). At 10^12 captures this is a scan plus one
+    keyed exchange; AQE absorbs canonical-key skew (viral articles)
+    the same way every hash-agg in the repo does."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = F.concat(
+        F.lit("https://site"),
+        F.expr("(doc_id DIV 4) % 25").cast("string"),
+        F.lit(".example.com/art/"),
+        F.expr("doc_id DIV 4").cast("string"),
+    )
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+        .when(F.col("doc_id") % 4 == 1, F.lit("?utm_source=feed"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/amp"))
+        .otherwise(F.lit("?m=1"))
+    )
+    cap = docs.filter(
+        ~((F.col("doc_id") % 4 == 0) & (F.expr("(doc_id DIV 4) % 5") == 0))
+    ).select(
+        canon.alias("canonical_url"),
+        F.concat(canon, suffix).alias("url"),
+        "n_chars",
+    )
+    is_canon = F.col("url") == F.col("canonical_url")
+    return cap.groupBy("canonical_url").agg(
+        F.count("*").alias("n_captures"),
+        F.max(is_canon).alias("canonical_captured"),
+        F.coalesce(
+            F.min(F.when(is_canon, F.col("url"))), F.min("url")
+        ).alias("keeper_url"),
+        (
+            F.sum("n_chars")
+            - F.coalesce(
+                F.min(F.when(is_canon, F.col("n_chars"))), F.min("n_chars")
+            )
+        )
+        .cast("long")
+        .alias("dup_chars"),
+    )
