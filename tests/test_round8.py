@@ -789,3 +789,34 @@ def test_graph_triangles_identities(spark, tmp_path):
             assert t == 0 and ppm == 0
         else:
             assert ppm == t * 2_000_000 // (degree * (degree - 1))
+
+
+def test_canonical_clusters_single_aggregate_no_window(spark, tmp_path):
+    """Keeper election rides the ONE keyed hash aggregate — no window,
+    no join, no second exchange; both keeper branches verified against
+    the oracle (canonical captured vs every-5th-family fallback)."""
+    import re as _re
+
+    rows = [(i, "body " + str(i), "en", "s0", 100 + i) for i in range(40)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_canonical_clusters")
+    assert s == _oracle_rows(tmp_path, "q_canonical_clusters")
+    by_canon = {r[0]: r for r in s}
+    assert len(by_canon) == 10  # 40 docs / 4 variants
+    for canon, (_, n, captured, keeper, dup) in by_canon.items():
+        art = int(canon.rsplit("/", 1)[1])
+        if art % 5 == 0:  # planted missing-canonical families
+            assert not captured and n == 3 and keeper == canon + "/amp"
+        else:
+            assert captured and n == 4 and keeper == canon
+        assert dup > 0
+    plan = _fmt_plan(
+        REGISTRY["q_canonical_clusters"].spark(spark, str(tmp_path))
+    )
+    assert "Join" not in plan and "Window" not in plan, plan
+    # one logical aggregate = partial+final pair (string MIN/MAX may
+    # compile to Sort/ObjectHashAggregate instead of HashAggregate)
+    aggs = _re.findall(
+        r"\(\d+\) (?:HashAggregate|ObjectHashAggregate|SortAggregate)", plan
+    )
+    assert len(aggs) == 2, plan
