@@ -196,7 +196,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: missing-canonical fallbacks) takes the slot of q_dedup_containment
 #: (untouched, driver-green r07; its shared `_pair_intersections_from`
 #: candidate core stays double-gated via q_minhash_calibration and
-#: q_minhash_band_tuning).
+#: q_minhash_band_tuning). q_postings_compression (LEB128 delta-gap
+#: index-size audit per df power-of-two class — the shared
+#: `_varint_bytes_sql` ladder is new surface) takes the slot of
+#: q_frontier_robots (untouched, driver-green r07; its robots parser
+#: and host-keyed prefix match run in-gate verbatim inside
+#: q_crawl_plan, whose oracle nests the robots oracle).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",
@@ -212,7 +217,7 @@ _GATE_PRIORITY = [
     "q_minhash_band_tuning",
     "q_crawl_plan",
     "q_host_token_budget",
-    "q_frontier_robots",
+    "q_postings_compression",
     "q_pagerank",
     "q_trustrank",
     "q_pack_sequences",

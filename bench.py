@@ -172,6 +172,7 @@ HEADLINE = [
     "q_extract_charset",
     "q_graph_triangles",
     "q_canonical_clusters",
+    "q_postings_compression",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -11463,3 +11463,102 @@ def q_canonical_clusters(spark, sf_dir):
         .cast("long")
         .alias("dup_chars"),
     )
+
+
+def _varint_bytes_sql(v: str) -> str:
+    """LEB128 byte count of a non-negative BIGINT expression — ONE
+    CASE ladder (7-bit groups, thresholds 128^k) shared verbatim by
+    the Spark plan and the DuckDB oracle so the two engines can never
+    disagree on a boundary gap."""
+    return (
+        f"CASE WHEN {v} < 128 THEN 1"
+        f" WHEN {v} < 16384 THEN 2"
+        f" WHEN {v} < 2097152 THEN 3"
+        f" WHEN {v} < 268435456 THEN 4"
+        f" WHEN {v} < 34359738368 THEN 5"
+        f" WHEN {v} < 4398046511104 THEN 6"
+        f" WHEN {v} < 562949953421312 THEN 7"
+        f" WHEN {v} < 72057594037927936 THEN 8"
+        f" ELSE 9 END"
+    )
+
+
+@q(
+    "q_postings_compression",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+    post AS (SELECT w, doc_id FROM toks GROUP BY w, doc_id),
+    g AS (
+      SELECT w,
+             COALESCE(doc_id - lag(doc_id) OVER
+                        (PARTITION BY w ORDER BY doc_id),
+                      doc_id + 1) AS gap
+      FROM post),
+    term AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM({_varint_bytes_sql('gap')}) AS BIGINT) AS vbytes
+      FROM g GROUP BY w)
+    SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_class,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(df) AS BIGINT) AS n_postings,
+           CAST(SUM(vbytes) AS BIGINT) AS varint_bytes,
+           CAST(SUM(df) * 8 AS BIGINT) AS fixed_bytes,
+           SUM(vbytes) * 1000000 // (SUM(df) * 8) AS compression_ppm
+    FROM term GROUP BY df_class
+    """,
+)
+def q_postings_compression(spark, sf_dir):
+    """Postings delta-gap compression audit — the index-size planner
+    for the q_inverted_index family: postings stored doc-id-sorted
+    compress to LEB128 varint gap codes, and this audit prices that
+    layout (varint vs 8-byte fixed, in exact-integer ppm) per
+    document-frequency power-of-two class, because the classes behave
+    differently — rare terms have huge gaps (poor compression), stop
+    words have gap≈1 (a byte per posting) — and the class table is
+    what decides where a bitpacked block format would pay. The first
+    posting codes doc_id+1 (delta from the −1 sentinel); the LEB128
+    byte ladder is ONE shared CASE (`_varint_bytes_sql`) in both
+    engines, so boundary gaps (127→128, 16383→16384) cannot drift.
+
+    Plan/scale: (w, doc_id) distinct rollup, then the lag window in
+    TERM-SORTED doc-id order — exactly the layout the index writer
+    already produces (sortWithinPartitions on the term key), so at
+    10^12 docs the gap pass rides the index build's own sort instead
+    of adding one; hot-term partitions are the index build's existing
+    (term, doc-range) shards, where per-run gap sums stay exact except
+    one boundary gap per run. Two keyed aggregates after the window,
+    the second over ≤64 class rows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    post = toks.groupBy("w", "doc_id").agg(F.lit(1)).select("w", "doc_id")
+    wnd = Window.partitionBy("w").orderBy(F.asc("doc_id"))
+    g = post.select(
+        "w",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(wnd),
+            F.col("doc_id") + 1,
+        ).alias("gap"),
+    )
+    term = g.groupBy("w").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.expr(_varint_bytes_sql("gap"))).cast("long").alias("vbytes"),
+    )
+    return (
+        term.groupBy(
+            (F.length(F.bin("df")) - 1).cast("long").alias("df_class")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum("vbytes").cast("long").alias("varint_bytes"),
+            (F.sum("df") * 8).cast("long").alias("fixed_bytes"),
+            F.expr(
+                "SUM(vbytes) * 1000000 DIV (SUM(df) * 8)"
+            ).alias("compression_ppm"),
+        )
+    )

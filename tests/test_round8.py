@@ -820,3 +820,31 @@ def test_canonical_clusters_single_aggregate_no_window(spark, tmp_path):
         r"\(\d+\) (?:HashAggregate|ObjectHashAggregate|SortAggregate)", plan
     )
     assert len(aggs) == 2, plan
+
+
+def test_postings_compression_varint_boundaries(spark, tmp_path):
+    """LEB128 byte-ladder boundaries land identically in both engines:
+    a term planted at gaps (1, 127, 128) codes 1+1+2 bytes and one at
+    (6, 16384) codes 1+3 — the 127→128 and 16383→16384 edges; the
+    background term with gap-1 postings compresses to exactly 1/8th
+    (125000 ppm)."""
+    n = 16390
+    edge_a = {0, 127, 255}
+    edge_b = {5, 16389}
+    rows = []
+    for i in range(n):
+        toks = ["common"]
+        if i in edge_a:
+            toks.append("edgeA")
+        if i in edge_b:
+            toks.append("edgeB")
+        rows.append((i, " ".join(toks), "en", "s0", 20))
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_postings_compression")
+    assert s == _oracle_rows(tmp_path, "q_postings_compression")
+    by_class = {r[0]: r for r in s}
+    # class 1 = df in [2, 3]: edgeA (df 3, bytes 1+1+2) + edgeB (df 2,
+    # bytes 1+3) -> 5 postings, 8 varint vs 40 fixed bytes
+    assert by_class[1] == (1, 2, 5, 8, 40, 200000)
+    # 'common': df 16390 -> class 14, all gaps 1 -> 1 byte each
+    assert by_class[14] == (14, 1, n, n, 8 * n, 125000)
