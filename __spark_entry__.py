@@ -201,7 +201,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #: `_varint_bytes_sql` ladder is new surface) takes the slot of
 #: q_frontier_robots (untouched, driver-green r07; its robots parser
 #: and host-keyed prefix match run in-gate verbatim inside
-#: q_crawl_plan, whose oracle nests the robots oracle).
+#: q_crawl_plan, whose oracle nests the robots oracle). The two new
+#: SOURCE-FORMAT operators — q_warc_records (WARC record splitter:
+#: boundary split + Content-Length framing validation +
+#: order-independent content digest over synthesized archive blobs)
+#: and q_sitemap_parse (sitemap urlset parse: loc/lastmod/priority
+#: extraction + per-host freshness/duplicate audit) — take the slots
+#: of q_sample_quality and q_source_novelty (both untouched this
+#: round + driver-green r07; both are pure audit rollups in the
+#: context_truncation/degree_distribution precedent — sampling stays
+#: gated via q_split_by_host, novelty via the shingle machinery in
+#: q_minhash_calibration / q_minhash_band_tuning). The five remaining
+#: session-5 URL-space audits (q_url_templates, q_pagination_chains,
+#: q_registrable_domain, q_crawl_delta, q_syndication) land
+#: post-freeze with NO safe slot left to rotate (every other head-50
+#: entry is new-this-round or changed-surface that must re-hash);
+#: they are parity-tested every round by tests/test_oracle_parity.py
+#: and are PROMISED gate slots in round 9 — the q_minhash_calibration
+#: r7→r8 precedent.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",
@@ -237,7 +254,7 @@ _GATE_PRIORITY = [
     "q_extract_feeds",
     "q_minhash_calibration",
     "q_ann_recall",
-    "q_sample_quality",
+    "q_warc_records",
     "q_redirect_resolve",
     "q_model_calibration",
     "q_dsir_weights",
@@ -250,7 +267,7 @@ _GATE_PRIORITY = [
     "q_mime_sniff",
     "q_image_resize",
     "q_canonical_clusters",
-    "q_source_novelty",
+    "q_sitemap_parse",
     "q_admission_marginal",
     "q_surt_index",
 ]

@@ -11562,3 +11562,795 @@ def q_postings_compression(spark, sf_dir):
             ).alias("compression_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (session 5): web-archive source formats + URL-space audits
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_sitemap_parse",
+    """
+    WITH ent AS (
+      SELECT 'site' || CAST(event_id % 40 AS VARCHAR)
+               || '.example.com' AS host,
+             '<url><loc>https://site' || CAST(event_id % 40 AS VARCHAR)
+               || '.example.com/item/' || CAST(event_id % 25 AS VARCHAR)
+               || '</loc><lastmod>' || strftime(ts, '%Y-%m-%d')
+               || '</lastmod><priority>0.'
+               || CAST(event_id % 9 + 1 AS VARCHAR)
+               || '</priority></url>' AS entry
+      FROM events
+    ), sm AS (
+      SELECT host,
+             '<?xml version="1.0"?><urlset>'
+               || string_agg(entry, '' ORDER BY entry)
+               || '</urlset>' AS xml
+      FROM ent GROUP BY host
+    ), parsed AS (
+      SELECT host,
+             regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1) AS locs,
+             regexp_extract_all(xml, '<lastmod>([^<]+)</lastmod>', 1) AS mods,
+             regexp_extract_all(xml, '<priority>0\\.([0-9])</priority>', 1)
+               AS prios
+      FROM sm
+    )
+    SELECT host,
+           CAST(len(locs) AS BIGINT) AS n_urls,
+           CAST(len(list_distinct(locs)) AS BIGINT) AS n_distinct_urls,
+           list_aggregate(mods, 'max') AS latest_lastmod,
+           CAST(CAST(list_aggregate(
+                  list_transform(prios, x -> CAST(x AS BIGINT)), 'sum')
+                AS BIGINT) * 100000 // len(prios) AS BIGINT) AS priority_ppm
+    FROM parsed
+    """,
+)
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap XML parse + per-host audit — the frontier seeding
+    source every crawler consumes: each host publishes a sitemap
+    urlset (synthesized deterministically from events: <loc> with
+    duplicate entries so the distinct count differs, <lastmod> dates,
+    <priority> digits), and the operator PARSES the XML back out with
+    regexp extraction (no XML lib — the fields sitemaps.org defines
+    are regular) reporting per host the URL count, distinct-URL count
+    (duplicate <loc> entries are a real-world sitemap defect),
+    freshest lastmod (the recrawl trigger) and mean priority in exact
+    integer ppm.
+
+    Plan/scale: ONE hash aggregate builds the per-host document
+    (string_agg ordered — at archive scale the sitemap is already one
+    row per host, so the build stage disappears and only the row-local
+    parse remains); the parse itself is whole-stage-codegen JVM regexp
+    over each host's document with no further shuffle — the output
+    grain IS the aggregation key. At 10^8 hosts this is a scan + one
+    exchange; no window, no join, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    hostn = (F.col("event_id") % 40).cast("string")
+    entry = F.concat(
+        F.lit("<url><loc>https://site"),
+        hostn,
+        F.lit(".example.com/item/"),
+        (F.col("event_id") % 25).cast("string"),
+        F.lit("</loc><lastmod>"),
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.lit("</lastmod><priority>0."),
+        (F.col("event_id") % 9 + 1).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    sm = (
+        ev.select(
+            F.concat(F.lit("site"), hostn, F.lit(".example.com")).alias(
+                "host"
+            ),
+            entry.alias("entry"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(F.array_sort(F.collect_list("entry")), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    locs = F.regexp_extract_all(
+        F.col("xml"), F.lit(r"<loc>([^<]+)</loc>"), F.lit(1)
+    )
+    mods = F.regexp_extract_all(
+        F.col("xml"), F.lit(r"<lastmod>([^<]+)</lastmod>"), F.lit(1)
+    )
+    prios = F.regexp_extract_all(
+        F.col("xml"), F.lit(r"<priority>0\.([0-9])</priority>"), F.lit(1)
+    )
+    parsed = sm.select(
+        "host",
+        locs.alias("locs"),
+        mods.alias("mods"),
+        F.aggregate(
+            F.transform(prios, lambda x: x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("prio_sum"),
+        F.size(prios).cast("long").alias("n_prio"),
+    )
+    return parsed.select(
+        "host",
+        F.size("locs").cast("long").alias("n_urls"),
+        F.size(F.array_distinct("locs")).cast("long").alias(
+            "n_distinct_urls"
+        ),
+        F.array_max("mods").alias("latest_lastmod"),
+        F.expr("prio_sum * 100000 DIV n_prio").alias("priority_ppm"),
+    )
+
+
+@q(
+    "q_warc_records",
+    """
+    WITH rec AS (
+      SELECT doc_id // 25 AS file_id, doc_id,
+             'WARC/1.0' || chr(13) || chr(10)
+               || 'WARC-Type: response' || chr(13) || chr(10)
+               || 'WARC-Target-URI: https://w'
+               || CAST(doc_id % 19 AS VARCHAR) || '.example.com/doc/'
+               || CAST(doc_id AS VARCHAR) || chr(13) || chr(10)
+               || 'Content-Length: ' || CAST(length(text) AS VARCHAR)
+               || chr(13) || chr(10) || chr(13) || chr(10)
+               || text || chr(13) || chr(10) || chr(13) || chr(10) AS r
+      FROM documents
+    ), blobs AS (
+      SELECT file_id, string_agg(r, '' ORDER BY doc_id) AS blob
+      FROM rec GROUP BY file_id
+    ), pieces AS (
+      SELECT file_id,
+             unnest(string_split(blob,
+                    'WARC/1.0' || chr(13) || chr(10))) AS piece
+      FROM blobs
+    ), parsed AS (
+      SELECT file_id, piece,
+             CAST(regexp_extract(piece, 'Content-Length: ([0-9]+)', 1)
+                  AS BIGINT) AS cl,
+             strpos(piece, chr(13)||chr(10)||chr(13)||chr(10)) AS hdr_end
+      FROM pieces WHERE piece <> ''
+    ), recs AS (
+      SELECT file_id, cl,
+             substr(piece, hdr_end + 4, cl) AS payload,
+             substr(piece, hdr_end + 4 + cl, 4)
+               = chr(13)||chr(10)||chr(13)||chr(10) AS trailer_ok
+      FROM parsed
+    )
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(cl) AS BIGINT) AS payload_bytes,
+           CAST(SUM(CASE WHEN length(payload) = cl AND trailer_ok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           md5(string_agg(md5(payload), '' ORDER BY md5(payload)))
+             AS records_digest
+    FROM recs GROUP BY file_id
+    """,
+)
+def q_warc_records(spark, sf_dir):
+    """WARC record splitter — the web-archive source format every
+    crawl-scale corpus arrives in: concatenated response records
+    (version line, WARC-Type / WARC-Target-URI / Content-Length
+    headers, blank line, payload, blank line). Files are synthesized
+    deterministically from documents (25 records per file, doc-id
+    order), then the operator does the REAL source work: split the
+    blob on record boundaries, read each record's declared
+    Content-Length, slice exactly that many chars of payload, and
+    validate framing (payload length matches the header AND the
+    record trailer follows) — the check that catches truncated or
+    corrupt archive members. Per file it reports record count, total
+    payload bytes, frames-ok count and an order-independent content
+    digest (md5 over the sorted per-record payload md5s). Lengths are
+    in chars == bytes under the ASCII synthetic corpus (documented
+    precondition, same as the PDF gates).
+
+    Plan/scale: the build stage (one hash aggregate) exists only
+    because the test corpus is row-per-document — a real archive is
+    already one blob per WARC member, so the operator's true shape is
+    the parse: split + per-record regexp/substr are row-local JVM
+    built-ins (whole-stage codegen; the split's record array lives
+    inside one task), the explode is a local fan-out with no
+    exchange, and the per-file rollup shuffles on file_id — the same
+    key the blob arrived on, so AQE coalesces it to a near-no-op. No
+    Python, no window, bounded per-file state (records per WARC
+    member are bounded by the archive writer's rotation policy)."""
+    docs = _t(spark, sf_dir, "documents")
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.lit("https://w"),
+        (F.col("doc_id") % 19).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\n"),
+    )
+    blobs = (
+        docs.select(
+            F.expr("doc_id DIV 25").alias("file_id"),
+            F.struct(F.col("doc_id").alias("k"), rec.alias("r")).alias(
+                "kr"
+            ),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("kr")),
+                    lambda x: x.getField("r"),
+                ),
+                "",
+            ).alias("blob")
+        )
+    )
+    pieces = blobs.select(
+        "file_id",
+        F.explode(
+            F.filter(
+                F.split(F.col("blob"), r"WARC/1\.0\r\n"),
+                lambda x: x != "",
+            )
+        ).alias("piece"),
+    )
+    parsed = pieces.select(
+        "file_id",
+        "piece",
+        F.regexp_extract("piece", r"Content-Length: ([0-9]+)", 1)
+        .cast("long")
+        .alias("cl"),
+        F.instr(F.col("piece"), "\r\n\r\n").alias("hdr_end"),
+    )
+    recs = parsed.select(
+        "file_id",
+        "cl",
+        F.expr("substring(piece, hdr_end + 4, cl)").alias("payload"),
+        (
+            F.expr("substring(piece, hdr_end + 4 + cl, 4)")
+            == "\r\n\r\n"
+        ).alias("trailer_ok"),
+    )
+    return recs.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum("cl").cast("long").alias("payload_bytes"),
+        F.sum(
+            F.when(
+                (F.length("payload") == F.col("cl"))
+                & F.col("trailer_ok"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_ok"),
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.md5(F.col("payload").cast("binary")))
+                ),
+                "",
+            ).cast("binary")
+        ).alias("records_digest"),
+    )
+
+
+@q(
+    "q_url_templates",
+    """
+    WITH u AS (
+      SELECT 'h' || CAST(event_id % 5 AS VARCHAR)
+               || '.example.com' AS host,
+             CASE event_id % 4
+               WHEN 0 THEN '/post/' || CAST(event_id AS VARCHAR)
+               WHEN 1 THEN '/tag/t' || CAST(event_id % 13 AS VARCHAR)
+               WHEN 2 THEN '/obj/'
+                 || substr(md5(CAST(event_id % 57 AS VARCHAR)), 1, 12)
+               ELSE '/archive/' || CAST(2000 + event_id % 25 AS VARCHAR)
+                 || '/' || CAST(event_id % 12 + 1 AS VARCHAR)
+             END AS path
+      FROM events
+    )
+    SELECT host,
+           regexp_replace(
+             regexp_replace(path, '[0-9a-f]{8,}', '{h}', 'g'),
+             '[0-9]+', '{n}', 'g') AS template,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_distinct_urls,
+           MIN(path) AS sample_path
+    FROM u GROUP BY host, template
+    """,
+)
+def q_url_templates(spark, sf_dir):
+    """URL path-template mining — the URL-space compression audit a
+    crawler runs to understand a site's shape: numeric path segments
+    generalize to `{n}` and long hex identifiers (object digests,
+    session ids) to `{h}`, so `/post/81234` and `/post/9` land in one
+    `/post/{n}` template. Rule ORDER matters and is pinned identically
+    in both engines: the hex rule runs first (a ≥8-char [0-9a-f] run
+    is an id even when all-digit), then the digit rule. Per (host,
+    template) the audit reports crawl volume, distinct concrete URLs
+    (volume ≫ distinct flags recrawl churn; distinct ≫ templates
+    flags a parametric crawl trap) and a deterministic sample.
+
+    Plan/scale: template derivation is row-local JVM regexp
+    (whole-stage codegen); ONE hash aggregate on (host, template) with
+    map-side partials — COUNT(DISTINCT path) expands to the standard
+    two-level aggregate whose first level is keyed by the very string
+    it distincts, so skewed templates still partial-aggregate
+    map-side. At 10^12 URLs: scan + one exchange, output bounded by
+    the template universe (tiny), no window, no join."""
+    ev = _t(spark, sf_dir, "events")
+    m4 = F.col("event_id") % 4
+    path = (
+        F.when(
+            m4 == 0,
+            F.concat(F.lit("/post/"), F.col("event_id").cast("string")),
+        )
+        .when(
+            m4 == 1,
+            F.concat(
+                F.lit("/tag/t"), (F.col("event_id") % 13).cast("string")
+            ),
+        )
+        .when(
+            m4 == 2,
+            F.concat(
+                F.lit("/obj/"),
+                F.substring(
+                    F.md5(
+                        (F.col("event_id") % 57)
+                        .cast("string")
+                        .cast("binary")
+                    ),
+                    1,
+                    12,
+                ),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/archive/"),
+                (F.lit(2000) + F.col("event_id") % 25).cast("string"),
+                F.lit("/"),
+                (F.col("event_id") % 12 + 1).cast("string"),
+            )
+        )
+    )
+    u = ev.select(
+        F.concat(
+            F.lit("h"),
+            (F.col("event_id") % 5).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        path.alias("path"),
+    )
+    tmpl = F.regexp_replace(
+        F.regexp_replace("path", r"[0-9a-f]{8,}", "{h}"),
+        r"[0-9]+",
+        "{n}",
+    )
+    return (
+        u.select("host", "path", tmpl.alias("template"))
+        .groupBy("host", "template")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("path").cast("long").alias("n_distinct_urls"),
+            F.min("path").alias("sample_path"),
+        )
+    )
+
+
+@q(
+    "q_pagination_chains",
+    """
+    WITH u AS (
+      SELECT 'h' || CAST(event_id % 6 AS VARCHAR)
+               || '.example.com' AS host,
+             '/list/' || CAST(event_id % 8 AS VARCHAR) AS base,
+             'https://h' || CAST(event_id % 6 AS VARCHAR)
+               || '.example.com/list/' || CAST(event_id % 8 AS VARCHAR)
+               || '?page='
+               || CAST(CASE WHEN event_id % 8 % 5 = 0
+                            THEN ((event_id // 100) % 4) * 3 + 1
+                            ELSE (event_id * 7) % 13 + 1 END
+                       AS VARCHAR) AS url
+      FROM events
+    ), p AS (
+      SELECT host, base,
+             CAST(regexp_extract(url, '[?&]page=([0-9]+)', 1) AS BIGINT)
+               AS page
+      FROM u
+    )
+    SELECT host, base,
+           CAST(COUNT(*) AS BIGINT) AS n_captures,
+           CAST(COUNT(DISTINCT page) AS BIGINT) AS n_pages,
+           CAST(MIN(page) AS BIGINT) AS min_page,
+           CAST(MAX(page) AS BIGINT) AS max_page,
+           CAST(MAX(page) - COUNT(DISTINCT page) AS BIGINT) AS n_missing,
+           (MIN(page) = 1 AND MAX(page) = COUNT(DISTINCT page))
+             AS is_complete
+    FROM p GROUP BY host, base
+    """,
+)
+def q_pagination_chains(spark, sf_dir):
+    """Pagination-chain completeness audit — did the crawler fetch
+    every page of each paginated listing? URLs carry a `?page=N`
+    parameter (synthesized so most chains cover pages 1..13 densely
+    while every fifth base only ever emits pages {1,4,7,10} — a
+    GAPPED chain the audit must flag); the operator parses the page
+    number back out of the raw URL and reports, per (host, listing
+    base), the capture count, distinct pages seen, min/max page, the
+    missing-page count (max − distinct, exact under a 1-based dense
+    ideal) and a completeness verdict. Gapped chains are the signal a
+    recrawl scheduler turns into targeted frontier entries.
+
+    Plan/scale: page extraction is row-local JVM regexp; ONE hash
+    aggregate on (host, base) with map-side partials (the DISTINCT
+    page expands to the standard two-level plan). At 10^12 captures:
+    scan + one exchange keyed by listing — no join, no window."""
+    ev = _t(spark, sf_dir, "events")
+    page = F.when(
+        F.col("event_id") % 8 % 5 == 0,
+        (F.expr("event_id DIV 100") % 4) * 3 + 1,
+    ).otherwise((F.col("event_id") * 7) % 13 + 1)
+    u = ev.select(
+        F.concat(
+            F.lit("h"),
+            (F.col("event_id") % 6).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.concat(
+            F.lit("/list/"), (F.col("event_id") % 8).cast("string")
+        ).alias("base"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("event_id") % 6).cast("string"),
+            F.lit(".example.com/list/"),
+            (F.col("event_id") % 8).cast("string"),
+            F.lit("?page="),
+            page.cast("string"),
+        ).alias("url"),
+    )
+    p = u.select(
+        "host",
+        "base",
+        F.regexp_extract("url", r"[?&]page=([0-9]+)", 1)
+        .cast("long")
+        .alias("page"),
+    )
+    return p.groupBy("host", "base").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.countDistinct("page").cast("long").alias("n_pages"),
+        F.min("page").cast("long").alias("min_page"),
+        F.max("page").cast("long").alias("max_page"),
+        (F.max("page") - F.countDistinct("page"))
+        .cast("long")
+        .alias("n_missing"),
+        (
+            (F.min("page") == 1)
+            & (F.max("page") == F.countDistinct("page"))
+        ).alias("is_complete"),
+    )
+
+
+#: Multi-label public suffixes (the PSL subset the synthetic corpus
+#: exercises; the real Public Suffix List is ~9k rows — still a
+#: broadcast-sized dim). Single-label TLDs need no row: the default
+#: branch already takes the last two labels.
+_PSL_SUFFIXES = ["co.uk", "ac.uk", "github.io", "com.au"]
+
+_PSL_VALUES_SQL = ", ".join(f"('{s}')" for s in _PSL_SUFFIXES)
+
+
+@q(
+    "q_registrable_domain",
+    f"""
+    WITH psl(suffix) AS (VALUES {_PSL_VALUES_SQL}),
+    hosts AS (
+      SELECT CASE event_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+                               ELSE '' END
+               || 's' || CAST(event_id % 30 AS VARCHAR) || '.'
+               || CASE event_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                    WHEN 2 THEN 'co.uk'
+                                    WHEN 3 THEN 'github.io'
+                                    ELSE 'com.au' END AS host
+      FROM events
+    ), lab AS (
+      SELECT host, string_split(host, '.') AS l FROM hosts
+    ), keyed AS (
+      SELECT host, l,
+             l[-2] || '.' || l[-1] AS last2,
+             CASE WHEN len(l) >= 3 THEN l[-3] || '.' || l[-2] || '.'
+                                          || l[-1] END AS last3
+      FROM lab
+    ), reg AS (
+      SELECT host,
+             CASE WHEN psl.suffix IS NOT NULL THEN keyed.last3
+                  ELSE keyed.last2 END AS registrable,
+             CASE WHEN psl.suffix IS NOT NULL THEN psl.suffix
+                  ELSE keyed.l[-1] END AS public_suffix
+      FROM keyed LEFT JOIN psl ON keyed.last2 = psl.suffix
+    )
+    SELECT registrable, public_suffix,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(COUNT(*) AS BIGINT) AS n_captures
+    FROM reg GROUP BY registrable, public_suffix
+    """,
+)
+def q_registrable_domain(spark, sf_dir):
+    """Registrable-domain (eTLD+1) rollup — the grain every
+    site-level policy actually wants: `www.s1.co.uk` and
+    `blog.s1.co.uk` are ONE registrant, and naive last-two-label
+    grouping would wrongly merge every `*.co.uk` site into one.
+    Hosts are reduced against a public-suffix table (multi-label
+    suffixes only; single-label TLDs take the default branch): if the
+    host's last two labels are a listed public suffix the registrable
+    domain is the last THREE labels, else the last two. Per
+    (registrable, public_suffix) the rollup counts distinct hosts
+    (subdomain spread) and captures — the input grain for host
+    quotas, quality priors and politeness budgets that should bind
+    per REGISTRANT, not per subdomain.
+
+    Plan/scale: label splitting is row-local; the suffix lookup is an
+    explicit broadcast LEFT join against the ~9k-row PSL dim (never a
+    shuffle); the rollup is ONE hash aggregate. At 10^12 captures:
+    scan + broadcast probe + one exchange on the registrable key."""
+    ev = _t(spark, sf_dir, "events")
+    psl = F.broadcast(
+        spark.createDataFrame(
+            [(s,) for s in _PSL_SUFFIXES], "suffix string"
+        )
+    )
+    host = F.concat(
+        F.when(F.col("event_id") % 3 == 0, F.lit("www."))
+        .when(F.col("event_id") % 3 == 1, F.lit("blog."))
+        .otherwise(F.lit("")),
+        F.lit("s"),
+        (F.col("event_id") % 30).cast("string"),
+        F.lit("."),
+        F.when(F.col("event_id") % 5 == 0, F.lit("com"))
+        .when(F.col("event_id") % 5 == 1, F.lit("org"))
+        .when(F.col("event_id") % 5 == 2, F.lit("co.uk"))
+        .when(F.col("event_id") % 5 == 3, F.lit("github.io"))
+        .otherwise(F.lit("com.au")),
+    )
+    lab = ev.select(host.alias("host")).withColumn(
+        "l", F.split("host", r"\.")
+    )
+    keyed = lab.select(
+        "host",
+        "l",
+        F.concat_ws(
+            ".", F.element_at("l", -2), F.element_at("l", -1)
+        ).alias("last2"),
+        F.when(
+            F.size("l") >= 3,
+            F.concat_ws(
+                ".",
+                F.element_at("l", -3),
+                F.element_at("l", -2),
+                F.element_at("l", -1),
+            ),
+        ).alias("last3"),
+    )
+    reg = keyed.join(psl, keyed.last2 == psl.suffix, "left").select(
+        "host",
+        F.when(F.col("suffix").isNotNull(), F.col("last3"))
+        .otherwise(F.col("last2"))
+        .alias("registrable"),
+        F.when(F.col("suffix").isNotNull(), F.col("suffix"))
+        .otherwise(F.element_at("l", -1))
+        .alias("public_suffix"),
+    )
+    return reg.groupBy("registrable", "public_suffix").agg(
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.count("*").cast("long").alias("n_captures"),
+    )
+
+
+@q(
+    "q_crawl_delta",
+    """
+    WITH cap AS (
+      SELECT event_id % 180 AS url_id,
+             'h' || CAST((event_id % 180) % 12 AS VARCHAR)
+               || '.example.com' AS host,
+             ts, event_id,
+             substr(md5(CAST(event_id % 180 AS VARCHAR) || '-'
+                        || CAST(CASE WHEN event_id % 180 % 3 = 0
+                                     THEN (event_id // 180) % 2
+                                     ELSE 0 END
+                                AS VARCHAR)), 1, 8) AS digest
+      FROM events
+    ), ranked AS (
+      SELECT url_id, host, digest,
+             ROW_NUMBER() OVER (PARTITION BY url_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             LEAD(digest) OVER (PARTITION BY url_id
+                                ORDER BY ts DESC, event_id DESC)
+               AS prev_digest,
+             COUNT(*) OVER (PARTITION BY url_id) AS n_caps
+      FROM cap
+    ), latest AS (
+      SELECT host,
+             CASE WHEN n_caps = 1 THEN 'new'
+                  WHEN digest = prev_digest THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM ranked WHERE rn = 1
+    )
+    SELECT host,
+           CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unchanged,
+           CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                  * 1000000
+                  // NULLIF(SUM(CASE WHEN status <> 'new'
+                                     THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS churn_ppm
+    FROM latest GROUP BY host
+    """,
+)
+def q_crawl_delta(spark, sf_dir):
+    """Crawl-batch delta report — what changed between the two most
+    recent captures of each URL: per URL the latest capture is
+    classified `new` (first-ever capture), `changed` (content digest
+    differs from the previous capture) or `unchanged`, then rolled up
+    per host with an exact-integer churn ratio (changed / revisited,
+    in ppm). Digests are synthesized so every third URL alternates
+    content by capture parity (real churn) while the rest are stable
+    — both branches of the classifier fire. This is the incremental
+    sibling of q_stale_captures: delta says WHAT moved this batch,
+    staleness says what to fetch next.
+
+    Plan/scale: one window over the per-URL capture history (the
+    partition is a URL's capture count — bounded by retention policy,
+    never corpus-sized) computing row_number + lead + count in a
+    single pass on one sort order, then ONE hash aggregate on host.
+    At 10^12 captures: scan + one exchange on url_id for the window +
+    one on host for the rollup; no joins, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    url_id = F.col("event_id") % 180
+    digest = F.substring(
+        F.md5(
+            F.concat(
+                url_id.cast("string"),
+                F.lit("-"),
+                F.when(url_id % 3 == 0, F.expr("event_id DIV 180") % 2)
+                .otherwise(F.lit(0))
+                .cast("string"),
+            ).cast("binary")
+        ),
+        1,
+        8,
+    )
+    cap = ev.select(
+        url_id.alias("url_id"),
+        F.concat(
+            F.lit("h"),
+            (url_id % 12).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        "ts",
+        "event_id",
+        digest.alias("digest"),
+    )
+    w = Window.partitionBy("url_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wall = Window.partitionBy("url_id")
+    ranked = cap.select(
+        "host",
+        "digest",
+        F.row_number().over(w).alias("rn"),
+        F.lead("digest").over(w).alias("prev_digest"),
+        F.count("*").over(wall).alias("n_caps"),
+    )
+    latest = ranked.filter(F.col("rn") == 1).select(
+        "host",
+        F.when(F.col("n_caps") == 1, F.lit("new"))
+        .when(F.col("digest") == F.col("prev_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+    agg = latest.groupBy("host").agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+        .cast("long")
+        .alias("n_changed"),
+        F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
+        .cast("long")
+        .alias("n_unchanged"),
+    )
+    return agg.select(
+        "host",
+        "n_new",
+        "n_changed",
+        "n_unchanged",
+        F.expr(
+            "n_changed * 1000000 DIV nullif(n_changed + n_unchanged, 0)"
+        ).alias("churn_ppm"),
+    )
+
+
+@q(
+    "q_syndication",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+               AS host,
+             md5(CASE WHEN doc_id % 7 = 0
+                      THEN 'solo-' || CAST(doc_id AS VARCHAR)
+                      ELSE 'fam-' || CAST(doc_id // 4 AS VARCHAR)
+                 END) AS digest
+      FROM documents
+    )
+    SELECT digest,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(MIN(doc_id) AS BIGINT) AS primary_doc,
+           arg_min(host, doc_id) AS primary_host,
+           CAST(COUNT(DISTINCT host) * 1000000 // COUNT(*) AS BIGINT)
+             AS spread_ppm
+    FROM d GROUP BY digest
+    HAVING COUNT(DISTINCT host) >= 2
+    """,
+)
+def q_syndication(spark, sf_dir):
+    """Cross-host syndication detection — the same content digest
+    appearing on ≥2 hosts marks a syndication cluster (wire copy,
+    scraper mirrors, CDN vanity domains): per digest the audit counts
+    copies and distinct hosts, elects the PRIMARY attribution
+    deterministically (min_by on doc_id — the earliest capture; real
+    pipelines keep only the primary and drop mirror copies before
+    training) and reports host spread in exact ppm. Content families
+    are synthesized at `doc_id DIV 4` grain (4 consecutive docs land
+    on 4 DIFFERENT hosts mod 37, so clusters genuinely cross hosts)
+    with every 7th doc a singleton — filtered out by the ≥2-host
+    predicate, exercising the negative branch.
+
+    Plan/scale: ONE logical aggregate on the content digest — the
+    DISTINCT-host count expands to the standard two-level physical
+    plan (partial keyed by (digest, host), final on digest; two
+    exchanges, both digest-prefixed so skew follows cluster size, not
+    corpus size) — then a row-local HAVING filter. At 10^12 docs the
+    digest shuffle is the same key exact dedup already pays, so a
+    combined curation pass shares it; no window, no join."""
+    docs = _t(spark, sf_dir, "documents")
+    fam = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("solo-"), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("fam-"), F.expr("doc_id DIV 4").cast("string"))
+    )
+    d = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.md5(fam.cast("binary")).alias("digest"),
+    )
+    return (
+        d.groupBy("digest")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.min("doc_id").cast("long").alias("primary_doc"),
+            F.expr("min_by(host, doc_id)").alias("primary_host"),
+            F.expr(
+                "CAST(COUNT(DISTINCT host) * 1000000 DIV COUNT(*) "
+                "AS BIGINT)"
+            ).alias("spread_ppm"),
+        )
+        .filter(F.col("n_hosts") >= 2)
+    )

@@ -848,3 +848,204 @@ def test_postings_compression_varint_boundaries(spark, tmp_path):
     assert by_class[1] == (1, 2, 5, 8, 40, 200000)
     # 'common': df 16390 -> class 14, all gaps 1 -> 1 byte each
     assert by_class[14] == (14, 1, n, n, 8 * n, 125000)
+
+
+# ---------------------------------------------------------------------------
+# Session 5 — web-archive source formats + URL-space audits
+# ---------------------------------------------------------------------------
+
+
+def test_warc_records_framing_and_plan(spark, tmp_path):
+    """Framing validation holds on engineered payloads — an EMPTY
+    payload (Content-Length: 0) and a payload that itself CONTAINS a
+    header-looking 'Content-Length: 999' line (the parser must bind
+    to the first match, i.e. the real header) — and the plan is two
+    aggregate pairs + one local Generate (explode), no window, no
+    join."""
+    import re as _re
+
+    rows = [(i, f"payload body {i}", "en", "s0", 20) for i in range(30)]
+    rows[3] = (3, "", "en", "s0", 0)  # empty payload
+    rows[5] = (5, "trap Content-Length: 999 inside", "en", "s0", 30)
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_warc_records")
+    assert s == _oracle_rows(tmp_path, "q_warc_records")
+    by_file = {r[0]: r for r in s}
+    assert set(by_file) == {0, 1}  # docs 0-24, 25-29
+    exp0 = sum(len(r[1]) for r in rows[:25])
+    exp1 = sum(len(r[1]) for r in rows[25:])
+    assert by_file[0][1:4] == (25, exp0, 25)  # n_records, bytes, n_ok
+    assert by_file[1][1:4] == (5, exp1, 5)
+    plan = _fmt_plan(REGISTRY["q_warc_records"].spark(spark, str(tmp_path)))
+    assert "Window" not in plan and "Join" not in plan, plan
+    aggs = _re.findall(
+        r"\(\d+\) (?:HashAggregate|ObjectHashAggregate|SortAggregate)", plan
+    )
+    assert len(aggs) == 4, plan  # blob build + rollup, partial+final each
+    assert len(_re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    # the rollup rides the blob build's file_id partitioning: exactly
+    # one exchange end-to-end
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_sitemap_parse_duplicates_and_plan(spark, tmp_path):
+    """Duplicate <loc> entries are counted (n_urls > n_distinct), the
+    freshest lastmod wins, and priority ppm is the exact integer mean;
+    the plan is ONE aggregate pair with row-local parsing after it."""
+    import re as _re
+
+    t0 = _dt.datetime(2024, 3, 1)
+    day = _dt.timedelta(days=1)
+    # ids 0/1000/2000 -> host site0, item 0 every time (dup locs);
+    # priorities 1, 2, 3; lastmod days 0, 5, 2 -> latest = day 5
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1000, t0 + 5 * day, 1, "view", 1.0, "{}"),
+        (2000, t0 + 2 * day, 1, "view", 1.0, "{}"),
+        # id 41 -> host site1, item 16, priority (41%9)+1 = 6
+        (41, t0, 1, "view", 1.0, "{}"),
+    ]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_sitemap_parse")
+    assert s == _oracle_rows(tmp_path, "q_sitemap_parse")
+    by_host = {r[0]: r for r in s}
+    assert by_host["site0.example.com"] == (
+        "site0.example.com", 3, 1, "2024-03-06", 200000
+    )
+    assert by_host["site1.example.com"] == (
+        "site1.example.com", 1, 1, "2024-03-01", 600000
+    )
+    plan = _fmt_plan(REGISTRY["q_sitemap_parse"].spark(spark, str(tmp_path)))
+    assert "Window" not in plan and "Join" not in plan, plan
+    aggs = _re.findall(
+        r"\(\d+\) (?:HashAggregate|ObjectHashAggregate|SortAggregate)", plan
+    )
+    assert len(aggs) == 2, plan
+
+
+def test_url_templates_hex_rule_precedence(spark, tmp_path):
+    """The >=8-char hex rule fires BEFORE the digit rule: /obj/ ids
+    collapse to {h} (never a {n} inside the hex run), short ids to
+    {n}, and the static /about path survives untemplated."""
+    rows = [(i, _dt.datetime(2024, 1, 1), 1, "view", 1.0, "{}")
+            for i in range(20)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_url_templates")
+    assert s == _oracle_rows(tmp_path, "q_url_templates")
+    templates = {r[1] for r in s}
+    assert templates == {
+        "/post/{n}", "/tag/t{n}", "/obj/{h}", "/archive/{n}/{n}"
+    }
+    for _, tmpl, n_urls, n_distinct, sample in s:
+        if tmpl == "/obj/{h}":
+            assert "/obj/" in sample and "{" not in sample
+            assert n_urls >= n_distinct
+
+
+def test_pagination_chains_gap_detection(spark, tmp_path):
+    """A base on the gapped branch (base % 5 == 0: pages only from
+    {1,4,7,10}) reads incomplete with the exact missing count; a dense
+    base covering 1..13 reads complete."""
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = []
+    # ids 0,120,240,360,480: host h0, base /list/0 (gapped branch),
+    # pages 1,4,7,10,1 -> n_pages 4, max 10, missing 6
+    for eid in (0, 120, 240, 360, 480):
+        rows.append((eid, t0, 1, "view", 1.0, "{}"))
+    # ids 1+24k (k=0..12): host h1, base /list/1, page (7*id)%13+1
+    # sweeps all 13 residues -> complete
+    for k in range(13):
+        rows.append((1 + 24 * k, t0, 1, "view", 1.0, "{}"))
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_pagination_chains")
+    assert s == _oracle_rows(tmp_path, "q_pagination_chains")
+    by_key = {(r[0], r[1]): r for r in s}
+    gapped = by_key[("h0.example.com", "/list/0")]
+    assert gapped[2:] == (5, 4, 1, 10, 6, False)
+    dense = by_key[("h1.example.com", "/list/1")]
+    assert dense[2:] == (13, 13, 1, 13, 0, True)
+
+
+def test_registrable_domain_psl_and_broadcast(spark, tmp_path):
+    """Multi-label public suffixes take three labels (s17.co.uk, never
+    co.uk), plain TLDs take two (s0.com), a bare 2-label host under a
+    listed suffix is its own registrable domain, and the PSL lookup is
+    a broadcast join."""
+    t0 = _dt.datetime(2024, 1, 1)
+    # id 12: www.s12.co.uk; id 17: s17.co.uk (empty sub); id 0:
+    # www.s0.com; id 3: www.s3.github.io
+    rows = [(eid, t0, 1, "view", 1.0, "{}") for eid in (12, 17, 0, 3)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_registrable_domain")
+    assert s == _oracle_rows(tmp_path, "q_registrable_domain")
+    by_reg = {r[0]: r for r in s}
+    assert by_reg["s12.co.uk"][1:] == ("co.uk", 1, 1)
+    assert by_reg["s17.co.uk"][1:] == ("co.uk", 1, 1)
+    assert by_reg["s0.com"][1:] == ("com", 1, 1)
+    assert by_reg["s3.github.io"][1:] == ("github.io", 1, 1)
+    assert "co.uk" not in by_reg  # naive last-2 grouping would emit it
+    plan = _fmt_plan(
+        REGISTRY["q_registrable_domain"].spark(spark, str(tmp_path))
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_crawl_delta_status_classes(spark, tmp_path):
+    """All three statuses and the churn corner cases: a changed url
+    (digest flips with capture parity), an unchanged multi-capture
+    url, an unchanged url on the non-churning residue, and a
+    first-ever capture whose host churn is NULL (no revisits)."""
+    t0 = _dt.datetime(2024, 1, 1)
+    hr = _dt.timedelta(hours=1)
+    rows = [
+        (3, t0, 1, "view", 1.0, "{}"),          # url 3 (h3): capture 0
+        (183, t0 + hr, 1, "view", 1.0, "{}"),   # url 3: capture 1 -> changed
+        (363, t0 + 2 * hr, 1, "view", 1.0, "{}"),  # capture 2 (latest two
+        # captures are 2 vs 1: digest keys 0 vs 1 -> still changed)
+        (4, t0, 1, "view", 1.0, "{}"),          # url 4 (h4): stable branch
+        (184, t0 + hr, 1, "view", 1.0, "{}"),   # url 4 -> unchanged
+        (6, t0, 1, "view", 1.0, "{}"),          # url 6 (h6): churning
+        # residue but a single capture -> still 'new'
+        (1, t0, 1, "view", 1.0, "{}"),          # url 1 (h1): single -> new
+    ]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_crawl_delta")
+    assert s == _oracle_rows(tmp_path, "q_crawl_delta")
+    by_host = {r[0]: r[1:] for r in s}
+    assert by_host["h3.example.com"] == (0, 1, 0, 1000000)
+    assert by_host["h4.example.com"] == (0, 0, 1, 0)
+    assert by_host["h6.example.com"] == (1, 0, 0, None)
+    assert by_host["h1.example.com"] == (1, 0, 0, None)
+
+
+def test_syndication_singletons_and_primary(spark, tmp_path):
+    """Every-7th singletons never form a cluster (namespaced keys — a
+    solo doc cannot collide with a real family), the primary
+    attribution is the earliest doc via min_by, and the plan is the
+    standard two-level DISTINCT expansion of one logical aggregate
+    (4 physical aggregates, 2 digest-prefixed exchanges) with no
+    window or join."""
+    import re as _re
+
+    rows = [(i, "body " + str(i), "en", "s0", 100) for i in range(20)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_syndication")
+    assert s == _oracle_rows(tmp_path, "q_syndication")
+    by_primary = {r[3]: r for r in s}
+    # families (solo docs 0,7,14 carved out): fam0={1,2,3},
+    # fam1={4,5,6}, fam2={8..11}, fam3={12,13,15}, fam4={16..19}
+    assert set(by_primary) == {1, 4, 8, 12, 16}
+    assert by_primary[1][1:3] == (3, 3)
+    assert by_primary[8][1:3] == (4, 4)
+    assert by_primary[12][1:3] == (3, 3)
+    assert by_primary[1][4] == "h1.example.com"
+    assert by_primary[8][4] == "h8.example.com"
+    assert by_primary[8][5] == 1000000  # 4 hosts / 4 copies
+    plan = _fmt_plan(REGISTRY["q_syndication"].spark(spark, str(tmp_path)))
+    assert "Window" not in plan and "Join" not in plan, plan
+    aggs = _re.findall(
+        r"\(\d+\) (?:HashAggregate|ObjectHashAggregate|SortAggregate)", plan
+    )
+    assert len(aggs) == 4, plan  # two-level DISTINCT expansion
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
