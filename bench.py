@@ -173,6 +173,13 @@ HEADLINE = [
     "q_graph_triangles",
     "q_canonical_clusters",
     "q_postings_compression",
+    "q_warc_records",
+    "q_sitemap_parse",
+    "q_url_templates",
+    "q_pagination_chains",
+    "q_registrable_domain",
+    "q_crawl_delta",
+    "q_syndication",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4
