@@ -180,6 +180,9 @@ HEADLINE = [
     "q_registrable_domain",
     "q_crawl_delta",
     "q_syndication",
+    "q_embedding_drift",
+    "q_anchor_spam",
+    "q_hreflang_clusters",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -12354,3 +12354,281 @@ def q_syndication(spark, sf_dir):
         )
         .filter(F.col("n_hosts") >= 2)
     )
+
+
+@q(
+    "q_embedding_drift",
+    """
+    WITH dims AS (
+      SELECT label, vec_id % 2 AS batch,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                  AS BIGINT) AS xq
+      FROM embeddings
+    ), cent AS (
+      SELECT label, d,
+             CAST(SUM(CASE WHEN batch = 0 THEN xq ELSE 0 END) * 10000
+                  // NULLIF(SUM(CASE WHEN batch = 0 THEN 1 ELSE 0 END),
+                            0) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN batch = 1 THEN xq ELSE 0 END) * 10000
+                  // NULLIF(SUM(CASE WHEN batch = 1 THEN 1 ELSE 0 END),
+                            0) AS BIGINT) AS c1
+      FROM dims GROUP BY label, d
+    ), sums AS (
+      SELECT label,
+             CAST(SUM(c0 * c1) AS BIGINT) AS dot,
+             CAST(SUM(c0 * c0) AS BIGINT) AS n0,
+             CAST(SUM(c1 * c1) AS BIGINT) AS n1,
+             CAST(SUM((c0 - c1) * (c0 - c1)) AS BIGINT) AS dd
+      FROM cent GROUP BY label
+    )
+    SELECT label,
+           ROUND(dot / (sqrt(n0) * sqrt(n1)), 6) AS cos_sim,
+           ROUND(sqrt(dd) / 100000000, 6) AS l2_shift
+    FROM sums
+    """,
+)
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-centroid drift between crawl batches — the semantic
+    sibling of q_length_drift: per label, the batch-0 and batch-1
+    (vec_id parity) centroids are compared by cosine similarity and
+    L2 shift. A drifting label means the new batch's content for that
+    topic moved — retrain/recalibrate signal for the IVF coarse
+    quantizer (q_ann_ivf) and any classifier thresholds trained on
+    the old distribution. Cross-engine determinism: every element is
+    quantized FIRST via floor(x·10⁴) — one exact IEEE multiply + floor
+    per value, no rounding-mode ambiguity and no order-dependent float
+    AVG — so centroids (integer DIV) and all downstream sums are exact
+    integer arithmetic; the only float ops are one sqrt/divide per
+    label row on identical integer inputs.
+
+    Plan/scale: posexplode fans each vector into (label, batch, d)
+    rows map-side; ONE hash aggregate computes both batch centroids
+    via conditional AVG (no self-join between batches), then a
+    label-keyed rollup over label × 64 dims. At 10^10 vectors the
+    exchange is keyed by (label, d) — cardinality label×dim, so
+    partials absorb the corpus and the shuffle is constant-size; no
+    window, no join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).alias("batch"),
+            F.posexplode(F.col("embedding").cast("array<double>")),
+        )
+        .withColumnsRenamed({"pos": "d0", "col": "x"})
+        .select(
+            "label",
+            "batch",
+            (F.col("d0") + 1).cast("long").alias("d"),
+            F.floor(F.col("x") * 10000).cast("long").alias("xq"),
+        )
+    )
+    cent = dims.groupBy("label", "d").agg(
+        F.sum(F.when(F.col("batch") == 0, F.col("xq")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("batch") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("m0"),
+        F.sum(F.when(F.col("batch") == 1, F.col("xq")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("batch") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("m1"),
+    ).select(
+        "label",
+        "d",
+        F.expr("s0 * 10000 DIV nullif(m0, 0)").alias("c0"),
+        F.expr("s1 * 10000 DIV nullif(m1, 0)").alias("c1"),
+    )
+    sums = cent.groupBy("label").agg(
+        F.sum(F.col("c0") * F.col("c1")).cast("long").alias("dot"),
+        F.sum(F.col("c0") * F.col("c0")).cast("long").alias("n0"),
+        F.sum(F.col("c1") * F.col("c1")).cast("long").alias("n1"),
+        F.sum((F.col("c0") - F.col("c1")) * (F.col("c0") - F.col("c1")))
+        .cast("long")
+        .alias("dd"),
+    )
+    return sums.select(
+        "label",
+        F.round(
+            F.col("dot") / (F.sqrt("n0") * F.sqrt("n1")), 6
+        ).alias("cos_sim"),
+        F.round(F.sqrt("dd") / 100000000, 6).alias("l2_shift"),
+    )
+
+
+@q(
+    "q_anchor_spam",
+    """
+    WITH links AS (
+      SELECT 't' || CAST(event_id % 20 AS VARCHAR)
+               || '.example.com' AS target,
+             's' || CAST(event_id % 50 AS VARCHAR)
+               || '.example.com' AS src_host,
+             CASE WHEN event_id % 20 % 5 = 0 AND event_id % 10 < 8
+                  THEN 'buy cheap widgets'
+                  ELSE 'anchor' || CAST(event_id % 7 AS VARCHAR)
+             END AS anchor
+      FROM events
+    ), per_anchor AS (
+      SELECT target, anchor,
+             CAST(COUNT(*) AS BIGINT) AS n_links,
+             CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+      FROM links GROUP BY target, anchor
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY target
+                                ORDER BY n_links DESC, anchor ASC) AS rn,
+             CAST(SUM(n_links) OVER (PARTITION BY target) AS BIGINT)
+               AS total_links,
+             CAST(COUNT(*) OVER (PARTITION BY target) AS BIGINT)
+               AS n_anchors
+      FROM per_anchor
+    )
+    SELECT target, n_anchors, total_links AS n_inlinks,
+           anchor AS top_anchor, n_src_hosts AS top_anchor_hosts,
+           CAST(n_links * 1000000 // total_links AS BIGINT)
+             AS top_share_ppm,
+           n_links * 2 > total_links AS is_spammy
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_anchor_spam(spark, sf_dir):
+    """Anchor-text over-optimization audit — the classic paid-link /
+    SEO-farm signal: organic inlinks carry diverse anchor text, while
+    a manipulated target's inlinks repeat one money phrase. Per
+    target the audit finds the dominant anchor (deterministic
+    election: links desc, anchor asc), its share of all inlinks in
+    exact ppm, how many distinct source hosts push it, and flags
+    targets whose top anchor exceeds half their inlinks (integer
+    cross-multiplied threshold — no division). Synthesis plants the
+    money phrase on every 5th target at ~80% density; the rest draw
+    from a 7-anchor organic pool.
+
+    Plan/scale: ONE hash aggregate on (target, anchor) — the
+    per-anchor grain, where COUNT(DISTINCT src_host) expands
+    map-side — then one window over each target's ANCHOR ALPHABET
+    (bounded by distinct anchors per target, never by inlink count:
+    the 10^12-edge case rolls up before the window sees it). Both
+    window functions share one sort order and one exchange."""
+    ev = _t(spark, sf_dir, "events")
+    tgt_n = F.col("event_id") % 20
+    links = ev.select(
+        F.concat(
+            F.lit("t"), tgt_n.cast("string"), F.lit(".example.com")
+        ).alias("target"),
+        F.concat(
+            F.lit("s"),
+            (F.col("event_id") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("src_host"),
+        F.when(
+            (tgt_n % 5 == 0) & (F.col("event_id") % 10 < 8),
+            F.lit("buy cheap widgets"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("anchor"), (F.col("event_id") % 7).cast("string")
+            )
+        )
+        .alias("anchor"),
+    )
+    per_anchor = links.groupBy("target", "anchor").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.desc("n_links"), F.asc("anchor")
+    )
+    wt = Window.partitionBy("target")
+    ranked = per_anchor.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.sum("n_links").over(wt).cast("long").alias("total_links"),
+        F.count("*").over(wt).cast("long").alias("n_anchors"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "target",
+        "n_anchors",
+        F.col("total_links").alias("n_inlinks"),
+        F.col("anchor").alias("top_anchor"),
+        F.col("n_src_hosts").alias("top_anchor_hosts"),
+        F.expr("n_links * 1000000 DIV total_links").alias(
+            "top_share_ppm"
+        ),
+        (F.col("n_links") * 2 > F.col("total_links")).alias("is_spammy"),
+    )
+
+
+@q(
+    "q_hreflang_clusters",
+    """
+    WITH alt AS (
+      SELECT event_id % 60 AS cluster_id,
+             CASE WHEN event_id % 11 = 0 THEN 'x-default'
+                  ELSE CASE (event_id // 60) % 4 WHEN 0 THEN 'en'
+                                                 WHEN 1 THEN 'de'
+                                                 WHEN 2 THEN 'fr'
+                                                 ELSE 'ja' END
+             END AS hreflang
+      FROM events
+      WHERE NOT (event_id % 60 % 3 = 0 AND (event_id // 60) % 4 = 3
+                 AND event_id % 11 <> 0)
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(DISTINCT CASE WHEN hreflang <> 'x-default'
+                                    THEN hreflang END) AS BIGINT)
+             AS n_langs,
+           string_agg(DISTINCT hreflang, ',' ORDER BY hreflang)
+             AS langs_csv,
+           MAX(hreflang = 'x-default') AS has_xdefault,
+           COUNT(DISTINCT CASE WHEN hreflang <> 'x-default'
+                               THEN hreflang END) = 4 AS is_complete
+    FROM alt GROUP BY cluster_id
+    """,
+)
+def q_hreflang_clusters(spark, sf_dir):
+    """hreflang alternate-cluster completeness audit — multilingual
+    sites declare language variants via rel=alternate hreflang groups,
+    and an INCOMPLETE group (a language missing its variant) is both
+    an SEO defect and a signal for the mixture allocator that a
+    translation is crawlable elsewhere. Per cluster the audit counts
+    distinct real languages (x-default excluded), emits the sorted
+    language set, whether an x-default fallback exists, and a
+    completeness verdict against the site's 4-language ideal —
+    synthesis drops the 'ja' variant from every 3rd cluster so the
+    incomplete branch fires.
+
+    Plan/scale: ONE logical aggregate on cluster_id (the DISTINCT
+    lang count and the DISTINCT ordered string_agg expand to the
+    standard two-level plan; the language alphabet bounds per-group
+    state at any corpus size). At 10^12 alternate declarations: scan
+    + the cluster-keyed exchange, no window, no join."""
+    ev = _t(spark, sf_dir, "events")
+    cluster = F.col("event_id") % 60
+    member = F.expr("event_id DIV 60") % 4
+    lang = F.when(F.col("event_id") % 11 == 0, F.lit("x-default")).otherwise(
+        F.when(member == 0, F.lit("en"))
+        .when(member == 1, F.lit("de"))
+        .when(member == 2, F.lit("fr"))
+        .otherwise(F.lit("ja"))
+    )
+    alt = ev.filter(
+        ~(
+            (cluster % 3 == 0)
+            & (member == 3)
+            & (F.col("event_id") % 11 != 0)
+        )
+    ).select(cluster.cast("long").alias("cluster_id"), lang.alias("hreflang"))
+    real = F.when(F.col("hreflang") != "x-default", F.col("hreflang"))
+    return alt.groupBy("cluster_id").agg(
+        F.countDistinct(real).cast("long").alias("n_langs"),
+        F.array_join(F.array_sort(F.collect_set("hreflang")), ",").alias(
+            "langs_csv"
+        ),
+        F.max(F.col("hreflang") == "x-default").alias("has_xdefault"),
+        (F.countDistinct(real) == 4).alias("is_complete"),
+    )

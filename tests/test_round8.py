@@ -252,7 +252,7 @@ def _write_events(d, rows):
 
 def _oracle_rows(sf_dir, name):
     con = _duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "embeddings"):
         p = f"{sf_dir}/{t}.parquet"
         import os as _os
 
@@ -1049,3 +1049,97 @@ def test_syndication_singletons_and_primary(spark, tmp_path):
     )
     assert len(aggs) == 4, plan  # two-level DISTINCT expansion
     assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def _write_embeddings(d, rows):
+    pdf = _pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    tbl = _pa.Table.from_pandas(
+        pdf,
+        schema=_pa.schema(
+            [
+                ("vec_id", _pa.int64()),
+                ("embedding", _pa.list_(_pa.float32())),
+                ("label", _pa.int32()),
+            ]
+        ),
+    )
+    _pq_mod.write_table(tbl, str(d / "embeddings.parquet"))
+
+
+def test_embedding_drift_identities(spark, tmp_path):
+    """Identical batches read cos_sim 1.0 / l2_shift 0.0 exactly (the
+    all-integer path has no float noise to blur the fixpoint);
+    orthogonal batches read cos_sim 0.0; and the plan is two keyed
+    aggregate pairs with no window or join."""
+    import re as _re
+
+    rows = []
+    # label 0: batch 0 (even vec_id) and batch 1 (odd) both [1, 0, 0]
+    rows += [(0, [1.0, 0.0, 0.0], 0), (1, [1.0, 0.0, 0.0], 0)]
+    rows += [(2, [1.0, 0.0, 0.0], 0), (3, [1.0, 0.0, 0.0], 0)]
+    # label 1: batch 0 = [1,0,0], batch 1 = [0,1,0] -> orthogonal
+    rows += [(4, [1.0, 0.0, 0.0], 1), (5, [0.0, 1.0, 0.0], 1)]
+    _write_embeddings(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_embedding_drift")
+    assert s == _oracle_rows(tmp_path, "q_embedding_drift")
+    by_label = {r[0]: r[1:] for r in s}
+    assert by_label[0] == (1.0, 0.0)
+    assert by_label[1][0] == 0.0
+    plan = _fmt_plan(
+        REGISTRY["q_embedding_drift"].spark(spark, str(tmp_path))
+    )
+    assert "Window" not in plan and "Join" not in plan, plan
+    aggs = _re.findall(
+        r"\(\d+\) (?:HashAggregate|ObjectHashAggregate|SortAggregate)", plan
+    )
+    assert len(aggs) == 4, plan  # (label,d) pair + label pair
+
+
+def test_anchor_spam_planted_targets(spark, tmp_path):
+    """Every 5th target carries the planted money phrase at ~80%
+    density and must flag spammy with that phrase as top anchor;
+    organic targets never flag (top anchor from the 7-anchor pool is
+    far under the half-of-inlinks threshold); the window runs over
+    the per-anchor rollup, not raw links."""
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "view", 1.0, "{}") for i in range(400)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_anchor_spam")
+    assert s == _oracle_rows(tmp_path, "q_anchor_spam")
+    by_target = {r[0]: r for r in s}
+    for tgt, (_, n_anchors, n_in, top, _hosts, share, spam) in (
+        by_target.items()
+    ):
+        tn = int(tgt.split(".")[0][1:])
+        if tn % 5 == 0:
+            assert spam is True and top == "buy cheap widgets"
+            assert share > 500000
+        else:
+            assert spam is False and top.startswith("anchor")
+            assert n_anchors <= 7
+
+
+def test_hreflang_incomplete_clusters(spark, tmp_path):
+    """Every 3rd cluster is missing its 'ja' variant (n_langs 3,
+    incomplete, 'ja' absent from the sorted set); other clusters read
+    complete with all four languages; x-default rows count toward the
+    set but never toward n_langs."""
+    t0 = _dt.datetime(2024, 1, 1)
+    # ids c + 60*k for clusters c in {0,2,3} and members k = 0..3
+    # (cluster 1 would hit id 121 = 11^2 -> an x-default row; cluster 2
+    # avoids every %11 residue)
+    rows = []
+    for c in (0, 2, 3):
+        for k in range(4):
+            rows.append((c + 60 * k, t0, 1, "view", 1.0, "{}"))
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_hreflang_clusters")
+    assert s == _oracle_rows(tmp_path, "q_hreflang_clusters")
+    by_cluster = {r[0]: r[1:] for r in s}
+    # cluster 0: id 0 -> x-default (0%11==0), ids 60/120 -> de/fr, and
+    # 180 -> ja BUT 0 % 3 == 0 drops ja -> langs {de, fr} + x-default
+    assert by_cluster[0] == (2, "de,fr,x-default", True, False)
+    # cluster 2: ids 2/62/122/182 -> en/de/fr/ja, none x-default
+    assert by_cluster[2] == (4, "de,en,fr,ja", False, True)
+    # cluster 3: 3 % 3 == 0 -> ja dropped
+    assert by_cluster[3] == (3, "de,en,fr", False, False)
