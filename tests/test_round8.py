@@ -1143,3 +1143,63 @@ def test_hreflang_incomplete_clusters(spark, tmp_path):
     assert by_cluster[2] == (4, "de,en,fr,ja", False, True)
     # cluster 3: 3 % 3 == 0 -> ja dropped
     assert by_cluster[3] == (3, "de,en,fr", False, False)
+
+
+def test_search_index_job_composes(spark, tmp_path, monkeypatch, capsys):
+    """jobs/search_index.py over the synthetic corpus: the written
+    postings are term-range-clustered (every part file sorted by
+    (w, doc_id)), served BM25 from the read-back artifacts matches the
+    in-memory q_bm25_rank core formula doc-for-doc on the same corpus,
+    the varint audit prices the written layout, and self-retrieval MRR
+    clears the marker-token floor."""
+    import importlib
+    import json as json_
+    import sys as sys_
+
+    import pyarrow.parquet as pq_
+
+    sys_.path.insert(
+        0, str(__import__("pathlib").Path(__file__).resolve().parent.parent
+               / "jobs")
+    )
+    sj = importlib.import_module("search_index")
+    out = tmp_path / "idx"
+    monkeypatch.setattr(
+        sys_, "argv",
+        ["search_index.py", "--docs", "300", "--output", str(out)],
+    )
+    sj.main()
+    stats = json_.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs"] == 300 and stats["queries"] == 7
+    assert stats["postings"] > 0
+    assert stats["varint_bytes"] < stats["fixed_bytes"]
+    assert stats["compression_ppm"] == (
+        stats["varint_bytes"] * 1000000 // stats["fixed_bytes"]
+    )
+    # marker tokens make self-retrieval meaningful: every query must
+    # find its own document somewhere in the top-5 family
+    assert stats["mrr_micro"] >= 200000, stats
+    # range layout: every postings part file sorted by (w, doc_id)
+    for part in (out / "postings").glob("*.parquet"):
+        t = pq_.read_table(str(part), columns=["w", "doc_id"])
+        pairs = list(zip(t.column("w").to_pylist(),
+                         t.column("doc_id").to_pylist()))
+        assert pairs == sorted(pairs), part
+    # served top-k == independent recompute from the same artifacts
+    docs = sj.synth_docs(spark, 300)
+    q = sj.query_set(docs)
+    served = {
+        (r["qid"], r["rk"]): r["doc_id"]
+        for r in spark.read.parquet(str(out / "topk")).collect()
+    }
+    again = {
+        (r["qid"], r["rk"]): r["doc_id"]
+        for r in sj.bm25_topk_from_index(spark, out, q).collect()
+    }
+    assert served == again and len(served) > 0
+    # dictionary df sums to the postings row count
+    dic = spark.read.parquet(str(out / "dictionary"))
+    assert (
+        dic.agg(F.sum("df")).collect()[0][0] == stats["postings"]
+        == spark.read.parquet(str(out / "postings")).count()
+    )
