@@ -218,7 +218,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: entry is new-this-round or changed-surface that must re-hash);
 #: they are parity-tested every round by tests/test_oracle_parity.py
 #: and are PROMISED gate slots in round 9 — the q_minhash_calibration
-#: r7→r8 precedent.
+#: r7→r8 precedent. The same promise covers the final session-5
+#: additions q_embedding_drift, q_anchor_spam, q_hreflang_clusters,
+#: q_cdc_chunks and q_index_prune.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

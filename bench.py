@@ -183,6 +183,8 @@ HEADLINE = [
     "q_embedding_drift",
     "q_anchor_spam",
     "q_hreflang_clusters",
+    "q_cdc_chunks",
+    "q_index_prune",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -12632,3 +12632,290 @@ def q_hreflang_clusters(spark, sf_dir):
         F.max(F.col("hreflang") == "x-default").alias("has_xdefault"),
         (F.countDistinct(real) == 4).alias("is_complete"),
     )
+
+
+@q(
+    "q_cdc_chunks",
+    """
+    WITH base AS (
+      SELECT a.doc_id,
+             CASE WHEN a.doc_id % 7 = 0 THEN a.text ELSE h.text END
+               AS text
+      FROM documents a
+      JOIN documents h ON h.doc_id = a.doc_id - a.doc_id % 4
+    ), arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM base
+    ), toks AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pos, arr[p] AS w,
+             CASE WHEN p >= 4 AND p < len(arr)
+                       AND substr(md5(array_to_string(arr[p-3:p], ' ')),
+                                  1, 1) = '0'
+                  THEN 1 ELSE 0 END AS b
+      FROM arrs, UNNEST(generate_series(1, len(arr))) AS t(p)
+    ), assigned AS (
+      SELECT doc_id, pos, w,
+             CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_digest,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM assigned GROUP BY doc_id, chunk_id
+    ), per_digest AS (
+      SELECT chunk_digest,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(MIN(n_words) AS BIGINT) AS n_words
+      FROM chunks GROUP BY chunk_digest
+    )
+    SELECT n_docs >= 2 AS is_reused,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
+           CAST(SUM(n_occ * n_words) AS BIGINT) AS token_mass,
+           CAST(SUM((n_occ - 1) * n_words) AS BIGINT)
+             AS dedup_savings_tokens
+    FROM per_digest GROUP BY n_docs >= 2
+    """,
+)
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking audit — the rsync/FastCDC idea at
+    word grain: chunk boundaries are declared wherever the rolling
+    content fingerprint (md5 of the 4-gram ending at each position)
+    lands in a 1/16 hex bucket, so INSERTIONS only reshape the chunks
+    they touch — unlike fixed-size chunking, where one shifted word
+    re-digests the whole tail. The audit then measures cross-document
+    chunk reuse: distinct chunks, occurrences, token mass and the
+    exact token savings chunk-level dedup would bank, split by
+    reused-vs-unique. Synthesis plants reuse (non-solo docs share
+    their doc_id DIV 4 family head's text; every-7th solo docs stay
+    unique) so both classes fire.
+
+    Plan/scale: boundaries are computed INSIDE array land (one
+    transform over each doc's token array — no self-join, no carried
+    duplicate array) and exploded once; chunk assignment is a per-doc
+    lagged running sum (window bounded by document length, never
+    corpus size); chunk digests are one (doc, chunk) aggregate whose
+    string_agg state is bounded by the expected chunk size (16
+    words); reuse is one digest-keyed aggregate — the same shuffle
+    key exact dedup pays. At 10^12 docs: explode + three keyed
+    exchanges, all bounded-state."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "text")
+    h = docs.select(
+        F.col("doc_id").alias("hid"), F.col("text").alias("htext")
+    )
+    base = a.join(
+        h, h.hid == a.doc_id - a.doc_id % 4
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.col("text"))
+        .otherwise(F.col("htext"))
+        .alias("text"),
+    )
+    arr = F.split("text", " ")
+    items = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr)),
+                lambda p: F.struct(
+                    p.cast("long").alias("pos"),
+                    F.element_at(arr, p).alias("w"),
+                    F.when(
+                        (p >= 4)
+                        & (p < F.size(arr))
+                        & (
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        " ", F.slice(arr, p - 3, 4)
+                                    ).cast("binary")
+                                ),
+                                1,
+                                1,
+                            )
+                            == "0"
+                        ),
+                        1,
+                    )
+                    .otherwise(0)
+                    .alias("b"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.pos", "t.w", "t.b")
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = items.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.coalesce(F.sum("b").over(wcum), F.lit(0))
+        .cast("long")
+        .alias("chunk_id"),
+    )
+    chunks = assigned.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda x: x.getField("w"),
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("chunk_digest"),
+        F.count("*").cast("long").alias("n_words"),
+    )
+    per_digest = chunks.groupBy("chunk_digest").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_occ"),
+        F.min("n_words").cast("long").alias("n_words"),
+    )
+    return per_digest.groupBy(
+        (F.col("n_docs") >= 2).alias("is_reused")
+    ).agg(
+        F.count("*").cast("long").alias("n_distinct_chunks"),
+        F.sum(F.col("n_occ") * F.col("n_words"))
+        .cast("long")
+        .alias("token_mass"),
+        F.sum("n_occ").cast("long").alias("n_occurrences"),
+        F.sum((F.col("n_occ") - 1) * F.col("n_words"))
+        .cast("long")
+        .alias("dedup_savings_tokens"),
+    ).select(
+        "is_reused",
+        "n_distinct_chunks",
+        "n_occurrences",
+        "token_mass",
+        "dedup_savings_tokens",
+    )
+
+
+@q(
+    "q_index_prune",
+    """
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+    term AS (
+      SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY w),
+    tot AS (SELECT CAST(SUM(df) AS BIGINT) AS total_postings FROM term),
+    top16 AS (
+      SELECT w, df,
+             CAST(ROW_NUMBER() OVER (ORDER BY df DESC, w ASC) AS BIGINT)
+               AS rk
+      FROM term QUALIFY rk <= 16),
+    qtok AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(text, ' ')[3:5]) AS w
+        FROM documents WHERE doc_id % 47 = 0) WHERE w <> ''),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_query_terms FROM qtok),
+    kdim(k) AS (VALUES (1), (2), (4), (8), (16)),
+    saved AS (
+      SELECT kdim.k, CAST(SUM(top16.df) AS BIGINT) AS postings_saved,
+             CAST(COUNT(DISTINCT CASE WHEN qtok.w IS NOT NULL
+                                      THEN top16.w END) AS BIGINT)
+               AS query_terms_lost
+      FROM kdim JOIN top16 ON top16.rk <= kdim.k
+      LEFT JOIN qtok ON qtok.w = top16.w
+      GROUP BY kdim.k)
+    SELECT CAST(saved.k AS BIGINT) AS k, postings_saved,
+           CAST(postings_saved * 1000000 // tot.total_postings AS BIGINT)
+             AS saved_ppm,
+           nq.n_query_terms, query_terms_lost,
+           CAST(query_terms_lost * 1000000 // nq.n_query_terms AS BIGINT)
+             AS query_loss_ppm
+    FROM saved CROSS JOIN tot CROSS JOIN nq
+    """,
+)
+def q_index_prune(spark, sf_dir):
+    """Stopword-pruning planner for the inverted index — the
+    cost/benefit table behind 'drop the top-k df terms': per candidate
+    k ∈ {1,2,4,8,16}, the exact postings saved (Σ df of the rank-≤-k
+    terms, deterministic election df desc / w asc) against the damage
+    proxy — how many of the BM25 gate's query terms (the q_bm25_rank
+    rule) the pruned set would swallow — both in exact ppm. Stop words
+    dominate postings mass but carry no idf, so the sweet spot is
+    where saved_ppm climbs and query_loss_ppm hasn't.
+
+    Plan/scale: one (w, doc_id)-keyed distinct rollup (the same tf
+    pass the index build pays), then a global rank window FILTERED to
+    the top 16 rows — which Spark rewrites into TakeOrderedAndProject
+    (per-partition top-16 + a 16-row merge), so at a 10^8-term
+    vocabulary the single-partition window sees exactly 16 rows, never
+    the term table (plan-tested). The rk <= k theta join compiles to a
+    BroadcastNestedLoopJoin over 16 × 5 rows; every remaining join is
+    a broadcast dim or 1-row total."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    term = (
+        toks.groupBy("w", "doc_id")
+        .agg(F.lit(1))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    tot = term.agg(
+        F.sum("df").cast("long").alias("total_postings")
+    )
+    wrk = Window.orderBy(F.desc("df"), F.asc("w"))
+    top16 = (
+        term.withColumn(
+            "rk", F.row_number().over(wrk).cast("long")
+        )
+        .filter(F.col("rk") <= 16)
+    )
+    qtok = (
+        docs.filter(F.col("doc_id") % 47 == 0)
+        .select(
+            F.explode(F.slice(F.split("text", " "), 3, 3)).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    nq = qtok.agg(F.count("*").cast("long").alias("n_query_terms"))
+    kdim = spark.createDataFrame([(1,), (2,), (4,), (8,), (16,)], "k long")
+    saved = (
+        F.broadcast(kdim)
+        .join(top16, top16.rk <= F.col("k"))
+        .join(
+            qtok.select(F.col("w").alias("qw")),
+            F.col("qw") == top16.w,
+            "left",
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("df").cast("long").alias("postings_saved"),
+            F.countDistinct(
+                F.when(F.col("qw").isNotNull(), top16.w)
+            )
+            .cast("long")
+            .alias("query_terms_lost"),
+        )
+    )
+    return (
+        saved.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "postings_saved",
+            F.expr(
+                "postings_saved * 1000000 DIV total_postings"
+            ).alias("saved_ppm"),
+            "n_query_terms",
+            "query_terms_lost",
+            F.expr(
+                "query_terms_lost * 1000000 DIV n_query_terms"
+            ).alias("query_loss_ppm"),
+        )
+    )

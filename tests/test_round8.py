@@ -1203,3 +1203,140 @@ def test_search_index_job_composes(spark, tmp_path, monkeypatch, capsys):
         dic.agg(F.sum("df")).collect()[0][0] == stats["postings"]
         == spark.read.parquet(str(out / "postings")).count()
     )
+
+
+def _cdc_reference(texts):
+    """Pure-python reference of the q_cdc_chunks chunking rule:
+    boundary AFTER position p (1-based, 4 <= p < len) when the md5 of
+    the 4-gram ending at p starts with hex '0'."""
+    import hashlib as hl
+
+    per_digest = {}
+    for doc_id, text in texts.items():
+        words = text.split(" ")
+        cur, chunks = [], []
+        for p, w in enumerate(words, start=1):
+            cur.append(w)
+            if 4 <= p < len(words):
+                gram = " ".join(words[p - 4:p])
+                if hl.md5(gram.encode()).hexdigest()[0] == "0":
+                    chunks.append(cur)
+                    cur = []
+        if cur:
+            chunks.append(cur)
+        for c in chunks:
+            digest = hl.md5(" ".join(c).encode()).hexdigest()
+            docs, occ, nw = per_digest.get(digest, (set(), 0, len(c)))
+            docs.add(doc_id)
+            per_digest[digest] = (docs, occ + 1, nw)
+    out = {}
+    for docs, occ, nw in per_digest.values():
+        key = len(docs) >= 2
+        a, b, c, d = out.get(key, (0, 0, 0, 0))
+        out[key] = (a + 1, b + occ, c + occ * nw, d + (occ - 1) * nw)
+    return out
+
+
+def test_cdc_chunks_matches_python_reference(spark, tmp_path):
+    """The distributed chunking equals a pure-python reference
+    implementation class-for-class on an engineered corpus with
+    planted family reuse and a non-repetitive solo doc (whose class
+    must bank zero dedup savings)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    rows = []
+    for i in range(16):
+        rows.append((i, base + f" suffix{i} end{i} tail{i}", "en",
+                     "s0", 100))
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_cdc_chunks")
+    assert s == _oracle_rows(tmp_path, "q_cdc_chunks")
+    # effective texts after the family-share rule the query applies
+    texts = {}
+    for i in range(16):
+        src = i if i % 7 == 0 else i - i % 4
+        texts[i] = rows[src][1]
+    exp = _cdc_reference(texts)
+    got = {r[0]: tuple(r[1:]) for r in s}
+    assert got == exp
+    # doc 7 keeps its own non-repetitive text -> unique chunks exist
+    # and the unique class banks exactly zero savings
+    assert got[False][3] == 0 and got[False][0] > 0
+    # families share full texts -> reused chunks bank real savings
+    assert got[True][3] > 0
+
+
+def test_cdc_chunks_insertion_locality(spark, tmp_path):
+    """The CDC property itself: two corpora differing by ONE inserted
+    word share most chunk digests — only the chunks the insertion
+    touches re-digest (a fixed-width chunker would lose everything
+    after the insertion point)."""
+    import duckdb as dd
+
+    words = [f"w{(i * 7) % 23}x{i % 5}" for i in range(120)]
+    t_a = " ".join(words)
+    t_b = " ".join(words[:60] + ["INSERTED"] + words[60:])
+    digests = {}
+    for tag, text in (("a", t_a), ("b", t_b)):
+        con = dd.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT ? AS text", [text]
+        )
+        rows = con.execute("""
+            WITH arrs AS (SELECT string_split(text,' ') AS arr FROM t),
+            toks AS (
+              SELECT CAST(p AS BIGINT) AS pos, arr[p] AS w,
+                     CASE WHEN p >= 4 AND p < len(arr)
+                          AND substr(md5(array_to_string(arr[p-3:p],' ')),
+                                     1,1)='0'
+                     THEN 1 ELSE 0 END AS b
+              FROM arrs, UNNEST(generate_series(1, len(arr))) AS u(p)),
+            assigned AS (
+              SELECT pos, w, COALESCE(SUM(b) OVER (ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS c
+              FROM toks)
+            SELECT md5(string_agg(w, ' ' ORDER BY pos)) FROM assigned
+            GROUP BY c
+        """).fetchall()
+        digests[tag] = {r[0] for r in rows}
+    shared = digests["a"] & digests["b"]
+    # the insertion may reshape at most a few chunks around position 60
+    assert len(shared) >= len(digests["a"]) - 3, (
+        len(shared), len(digests["a"]), len(digests["b"])
+    )
+    assert digests["a"] != digests["b"]
+
+
+def test_index_prune_monotone_and_top16_plan(spark):
+    """saved_ppm and query_loss_ppm are nondecreasing in k; k=16 saves
+    the full top-16 postings mass; and the global rank window rides a
+    TakeOrderedAndProject top-16 gather — the vocabulary never reaches
+    a single-partition sort."""
+    import re as _re
+
+    rows = sorted(
+        _spark_rows(spark, SF_SMALL, "q_index_prune"),
+        key=lambda r: r[0],
+    )
+    assert rows == sorted(
+        _oracle_rows(SF_SMALL, "q_index_prune"), key=lambda r: r[0]
+    )
+    ks = [r[0] for r in rows]
+    assert ks == [1, 2, 4, 8, 16]
+    saved = [r[2] for r in rows]
+    loss = [r[5] for r in rows]
+    assert saved == sorted(saved) and loss == sorted(loss)
+    assert all(r[3] == rows[0][3] for r in rows)  # shared query-term N
+    plan = _fmt_plan(
+        REGISTRY["q_index_prune"].spark(spark, SF_SMALL)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    # every nested-loop is broadcast (the 16x5 theta join + the two
+    # 1-row total crosses); nothing shuffles a join side
+    assert len(
+        _re.findall(r"BroadcastNestedLoopJoin", plan)
+    ) >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
