@@ -399,3 +399,126 @@ def test_streaming_surt_index_version_cap_saturates(spark, stream_dirs):
     assert final.filter("sat = 1").count() > 0
     # saturation implies the key saw more captures than the cap
     assert final.filter("sat = 1 and n_captures < 2").count() == 0
+
+
+def test_streaming_crawl_delta_converges_to_batch(spark, tmp_path):
+    """The stateful delta classifier over two micro-batches of
+    engineered recrawls: the FINAL per-url row (highest n_captures in
+    update mode) must classify the latest capture exactly as the batch
+    lag-window rule would — new / changed / unchanged — with the
+    cumulative transition count, while state never retains capture
+    history (one digest, two counters)."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from readembedability_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_crawl_delta,
+    )
+
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+    hr = timedelta(hours=1)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def batch(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [r[0] for r in rows],
+                    "warc_ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "html": pa.array([r[2] for r in rows], pa.binary()),
+                    "text": ["x"] * len(rows),
+                    "lang": ["en"] * len(rows),
+                }
+            ),
+            in_dir / name,
+        )
+
+    u = "https://h{}.example.com/p"
+    # batch 1: first captures of four urls
+    batch("b1.parquet", [
+        (u.format(1), t0, b"<html>v1</html>"),        # will change
+        (u.format(2), t0, b"<html>stable</html>"),    # will repeat
+        (u.format(3), t0, b"<html>only</html>"),      # never recrawled
+        (u.format(4), t0, b"<html>a</html>"),         # changes twice
+    ])
+    # batch 2: recrawls (one multi-capture url inside ONE batch)
+    batch("b2.parquet", [
+        (u.format(1), t0 + hr, b"<html>v2</html>"),       # changed
+        (u.format(2), t0 + hr, b"<html>stable</html>"),   # unchanged
+        (u.format(4), t0 + hr, b"<html>b</html>"),        # changed ...
+        (u.format(4), t0 + 2 * hr, b"<html>b</html>"),    # then same
+    ])
+    out = streaming_crawl_delta(
+        read_pages_stream(spark, str(in_dir), max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("crawl_delta")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        r["url"]: r
+        for r in spark.sql(
+            """select * from crawl_delta a
+               where n_captures = (select max(n_captures)
+                                   from crawl_delta b
+                                   where b.url = a.url)"""
+        ).collect()
+    }
+    assert final[u.format(1)]["status"] == "changed"
+    assert final[u.format(1)]["n_changes"] == 1
+    assert final[u.format(2)]["status"] == "unchanged"
+    assert final[u.format(2)]["n_changes"] == 0
+    assert final[u.format(3)]["status"] == "new"
+    assert final[u.format(3)]["n_captures"] == 1
+    # url 4: a->b (changed) then b->b (unchanged) inside one batch
+    assert final[u.format(4)]["status"] == "unchanged"
+    assert final[u.format(4)]["n_changes"] == 1
+    assert final[u.format(4)]["n_captures"] == 3
+    # host column parsed from the url
+    assert final[u.format(1)]["host"] == "h1.example.com"
+    # batch-rule replay over the SAME files agrees on every latest
+    # status (the convergence claim)
+    from pyspark.sql import Window
+
+    caps = spark.read.parquet(str(in_dir)).select(
+        "url",
+        "warc_ts",
+        F.substring(
+            F.md5(F.coalesce("html", F.lit(b""))), 1, 8
+        ).alias("digest"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc("digest")
+    )
+    wall = Window.partitionBy("url")
+    batch_rule = (
+        caps.select(
+            "url",
+            "digest",
+            F.row_number().over(w).alias("rn"),
+            F.lead("digest").over(w).alias("prev"),
+            F.count("*").over(wall).alias("n"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "url",
+            F.when(F.col("n") == 1, F.lit("new"))
+            .when(F.col("digest") == F.col("prev"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )
+    for r in batch_rule.collect():
+        assert final[r["url"]]["status"] == r["status"], r
