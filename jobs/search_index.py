@@ -80,9 +80,10 @@ def synth_docs(spark, n: int):
 
 
 def build_index(spark, docs, out: Path, parts: int):
-    """documents → written postings/dictionary/doclens/corpus; returns
-    the stats dict for the artifacts (everything derived from ONE
-    tokenize scan; dictionary/doclens/corpus all ride the tf table)."""
+    """documents → written postings/dictionary/doclens/corpus
+    artifacts (everything derived from ONE tokenize scan;
+    dictionary/doclens/corpus all ride the tf table). Writes only —
+    the caller assembles its own stats from the written tables."""
     from readembedability_spark.queries import _persist
 
     toks = docs.select(
@@ -155,28 +156,13 @@ def bm25_topk_from_index(spark, out: Path, queries, k: int = 5):
     dictionary + doclens + corpus read back from parquet): same
     micro-quantized Okapi scoring as q_bm25_rank (k1=1.2, b=0.75,
     Lucene idf), query terms broadcast into the postings scan."""
+    from readembedability_spark.textops import bm25_s_micro
+
     post = spark.read.parquet(str(out / "postings"))
     dic = spark.read.parquet(str(out / "dictionary"))
     dl = spark.read.parquet(str(out / "doclens"))
     corp = spark.read.parquet(str(out / "corpus"))
-    idf = F.log(
-        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    s_micro = (
-        F.round(
-            idf
-            * (F.col("tf") * F.lit(2.2))
-            / (
-                F.col("tf")
-                + F.lit(1.2)
-                * (
-                    F.lit(0.25)
-                    + F.lit(0.75) * F.col("dl") / F.col("avgdl")
-                )
-            )
-            * F.lit(1000000.0)
-        )
-    ).cast("long")
+    s_micro = bm25_s_micro()
     term = (
         post.join(F.broadcast(queries), "w")
         .join(dic, "w")
@@ -198,17 +184,11 @@ def bm25_topk_from_index(spark, out: Path, queries, k: int = 5):
 
 
 def query_set(docs):
-    """The deterministic in-corpus query set (q_bm25_rank's rule):
-    every doc_id % 47 == 0 contributes its tokens 3..5, qid = doc_id."""
-    return (
-        docs.filter(F.col("doc_id") % 47 == 0)
-        .select(
-            F.col("doc_id").alias("qid"),
-            F.explode(F.slice(F.split("text", " "), 3, 3)).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .distinct()
-    )
+    """The deterministic in-corpus query set — the SHARED gate rule
+    (readembedability_spark.textops.bm25_query_terms), not a copy."""
+    from readembedability_spark.textops import bm25_query_terms
+
+    return bm25_query_terms(docs)
 
 
 def main() -> None:

@@ -433,12 +433,18 @@ def streaming_crawl_delta(pages_stream: DataFrame) -> DataFrame:
     without replaying history.
 
     State is O(1) per url by construction — one 8-char digest prefix,
-    two counters and a timestamp; no capture history is retained
+    counters and the head timestamp; no capture history is retained
     (exactly why the stream can classify at 10^12-capture scale: the
     batch sibling's lag window re-reads two captures per url, the
-    stream remembers only the last one). Captures inside a micro-batch
-    are applied in (ts_us, digest) order so a multi-capture batch
-    folds identically to replaying its rows one at a time."""
+    stream remembers only the last one). Ordering: ALL of a group's
+    arrow chunks are concatenated and sorted once by (ts_us, digest)
+    before folding, so a multi-chunk micro-batch replays identically
+    to row-at-a-time delivery. LATE DATA: with O(1) state a capture
+    older than the head cannot be spliced into history, so it is
+    counted in ``n_late`` and never regresses the head
+    (status/digest/last_ts unchanged; a batch carrying ONLY late
+    captures emits status ``late``) — reconciliation of late captures
+    is exactly what the batch sibling q_crawl_delta is for."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -447,39 +453,49 @@ def streaming_crawl_delta(pages_stream: DataFrame) -> DataFrame:
         last_digest = None
         n_changes = 0
         last_us = None
+        n_late = 0
         if state.exists:
-            n, last_digest, n_changes, last_us = state.get
+            n, last_digest, n_changes, last_us, n_late = state.get
         status = None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "digest"])
-            for ts_us, digest in zip(pdf["ts_us"], pdf["digest"]):
-                if n == 0:
-                    status = "new"
-                elif digest != last_digest:
-                    status = "changed"
-                    n_changes += 1
-                else:
-                    status = "unchanged"
-                n += 1
-                last_digest = digest
-                last_us = int(ts_us)
-        state.update((n, last_digest, n_changes, last_us))
+        applied = n - n_late  # captures that have moved the head so far
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "digest"])
+        for ts_us, digest in zip(batch["ts_us"], batch["digest"]):
+            ts_us = int(ts_us)
+            if last_us is not None and ts_us < last_us:
+                n_late += 1
+                continue
+            if applied == 0:
+                status = "new"
+            elif digest != last_digest:
+                status = "changed"
+                n_changes += 1
+            else:
+                status = "unchanged"
+            applied += 1
+            last_digest = digest
+            last_us = ts_us
+        n += len(batch)
+        if status is None:
+            status = "late"  # this batch carried only late captures
+        state.update((n, last_digest, n_changes, last_us, n_late))
         yield pd.DataFrame(
             {
                 "url": [key[0]],
                 "host": [key[1]],
                 "n_captures": [n],
                 "n_changes": [n_changes],
+                "n_late": [n_late],
                 "status": [status],
                 "last_ts": [pd.Timestamp(last_us, unit="us")],
             }
         )
 
+    from readembedability_spark.functions import host_col
+
     keyed = pages_stream.select(
         "url",
-        F.lower(
-            F.regexp_extract("url", r"^https?://([^/?#]+)", 1)
-        ).alias("host"),
+        host_col("url").alias("host"),
         F.expr(
             "timestampdiff(MICROSECOND,"
             " timestamp'1970-01-01 00:00:00', warc_ts)"
@@ -492,11 +508,11 @@ def streaming_crawl_delta(pages_stream: DataFrame) -> DataFrame:
         update,
         outputStructType=(
             "url string, host string, n_captures long, n_changes long,"
-            " status string, last_ts timestamp"
+            " n_late long, status string, last_ts timestamp"
         ),
         stateStructType=(
             "n_captures long, last_digest string, n_changes long,"
-            " last_us long"
+            " last_us long, n_late long"
         ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -9315,6 +9315,45 @@ def q_bm25_rank(spark, sf_dir):
     )
 
 
+def bm25_query_terms(docs):
+    """The deterministic in-corpus query set (the BM25 gate rule, the
+    SINGLE definition): every doc_id % 47 == 0 contributes its tokens
+    3..5 as one query, qid = doc_id. Shared by q_bm25_rank/_eval (via
+    _bm25_top5), q_index_prune's damage proxy, and
+    jobs/search_index.py's serving check."""
+    return (
+        docs.filter(F.col("doc_id") % 47 == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(F.slice(F.split("text", " "), 3, 3)).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+
+
+def bm25_s_micro():
+    """The micro-quantized Okapi BM25 term contribution (k1 = 1.2,
+    b = 0.75, Lucene idf) as a Column over (tf, df, dl, n, avgdl) —
+    the SINGLE definition of the scoring constants, shared by
+    _bm25_top5 and jobs/search_index.py's read-back scorer."""
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    return (
+        F.round(
+            idf
+            * (F.col("tf") * F.lit(2.2))
+            / (
+                F.col("tf")
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+            )
+            * F.lit(1000000.0)
+        )
+    ).cast("long")
+
+
 def _bm25_top5(spark, sf_dir):
     """Shared BM25 core: (qid, rk, doc_id, score_micro) top-5 table —
     mirrors the `ranked` CTE of _BM25_SQL_BODY; consumed by
@@ -9332,30 +9371,8 @@ def _bm25_top5(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         (F.sum("dl") * F.lit(1.0) / F.count("*")).alias("avgdl"),
     )
-    qt = (
-        docs.filter(F.col("doc_id") % 47 == 0)
-        .select(
-            F.col("doc_id").alias("qid"),
-            F.explode(F.slice(F.split("text", " "), 3, 3)).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .distinct()
-    )
-    idf = F.log(
-        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    s_micro = (
-        F.round(
-            idf
-            * (F.col("tf") * F.lit(2.2))
-            / (
-                F.col("tf")
-                + F.lit(1.2)
-                * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
-            )
-            * F.lit(1000000.0)
-        )
-    ).cast("long")
+    qt = bm25_query_terms(docs)
+    s_micro = bm25_s_micro()
     term = (
         tf.join(F.broadcast(qt), "w")
         .join(stats, "w")
@@ -12468,7 +12485,8 @@ def q_embedding_drift(spark, sf_dir):
                || '.example.com' AS target,
              's' || CAST(event_id % 50 AS VARCHAR)
                || '.example.com' AS src_host,
-             CASE WHEN event_id % 20 % 5 = 0 AND event_id % 10 < 8
+             CASE WHEN event_id % 20 % 5 = 0
+                       AND (event_id // 20) % 10 < 8
                   THEN 'buy cheap widgets'
                   ELSE 'anchor' || CAST(event_id % 7 AS VARCHAR)
              END AS anchor
@@ -12505,8 +12523,10 @@ def q_anchor_spam(spark, sf_dir):
     exact ppm, how many distinct source hosts push it, and flags
     targets whose top anchor exceeds half their inlinks (integer
     cross-multiplied threshold — no division). Synthesis plants the
-    money phrase on every 5th target at ~80% density; the rest draw
-    from a 7-anchor organic pool.
+    money phrase on every 5th target at exactly 80% density — keyed to
+    the CAPTURE index (event_id DIV 20), since any event_id % m key is
+    constant within a target class (the dead-modular-class trap) — so
+    spam targets still carry a real organic mixture around it.
 
     Plan/scale: ONE hash aggregate on (target, anchor) — the
     per-anchor grain, where COUNT(DISTINCT src_host) expands
@@ -12526,7 +12546,7 @@ def q_anchor_spam(spark, sf_dir):
             F.lit(".example.com"),
         ).alias("src_host"),
         F.when(
-            (tgt_n % 5 == 0) & (F.col("event_id") % 10 < 8),
+            (tgt_n % 5 == 0) & (F.expr("event_id DIV 20") % 10 < 8),
             F.lit("buy cheap widgets"),
         )
         .otherwise(
@@ -12875,14 +12895,7 @@ def q_index_prune(spark, sf_dir):
         )
         .filter(F.col("rk") <= 16)
     )
-    qtok = (
-        docs.filter(F.col("doc_id") % 47 == 0)
-        .select(
-            F.explode(F.slice(F.split("text", " "), 3, 3)).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .distinct()
-    )
+    qtok = bm25_query_terms(docs).select("w").distinct()
     nq = qtok.agg(F.count("*").cast("long").alias("n_query_terms"))
     kdim = spark.createDataFrame([(1,), (2,), (4,), (8,), (16,)], "k long")
     saved = (

@@ -1185,18 +1185,31 @@ def test_search_index_job_composes(spark, tmp_path, monkeypatch, capsys):
         pairs = list(zip(t.column("w").to_pylist(),
                          t.column("doc_id").to_pylist()))
         assert pairs == sorted(pairs), part
-    # served top-k == independent recompute from the same artifacts
+    # served top-k == the INDEPENDENT in-memory BM25 core
+    # (_bm25_top5, the q_bm25_rank machinery) over the same corpus —
+    # write the synth docs as a documents table and compare rank lists
     docs = sj.synth_docs(spark, 300)
-    q = sj.query_set(docs)
+    docs_dir = tmp_path / "docs_sf"
+    import pyarrow as pa_
+    import pyarrow.parquet as pq2_
+
+    docs_dir.mkdir()
+    pdf = docs.toPandas()
+    pq2_.write_table(
+        pa_.Table.from_pandas(pdf, preserve_index=False),
+        str(docs_dir / "documents.parquet"),
+    )
+    from readembedability_spark.textops import _bm25_top5
+
     served = {
-        (r["qid"], r["rk"]): r["doc_id"]
+        (r["qid"], r["rk"]): (r["doc_id"], r["score_micro"])
         for r in spark.read.parquet(str(out / "topk")).collect()
     }
-    again = {
-        (r["qid"], r["rk"]): r["doc_id"]
-        for r in sj.bm25_topk_from_index(spark, out, q).collect()
+    core = {
+        (r["qid"], r["rk"]): (r["doc_id"], r["score_micro"])
+        for r in _bm25_top5(spark, str(docs_dir)).collect()
     }
-    assert served == again and len(served) > 0
+    assert served == core and len(served) > 0
     # dictionary df sums to the postings row count
     dic = spark.read.parquet(str(out / "dictionary"))
     assert (

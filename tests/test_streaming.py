@@ -456,6 +456,11 @@ def test_streaming_crawl_delta_converges_to_batch(spark, tmp_path):
         (u.format(4), t0 + hr, b"<html>b</html>"),        # changed ...
         (u.format(4), t0 + 2 * hr, b"<html>b</html>"),    # then same
     ])
+    # batch 3: a LATE capture for url 1 (older than its head) — must
+    # count as late, never regress head state, and classify 'late'
+    batch("b3.parquet", [
+        (u.format(1), t0 - hr, b"<html>v0</html>"),
+    ])
     out = streaming_crawl_delta(
         read_pages_stream(spark, str(in_dir), max_files_per_trigger=1)
     )
@@ -476,8 +481,19 @@ def test_streaming_crawl_delta_converges_to_batch(spark, tmp_path):
                                    where b.url = a.url)"""
         ).collect()
     }
-    assert final[u.format(1)]["status"] == "changed"
+    assert final[u.format(1)]["status"] == "late"
     assert final[u.format(1)]["n_changes"] == 1
+    assert final[u.format(1)]["n_late"] == 1
+    assert final[u.format(1)]["n_captures"] == 3
+    # the head never regressed: last_ts is still the true newest
+    assert final[u.format(1)]["last_ts"].hour == (t0 + hr).hour
+    # the PREVIOUS emission (before the late batch) classified the
+    # head capture itself
+    by_caps = {
+        (r["url"], r["n_captures"]): r
+        for r in spark.sql("select * from crawl_delta").collect()
+    }
+    assert by_caps[(u.format(1), 2)]["status"] == "changed"
     assert final[u.format(2)]["status"] == "unchanged"
     assert final[u.format(2)]["n_changes"] == 0
     assert final[u.format(3)]["status"] == "new"
@@ -521,4 +537,5 @@ def test_streaming_crawl_delta_converges_to_batch(spark, tmp_path):
         )
     )
     for r in batch_rule.collect():
-        assert final[r["url"]]["status"] == r["status"], r
+        if final[r["url"]]["n_late"] == 0:
+            assert final[r["url"]]["status"] == r["status"], r
