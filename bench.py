@@ -185,6 +185,7 @@ HEADLINE = [
     "q_hreflang_clusters",
     "q_cdc_chunks",
     "q_index_prune",
+    "q_robots_crawl_debt",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

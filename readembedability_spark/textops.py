@@ -12932,3 +12932,156 @@ def q_index_prune(spark, sf_dir):
             ).alias("query_loss_ppm"),
         )
     )
+
+
+@q(
+    "q_robots_crawl_debt",
+    """
+    WITH cap AS (
+      SELECT 'h' || CAST(event_id % 25 AS VARCHAR)
+               || '.example.com' AS host,
+             CAST(event_id % 25 AS VARCHAR) AS hn,
+             CASE event_id % 3
+               WHEN 0 THEN '/local/' || CAST(event_id % 50 AS VARCHAR)
+               WHEN 1 THEN '/d/' || CAST(event_id % 50 AS VARCHAR)
+               ELSE '/a/' || CAST(event_id % 50 AS VARCHAR)
+             END AS path
+      FROM events
+    ), hosts AS (
+      SELECT DISTINCT hn FROM cap
+    ), robots AS (
+      SELECT hn,
+             'User-agent: *' || chr(10) ||
+             CASE WHEN CAST(hn AS BIGINT) % 4 = 0
+                  THEN 'Disallow: /local/' || chr(10) ELSE '' END ||
+             CASE WHEN CAST(hn AS BIGINT) % 4 = 1
+                  THEN 'Disallow: /d/' || chr(10) ELSE '' END ||
+             CASE WHEN CAST(hn AS BIGINT) % 8 = 2
+                  THEN 'Disallow: /' || chr(10) ELSE '' END ||
+             'Crawl-delay: 1' AS txt
+      FROM hosts
+    ), rules AS (
+      SELECT hn,
+             list_transform(
+               list_filter(string_split(txt, chr(10)),
+                           l -> starts_with(l, 'Disallow: ')),
+               l -> substr(l, 11)) AS dis
+      FROM robots
+    ), marked AS (
+      SELECT cap.host,
+             len(list_filter(r.dis, p -> starts_with(cap.path, p))) > 0
+               AS blocked,
+             list_contains(r.dis, '/') AS full_block
+      FROM cap JOIN rules r ON r.hn = cap.hn
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_captures,
+           CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS debt_ppm,
+           MAX(full_block) AS full_block
+    FROM marked GROUP BY host
+    """,
+)
+def q_robots_crawl_debt(spark, sf_dir):
+    """Robots crawl-debt audit — the RETROACTIVE sibling of
+    q_frontier_robots: that gate filters what we crawl NEXT, this one
+    asks what we already HOLD that today's robots.txt would forbid —
+    the purge work-list a compliance-bound archive drains when a site
+    tightens its policy. Every captured path is matched against its
+    host's current Disallow prefixes (parsed with the same JVM
+    higher-order-function chain as the frontier gate — line split /
+    filter / transform, no UDF), including the full-site
+    `Disallow: /` case (hosts ≡ 2 mod 8 — their ENTIRE history
+    becomes debt and the full_block flag tells the operator to drop
+    the host rather than enumerate urls). Per host: captures held,
+    captures now blocked, exact-ppm debt, full-block flag — host
+    classes land at 0%, ~1/3 and 100% debt so all three regimes fire
+    (the host modulus is 25, COPRIME with the 3-way path rotation —
+    a 24-host universe would freeze each host's path class and kill
+    the partial-debt regime, the dead-modular-class trap).
+
+    Plan/scale: hosts are distinct-projected from the captures (one
+    small agg at host cardinality), robots text + rule parsing are
+    row-local on THAT table, and captures join the rules host-keyed —
+    the frontier gate's no-forced-broadcast discipline — followed by
+    one host rollup; the prefix match is row-local after the join."""
+    ev = _t(spark, sf_dir, "events")
+    hn = (F.col("event_id") % 25).cast("string")
+    path = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit("/local/"), (F.col("event_id") % 50).cast("string")
+            ),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit("/d/"), (F.col("event_id") % 50).cast("string")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/a/"), (F.col("event_id") % 50).cast("string")
+            )
+        )
+    )
+    cap = ev.select(
+        F.concat(F.lit("h"), hn, F.lit(".example.com")).alias("host"),
+        hn.alias("hn"),
+        path.alias("path"),
+    )
+    hosts = cap.select("hn").distinct()
+    nl = "\n"
+    txt = F.concat(
+        F.lit("User-agent: *" + nl),
+        F.when(
+            F.col("hn").cast("long") % 4 == 0,
+            F.lit("Disallow: /local/" + nl),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("hn").cast("long") % 4 == 1,
+            F.lit("Disallow: /d/" + nl),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("hn").cast("long") % 8 == 2,
+            F.lit("Disallow: /" + nl),
+        ).otherwise(F.lit("")),
+        F.lit("Crawl-delay: 1"),
+    )
+    rules = hosts.select(
+        "hn",
+        F.transform(
+            F.filter(
+                F.split(txt, nl),
+                lambda line: line.startswith("Disallow: "),
+            ),
+            lambda line: F.substring(line, 11, 10000),
+        ).alias("dis"),
+    )
+    marked = cap.join(rules, "hn").select(
+        "host",
+        (
+            F.size(
+                F.filter(
+                    F.col("dis"),
+                    lambda p: F.col("path").startswith(p),
+                )
+            )
+            > 0
+        ).alias("blocked"),
+        F.array_contains("dis", "/").alias("full_block"),
+    )
+    return marked.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_blocked"),
+        F.expr(
+            "CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) * 1000000 "
+            "DIV COUNT(*) AS BIGINT)"
+        ).alias("debt_ppm"),
+        F.max("full_block").alias("full_block"),
+    )

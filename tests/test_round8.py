@@ -1353,3 +1353,44 @@ def test_index_prune_monotone_and_top16_plan(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_robots_crawl_debt_regimes(spark, tmp_path):
+    """All three debt regimes fire: a /local/-disallowing host owes
+    exactly its /local/ captures (~1/3 — the host modulus 25 is
+    coprime with the path rotation, so path classes vary WITHIN a
+    host), a full-block host owes 100% with the full_block flag
+    raised, a rule-less host owes nothing, and a host whose rule
+    never matches its paths owes nothing despite having a rule."""
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = []
+    # host 0 (≡0 mod 4: Disallow /local/): ids 0/25/50 → paths
+    # /local, /d, /a → exactly one blocked
+    for eid in (0, 25, 50):
+        rows.append((eid, t0, 1, "view", 1.0, "{}"))
+    # host 1 (≡1 mod 4: Disallow /d/): ids 1/26/51 → /d, /a, /local
+    for eid in (1, 26, 51):
+        rows.append((eid, t0, 1, "view", 1.0, "{}"))
+    # host 2 (≡2 mod 8: Disallow /): full block
+    for eid in (2, 27, 52):
+        rows.append((eid, t0, 1, "view", 1.0, "{}"))
+    # host 3 (no rules): zero debt
+    for eid in (3, 28, 53):
+        rows.append((eid, t0, 1, "view", 1.0, "{}"))
+    # host 4 (≡0 mod 4: Disallow /local/) captured only on /d and /a:
+    # ids 4 (%3=1 → /d) and 29 (%3=2 → /a) — rule exists, never fires
+    for eid in (4, 29):
+        rows.append((eid, t0, 1, "view", 1.0, "{}"))
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_robots_crawl_debt")
+    assert s == _oracle_rows(tmp_path, "q_robots_crawl_debt")
+    by_host = {r[0]: r[1:] for r in s}
+    assert by_host["h0.example.com"] == (3, 1, 333333, False)
+    assert by_host["h1.example.com"] == (3, 1, 333333, False)
+    assert by_host["h2.example.com"] == (3, 3, 1000000, True)
+    assert by_host["h3.example.com"] == (3, 0, 0, False)
+    assert by_host["h4.example.com"] == (2, 0, 0, False)
+    plan = _fmt_plan(
+        REGISTRY["q_robots_crawl_debt"].spark(spark, str(tmp_path))
+    )
+    assert "Window" not in plan, plan
