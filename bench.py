@@ -186,6 +186,7 @@ HEADLINE = [
     "q_cdc_chunks",
     "q_index_prune",
     "q_robots_crawl_debt",
+    "q_span_corruption",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -13085,3 +13085,136 @@ def q_robots_crawl_debt(spark, sf_dir):
         ).alias("debt_ppm"),
         F.max("full_block").alias("full_block"),
     )
+
+
+@q(
+    "q_span_corruption",
+    """
+    WITH arrs AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS arr,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), marked AS (
+      SELECT doc_id, lang, n,
+             list_transform(generate_series(1, n), p ->
+               CASE WHEN (p-1) % 20 = 0
+                    THEN '<extra_id_' || CAST((p-1) // 20 AS VARCHAR)
+                         || '>'
+                    WHEN (p-1) % 20 < 3 THEN NULL
+                    ELSE arr[p] END) AS in_items,
+             list_transform(generate_series(1, n), p ->
+               CASE WHEN (p-1) % 20 = 0
+                    THEN '<extra_id_' || CAST((p-1) // 20 AS VARCHAR)
+                         || '> ' || arr[p]
+                    WHEN (p-1) % 20 < 3 THEN arr[p]
+                    ELSE NULL END) AS tgt_items,
+             len(list_filter(generate_series(1, n),
+                             p -> (p-1) % 20 < 3)) AS n_corrupted,
+             len(list_filter(generate_series(1, n),
+                             p -> (p-1) % 20 = 0)) AS n_spans
+      FROM arrs
+    ), pairs AS (
+      SELECT doc_id, lang, n, n_corrupted, n_spans,
+             md5(array_to_string(list_filter(in_items,
+                                             x -> x IS NOT NULL), ' ')
+                 || chr(1)
+                 || array_to_string(list_filter(tgt_items,
+                                                x -> x IS NOT NULL),
+                                    ' ')) AS pair_md5
+      FROM marked
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS input_tokens,
+           CAST(SUM(n_corrupted) AS BIGINT) AS corrupted_tokens,
+           CAST(SUM(n_corrupted) * 1000000 // SUM(n) AS BIGINT)
+             AS corruption_ppm,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           md5(string_agg(pair_md5, '' ORDER BY pair_md5))
+             AS pairs_digest
+    FROM pairs GROUP BY lang
+    """,
+)
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption — the denoising-objective
+    preprocessor: deterministic 3-token spans at every 20-token stride
+    (15% corruption target) are replaced by numbered sentinels in the
+    INPUT while the TARGET lists each sentinel followed by its
+    original span — the exact (input, target) pair shape t5/UL2
+    training consumes. The gate hashes the TRANSFORMED TEXT itself
+    (order-independent md5 over per-doc pair digests), so a one-token
+    drift in sentinel placement, span boundaries or join spacing
+    hash-fails; the rollup also reports exact corruption ppm against
+    the 150000 target and span counts per language.
+
+    Plan/scale: the entire mask/transform runs INSIDE array land —
+    two list_transform passes and filters per document, all JVM
+    higher-order functions on the row, no explode, no shuffle until
+    the ONE lang-keyed rollup (map-side partials; per-group state is
+    one running md5 list bounded by docs-per-lang only at the final
+    string_agg — at 10^12 docs swap the digest column for a
+    xor/sum-of-hashes combiner, the documented trade the repo's other
+    digest gates make). Corruption spans are positional and
+    stride-deterministic, so the operator repartitions freely."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n = F.size(arr)
+    seq = F.sequence(F.lit(1), n)
+
+    def sentinel(p):
+        return F.concat(
+            F.lit("<extra_id_"),
+            F.floor((p - 1) / 20).cast("long").cast("string"),
+            F.lit(">"),
+        )
+
+    in_items = F.transform(
+        seq,
+        lambda p: F.when((p - 1) % 20 == 0, sentinel(p))
+        .when((p - 1) % 20 < 3, F.lit(None).cast("string"))
+        .otherwise(F.element_at(arr, p)),
+    )
+    tgt_items = F.transform(
+        seq,
+        lambda p: F.when(
+            (p - 1) % 20 == 0,
+            F.concat(sentinel(p), F.lit(" "), F.element_at(arr, p)),
+        )
+        .when((p - 1) % 20 < 3, F.element_at(arr, p))
+        .otherwise(F.lit(None).cast("string")),
+    )
+    marked = docs.select(
+        "lang",
+        n.cast("long").alias("n"),
+        F.size(F.filter(seq, lambda p: (p - 1) % 20 < 3))
+        .cast("long")
+        .alias("n_corrupted"),
+        F.size(F.filter(seq, lambda p: (p - 1) % 20 == 0))
+        .cast("long")
+        .alias("n_spans"),
+        F.md5(
+            F.concat(
+                F.array_join(
+                    F.filter(in_items, lambda x: x.isNotNull()), " "
+                ),
+                F.lit("\x01"),
+                F.array_join(
+                    F.filter(tgt_items, lambda x: x.isNotNull()), " "
+                ),
+            ).cast("binary")
+        ).alias("pair_md5"),
+    )
+    return marked.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("input_tokens"),
+        F.sum("n_corrupted").cast("long").alias("corrupted_tokens"),
+        F.expr(
+            "SUM(n_corrupted) * 1000000 DIV SUM(n)"
+        ).alias("corruption_ppm"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.collect_list("pair_md5")), ""
+            ).cast("binary")
+        ).alias("pairs_digest"),
+    )

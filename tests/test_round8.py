@@ -1394,3 +1394,25 @@ def test_robots_crawl_debt_regimes(spark, tmp_path):
         REGISTRY["q_robots_crawl_debt"].spark(spark, str(tmp_path))
     )
     assert "Window" not in plan, plan
+
+
+def test_span_corruption_exact_transform(spark, tmp_path):
+    """The masked input and target are byte-exact against a hand-built
+    expectation for a 25-token document (spans at positions 1-3 and
+    21-23), and the ppm/count columns carry the closed-form values."""
+    import hashlib as hl
+
+    words = [f"t{i}" for i in range(1, 26)]
+    _write_docs(tmp_path, [(0, " ".join(words), "en", "s0", 100)])
+    s = _spark_rows(spark, tmp_path, "q_span_corruption")
+    assert s == _oracle_rows(tmp_path, "q_span_corruption")
+    (lang, n_docs, toks, corrupted, ppm, spans, digest), = s
+    assert (lang, n_docs, toks, corrupted, spans) == ("en", 1, 25, 6, 2)
+    assert ppm == 6 * 1000000 // 25
+    exp_input = "<extra_id_0> " + " ".join(words[3:20]) + \
+        " <extra_id_1> " + " ".join(words[23:25])
+    exp_target = "<extra_id_0> t1 t2 t3 <extra_id_1> t21 t22 t23"
+    pair_md5 = hl.md5(
+        (exp_input + "\x01" + exp_target).encode()
+    ).hexdigest()
+    assert digest == hl.md5(pair_md5.encode()).hexdigest()
