@@ -220,8 +220,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: and are PROMISED gate slots in round 9 — the q_minhash_calibration
 #: r7→r8 precedent. The same promise covers the final session-5
 #: additions q_embedding_drift, q_anchor_spam, q_hreflang_clusters,
-#: q_cdc_chunks, q_index_prune, q_robots_crawl_debt and
-#: q_span_corruption.
+#: q_cdc_chunks, q_index_prune, q_robots_crawl_debt,
+#: q_span_corruption and q_index_merge.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -187,6 +187,7 @@ HEADLINE = [
     "q_index_prune",
     "q_robots_crawl_debt",
     "q_span_corruption",
+    "q_index_merge",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -13218,3 +13218,128 @@ def q_span_corruption(spark, sf_dir):
             ).cast("binary")
         ).alias("pairs_digest"),
     )
+
+
+@q(
+    "q_index_merge",
+    """
+    WITH toks AS (
+      SELECT doc_id, w, doc_id % 5 = 0 AS is_delta FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'xnew' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE 'xbase' || CAST(doc_id % 3 AS VARCHAR) END,
+             doc_id % 5 = 0
+      FROM documents),
+    seg AS (
+      SELECT w, is_delta,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS cf
+      FROM toks GROUP BY w, is_delta),
+    merged AS (
+      SELECT w,
+             CAST(COALESCE(SUM(CASE WHEN NOT is_delta THEN df END), 0)
+                  AS BIGINT) AS df_base,
+             CAST(COALESCE(SUM(CASE WHEN is_delta THEN df END), 0)
+                  AS BIGINT) AS df_delta,
+             CAST(SUM(df) AS BIGINT) AS df_merged,
+             CAST(SUM(cf) AS BIGINT) AS cf_merged
+      FROM seg GROUP BY w)
+    SELECT CASE WHEN df_base = 0 THEN 'new_term'
+                WHEN df_delta = 0 THEN 'untouched'
+                ELSE 'updated' END AS merge_class,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(df_delta) AS BIGINT) AS postings_added,
+           CAST(SUM(df_merged) AS BIGINT) AS postings_merged,
+           CAST(SUM(cf_merged) AS BIGINT) AS occurrences_merged,
+           CAST(SUM(df_delta) * 1000000
+                // NULLIF(SUM(df_merged), 0) AS BIGINT) AS growth_ppm
+    FROM merged GROUP BY merge_class
+    """,
+)
+def q_index_merge(spark, sf_dir):
+    """Incremental index segment merge — the Lucene-shape operation an
+    always-crawling search stack runs continuously: the BASE segment's
+    term statistics and a DELTA batch's (every 5th doc arrives in the
+    delta) are merged per term, and the audit classes every term as
+    `new_term` (exists only in the delta — dictionary growth),
+    `updated` (postings appended to an existing term) or `untouched`
+    (base-only — whose postings a merge-on-write would copy verbatim,
+    the cost a merge policy weighs against read amplification). Per
+    class: term count, postings added/merged, occurrence mass, exact
+    growth ppm. Each document also carries a per-segment marker term
+    (the tiny shared test vocabulary would otherwise put every term in
+    both segments and leave new_term/untouched EMPTY — the
+    dead-class discipline applied at the term level).
+
+    Plan/scale: ONE (w, segment) keyed rollup over the tokenize scan
+    (the per-segment tf pass both segments already pay at index-build
+    time), then a w-keyed merge rollup — the SAME term-keyed exchange
+    the postings writer uses, so on a real index this runs as a
+    read-side merge of two term-sorted segment files with no extra
+    shuffle at all; the final class rollup is 3 rows. No join — the
+    segment axis is folded through conditional aggregation instead of
+    a full-outer join of two inventories."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("w"),
+            (F.col("doc_id") % 5 == 0).alias("is_delta"),
+        )
+        .filter(F.col("w") != "")
+        .unionAll(
+            docs.select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(
+                        F.lit("xnew"), (F.col("doc_id") % 3).cast("string")
+                    ),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("xbase"),
+                        (F.col("doc_id") % 3).cast("string"),
+                    )
+                )
+                .alias("w"),
+                (F.col("doc_id") % 5 == 0).alias("is_delta"),
+            )
+        )
+    )
+    seg = toks.groupBy("w", "is_delta").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count("*").cast("long").alias("cf"),
+    )
+    merged = seg.groupBy("w").agg(
+        F.coalesce(
+            F.sum(F.when(~F.col("is_delta"), F.col("df"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("df_base"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_delta"), F.col("df"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("df_delta"),
+        F.sum("df").cast("long").alias("df_merged"),
+        F.sum("cf").cast("long").alias("cf_merged"),
+    )
+    cls = (
+        F.when(F.col("df_base") == 0, F.lit("new_term"))
+        .when(F.col("df_delta") == 0, F.lit("untouched"))
+        .otherwise(F.lit("updated"))
+    )
+    return merged.groupBy(cls.alias("merge_class")).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("df_delta").cast("long").alias("postings_added"),
+        F.sum("df_merged").cast("long").alias("postings_merged"),
+        F.sum("cf_merged").cast("long").alias("occurrences_merged"),
+        F.expr(
+            "SUM(df_delta) * 1000000 DIV NULLIF(SUM(df_merged), 0)"
+        ).alias("growth_ppm"),
+    )

@@ -1416,3 +1416,27 @@ def test_span_corruption_exact_transform(spark, tmp_path):
         (exp_input + "\x01" + exp_target).encode()
     ).hexdigest()
     assert digest == hl.md5(pair_md5.encode()).hexdigest()
+
+
+def test_index_merge_classes_and_identities(spark, tmp_path):
+    """All three merge classes fire with exact identities: new terms
+    grow at 1000000 ppm (all their postings are additions), untouched
+    terms at 0, and postings_merged across classes equals base + delta
+    postings exactly."""
+    rows = [(i, "shared tok" + str(i % 2), "en", "s0", 30)
+            for i in range(20)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_index_merge")
+    assert s == _oracle_rows(tmp_path, "q_index_merge")
+    by_class = {r[0]: r[1:] for r in s}
+    assert set(by_class) == {"new_term", "untouched", "updated"}
+    assert by_class["new_term"][4] == 1000000
+    assert by_class["untouched"][1] == 0 and by_class["untouched"][4] == 0
+    # every added posting is a delta posting; merged = base + delta
+    total_merged = sum(v[2] for v in by_class.values())
+    total_added = sum(v[1] for v in by_class.values())
+    # base docs: 16 of 20 (doc_id % 5 != 0); delta docs: 4
+    # real terms: 'shared' (df 20), 'tok0'/'tok1' (df 10 each) +
+    # markers xnew{0,1,2} / xbase{0,1,2}
+    assert total_merged == 20 + 10 + 10 + 20  # term dfs + markers
+    assert total_added == 4 + 2 + 2 + 4  # delta's share of each
