@@ -12720,7 +12720,11 @@ def q_cdc_chunks(spark, sf_dir):
     string_agg state is bounded by the expected chunk size (16
     words); reuse is one digest-keyed aggregate — the same shuffle
     key exact dedup pays. At 10^12 docs: explode + three keyed
-    exchanges, all bounded-state."""
+    exchanges, all bounded-state. The boundary fingerprint is md5 for
+    CROSS-ENGINE determinism (the gate's requirement); a production
+    run would swap in a polynomial rolling hash (one multiply-add per
+    token instead of a digest over the re-materialized 4-gram) with
+    identical boundary semantics — the plan shape does not change."""
     docs = _t(spark, sf_dir, "documents")
     a = docs.select("doc_id", "text")
     h = docs.select(
