@@ -221,7 +221,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: r7→r8 precedent. The same promise covers the final session-5
 #: additions q_embedding_drift, q_anchor_spam, q_hreflang_clusters,
 #: q_cdc_chunks, q_index_prune, q_robots_crawl_debt,
-#: q_span_corruption and q_index_merge.
+#: q_span_corruption and q_index_merge — and the session-6 batch
+#: q_feed_parse (RSS/Atom wire-format parse), q_link_depth
+#: (multi-successor BFS min-distance), q_audio_chunks (3rd-modality
+#: plumbing), q_http_cache (RFC 9111 revalidation classes) and
+#: q_unicode_normalize (NFC audit, pandas-vs-utf8proc cross-check).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

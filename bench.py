@@ -188,6 +188,11 @@ HEADLINE = [
     "q_robots_crawl_debt",
     "q_span_corruption",
     "q_index_merge",
+    "q_feed_parse",
+    "q_link_depth",
+    "q_audio_chunks",
+    "q_http_cache",
+    "q_unicode_normalize",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

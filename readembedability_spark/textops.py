@@ -13347,3 +13347,603 @@ def q_index_merge(spark, sf_dir):
             "SUM(df_delta) * 1000000 DIV NULLIF(SUM(df_merged), 0)"
         ).alias("growth_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (session 6): feed parsing, BFS link depth, audio chunking,
+# HTTP cache policy, Unicode NFC audit
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_feed_parse",
+    """
+    WITH ent AS (
+      SELECT event_id % 30 AS h,
+             event_id % 30 % 2 = 0 AS is_rss,
+             'g' || CAST(event_id // 30 % 120 AS VARCHAR) AS gid,
+             't' || CAST(event_id % 17 AS VARCHAR) AS title,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS d,
+             'https://site' || CAST(event_id % 30 AS VARCHAR)
+               || '.example.com/a/' || CAST(event_id % 50 AS VARCHAR)
+               AS link
+      FROM events),
+    body AS (
+      SELECT h, is_rss,
+             CASE WHEN is_rss
+               THEN '<item><guid>' || gid || '</guid><title>' || title
+                 || '</title><pubDate>' || d || '</pubDate><link>'
+                 || link || '</link></item>'
+               ELSE '<entry><id>' || gid || '</id><title>' || title
+                 || '</title><updated>' || d || '</updated><link href="'
+                 || link || '"/></entry>' END AS entry
+      FROM ent),
+    feed AS (
+      SELECT h, is_rss,
+             CASE WHEN is_rss
+               THEN '<rss version="2.0"><channel>'
+                 || string_agg(entry, '' ORDER BY entry)
+                 || '</channel></rss>'
+               ELSE '<feed xmlns="http://www.w3.org/2005/Atom">'
+                 || string_agg(entry, '' ORDER BY entry)
+                 || '</feed>' END AS xml
+      FROM body GROUP BY h, is_rss),
+    parsed AS (
+      SELECT h,
+             CASE WHEN xml LIKE '<rss%' THEN 'rss' ELSE 'atom' END
+               AS format,
+             regexp_extract_all(
+               xml, '<(?:guid|id)>([^<]+)</(?:guid|id)>', 1) AS ids,
+             regexp_extract_all(
+               xml, '<(?:pubDate|updated)>([^<]+)<', 1) AS dates,
+             CASE WHEN xml LIKE '<rss%'
+               THEN regexp_extract_all(xml, '<link>([^<]+)</link>', 1)
+               ELSE regexp_extract_all(xml, '<link href="([^"]+)"/>', 1)
+             END AS links
+      FROM feed)
+    SELECT 'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+           format,
+           CAST(len(ids) AS BIGINT) AS n_entries,
+           CAST(len(list_distinct(ids)) AS BIGINT) AS n_distinct_ids,
+           list_aggregate(dates, 'max') AS latest_entry,
+           CAST(len(list_distinct(links)) AS BIGINT) AS n_distinct_links
+    FROM parsed
+    """,
+)
+def q_feed_parse(spark, sf_dir):
+    """RSS/Atom feed PARSING — the consumer of q_extract_feeds'
+    discovery step: each host publishes a syndication feed in ONE of
+    the two wire formats (even hosts RSS 2.0 <item>/<guid>/<pubDate>,
+    odd hosts Atom <entry>/<id>/<updated>, synthesized
+    deterministically from events), and the operator format-DISPATCHES
+    on the root element then parses entries back out with JVM regexp
+    (the entry fields both specs define are regular — no XML lib,
+    the q_sitemap_parse precedent), reporting per feed: the detected
+    format, entry count, distinct-id count (duplicate guids are the
+    classic aggregator-dedup defect), freshest entry timestamp (the
+    poll-scheduling signal) and distinct outbound links. The id and
+    date patterns are format-agnostic alternations; the link pattern
+    differs structurally (<link>text</link> vs <link href="..."/>) so
+    it is chosen with a row-local CASE over two foldable-literal
+    extractions (Spark's regexp needs a constant pattern).
+
+    Plan/scale: ONE hash aggregate builds the per-host feed document
+    (at archive scale the feed arrives as one fetched blob per host,
+    so the build stage disappears); parse + audit are row-local
+    whole-stage-codegen regexp over each feed with no further
+    shuffle — the output grain is the aggregation key. No window, no
+    join, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.col("event_id") % 30
+    is_rss = h % 2 == 0
+    gid = F.concat(F.lit("g"), F.expr("event_id DIV 30 % 120").cast("string"))
+    title = F.concat(F.lit("t"), (F.col("event_id") % 17).cast("string"))
+    d = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    link = F.concat(
+        F.lit("https://site"),
+        h.cast("string"),
+        F.lit(".example.com/a/"),
+        (F.col("event_id") % 50).cast("string"),
+    )
+    entry = F.when(
+        is_rss,
+        F.concat(
+            F.lit("<item><guid>"), gid, F.lit("</guid><title>"), title,
+            F.lit("</title><pubDate>"), d, F.lit("</pubDate><link>"),
+            link, F.lit("</link></item>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<entry><id>"), gid, F.lit("</id><title>"), title,
+            F.lit("</title><updated>"), d, F.lit('</updated><link href="'),
+            link, F.lit('"/></entry>'),
+        )
+    )
+    feed = (
+        ev.select(h.alias("h"), is_rss.alias("is_rss"), entry.alias("entry"))
+        .groupBy("h", "is_rss")
+        .agg(
+            F.concat(
+                F.when(
+                    F.col("is_rss"), F.lit('<rss version="2.0"><channel>')
+                ).otherwise(
+                    F.lit('<feed xmlns="http://www.w3.org/2005/Atom">')
+                ),
+                F.array_join(F.array_sort(F.collect_list("entry")), ""),
+                F.when(F.col("is_rss"), F.lit("</channel></rss>")).otherwise(
+                    F.lit("</feed>")
+                ),
+            ).alias("xml")
+        )
+    )
+    xml = F.col("xml")
+    fmt = F.when(xml.startswith("<rss"), F.lit("rss")).otherwise(
+        F.lit("atom")
+    )
+    ids = F.regexp_extract_all(
+        xml, F.lit(r"<(?:guid|id)>([^<]+)</(?:guid|id)>"), F.lit(1)
+    )
+    dates = F.regexp_extract_all(
+        xml, F.lit(r"<(?:pubDate|updated)>([^<]+)<"), F.lit(1)
+    )
+    links_rss = F.regexp_extract_all(
+        xml, F.lit(r"<link>([^<]+)</link>"), F.lit(1)
+    )
+    links_atom = F.regexp_extract_all(
+        xml, F.lit(r'<link href="([^"]+)"/>'), F.lit(1)
+    )
+    links = F.when(xml.startswith("<rss"), links_rss).otherwise(links_atom)
+    return feed.select(
+        F.concat(
+            F.lit("site"), F.col("h").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        fmt.alias("format"),
+        F.size(ids).cast("long").alias("n_entries"),
+        F.size(F.array_distinct(ids)).cast("long").alias("n_distinct_ids"),
+        F.array_max(dates).alias("latest_entry"),
+        F.size(F.array_distinct(links)).cast("long").alias(
+            "n_distinct_links"
+        ),
+    )
+
+
+@q(
+    "q_link_depth",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT doc_id % 100 AS h FROM documents)
+    SELECT h AS host_id,
+           CASE WHEN (h // 10) % 2 = 0
+                THEN (h % 10) // 3 + (h % 10) % 3
+                ELSE -1 END AS depth,
+           (h // 10) % 2 = 0 AS reachable
+    FROM hosts
+    """,
+)
+def q_link_depth(spark, sf_dir):
+    """Click-depth BFS from the seed set — the crawl-quality signal
+    (Google's "crawl depth", CommonCrawl's fetch-depth column) that
+    ranks pages by how many link hops separate them from trusted
+    seeds; unlike q_redirect_resolve's pointer-jumping (single
+    successor per node) this is true frontier BFS over a
+    multi-successor graph with min-distance semantics. Synthetic host
+    graph (doc_id % 100 → 100 hosts in 10 decades): within each
+    decade host r links to r+1 (r<9) and r+3 (r<=6); seeds are the
+    r=0 hosts of EVEN decades only, so odd decades are provably
+    unreachable (depth -1) and the shortest path to r must mix +3 and
+    +1 steps (min = r//3 + r%3, max 4 at r=8) — a BFS that expands
+    only one edge type, walks the wrong direction, or keeps
+    first-visit instead of min depth hash-fails. The oracle states
+    that closed form.
+
+    Plan/scale: 4 BFS rounds (= the planted graph's eccentricity
+    bound), each ONE keyed equi-join frontier-expansion plus a
+    min-combine hash aggregate, with per-round localCheckpoint so the
+    executed plan stays one join per round (the q_redirect_resolve /
+    _pagerank_loop discipline). At 10^9 hosts each round is one
+    shuffle on the host key; the distance table never exceeds the
+    host inventory, and the round count is the seed-set eccentricity
+    cap a production crawler configures (typically <= 16), never a
+    data-dependent loop."""
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 100).alias("h"))
+        .distinct()
+    )
+    r = F.col("h") % 10
+    e1 = hosts.filter(r < 9).select(
+        F.col("h").alias("src"), (F.col("h") + 1).alias("dst")
+    )
+    e3 = hosts.filter(r <= 6).select(
+        F.col("h").alias("src"), (F.col("h") + 3).alias("dst")
+    )
+    edges = e1.unionAll(e3)
+    dist = hosts.filter(
+        (F.expr("h DIV 10") % 2 == 0) & (r == 0)
+    ).select("h", F.lit(0).cast("long").alias("depth"))
+    for _ in range(4):  # eccentricity bound of the planted graph
+        dist = _local_checkpoint(dist)
+        nxt = dist.join(edges, dist.h == edges.src).select(
+            F.col("dst").alias("h"),
+            (F.col("depth") + 1).cast("long").alias("depth"),
+        )
+        dist = (
+            dist.unionAll(nxt)
+            .groupBy("h")
+            .agg(F.min("depth").cast("long").alias("depth"))
+        )
+    return hosts.join(dist, "h", "left").select(
+        F.col("h").cast("long").alias("host_id"),
+        F.coalesce("depth", F.lit(-1)).cast("long").alias("depth"),
+        F.col("depth").isNotNull().alias("reachable"),
+    )
+
+
+@q(
+    "q_audio_chunks",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) * 3 % 2000 + 400 AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, n,
+             unnest(range(0, (n + 399) // 400)) AS chunk_idx
+      FROM m),
+    s AS (
+      SELECT doc_id, n, chunk_idx,
+             list_transform(
+               range(chunk_idx * 400, least(n, chunk_idx * 400 + 400)),
+               s -> (doc_id * 31 + s * 7) % 1997 - 998) AS vs
+      FROM c)
+    SELECT doc_id,
+           n AS n_samples,
+           chunk_idx,
+           CAST(len(vs) AS BIGINT) AS chunk_n,
+           CAST(list_aggregate(list_transform(vs, v -> v * v), 'sum')
+                AS BIGINT) AS energy,
+           CAST(list_aggregate(list_transform(vs, v -> abs(v)), 'max')
+                AS BIGINT) AS peak
+    FROM s
+    """,
+)
+def q_audio_chunks(spark, sf_dir):
+    """Multimodal AUDIO plumbing — the third modality next to
+    q_image_resize / q_video_frame_sample: an opaque binary payload is
+    treated as 16 kHz PCM whose decoded sample count and sample values
+    the stubbed codec derives deterministically (n = 3*n_bytes % 2000
+    + 400 samples; sample s = (doc_id*31 + s*7) % 1997 - 998 — real
+    audio libs absent, SURVEY.md §0), and the UDF window-chunks the
+    stream into fixed 400-sample frames (25 ms at 16 kHz, last frame
+    ragged) FANNING OUT one row per chunk with exact integer signal
+    stats: chunk length, energy (sum of squares — the VAD/silence
+    gate every speech pipeline runs first) and peak amplitude (the
+    clipping detector). A deployment swaps the fake decode for the
+    codec call at the same batch position; the chunk grain, fan-out
+    shape and stats schema are the real plumbing under test.
+
+    Plan/scale: one mapInPandas pass; inside each Arrow batch the
+    per-document sample vector is materialized once and both stats
+    come from numpy reduceat over the SAME chunk boundaries (no
+    per-sample Python, no second decode), with the rows-out > rows-in
+    fan-out inside the batch — no explode shuffle. Output inherits
+    the scan partitioning; downstream per-chunk consumers (ASR
+    embedding, dedup) shuffle on their own keys."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def chunk_batches(batches):
+        for pdf in batches:
+            nbytes = (
+                pdf["payload"].str.len().fillna(0).astype("int64")
+            ).to_numpy()
+            ns = nbytes * 3 % 2000 + 400
+            dids = pdf["doc_id"].to_numpy()
+            out_id, out_ns, out_ci, out_cn, out_en, out_pk = (
+                [], [], [], [], [], []
+            )
+            for did, n in zip(dids, ns):
+                v = (did * 31 + np.arange(n, dtype="int64") * 7) % 1997 - 998
+                bounds = np.arange(0, n, 400)
+                k = len(bounds)
+                out_id.append(np.full(k, did, dtype="int64"))
+                out_ns.append(np.full(k, n, dtype="int64"))
+                out_ci.append(np.arange(k, dtype="int64"))
+                sizes = np.diff(np.append(bounds, n))
+                out_cn.append(sizes.astype("int64"))
+                out_en.append(np.add.reduceat(v * v, bounds))
+                out_pk.append(np.maximum.reduceat(np.abs(v), bounds))
+            cat = (
+                lambda parts: np.concatenate(parts)
+                if parts
+                else np.array([], dtype="int64")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": cat(out_id),
+                    "n_samples": cat(out_ns),
+                    "chunk_idx": cat(out_ci),
+                    "chunk_n": cat(out_cn),
+                    "energy": cat(out_en),
+                    "peak": cat(out_pk),
+                }
+            )
+
+    return docs.mapInPandas(
+        chunk_batches,
+        schema=(
+            "doc_id long, n_samples long, chunk_idx long,"
+            " chunk_n long, energy long, peak long"
+        ),
+    )
+
+
+@q(
+    "q_http_cache",
+    """
+    WITH hdrs AS (
+      SELECT doc_id,
+             'HTTP/1.1 200 OK' || chr(10) || 'Content-Type: text/html'
+             || CASE doc_id % 7
+                WHEN 0 THEN chr(10) || 'Cache-Control: no-store'
+                WHEN 1 THEN chr(10) || 'Cache-Control: no-cache'
+                  || chr(10) || 'ETag: "e' || CAST(doc_id AS VARCHAR) || '"'
+                WHEN 2 THEN chr(10) || 'Cache-Control: public, max-age='
+                  || CAST(doc_id * 37 % 86400 AS VARCHAR)
+                WHEN 3 THEN chr(10) || 'Cache-Control: public, max-age='
+                  || CAST(doc_id * 37 % 86400 AS VARCHAR)
+                WHEN 4 THEN chr(10) || 'Cache-Control: private, max-age='
+                  || CAST(doc_id * 37 % 3600 AS VARCHAR)
+                  || ', stale-while-revalidate=60'
+                WHEN 5 THEN chr(10) || 'ETag: "e'
+                  || CAST(doc_id AS VARCHAR) || '"'
+                ELSE chr(10)
+                  || 'Last-Modified: Mon, 01 Jan 2024 00:00:00 GMT'
+                END AS hdr
+      FROM documents),
+    parsed AS (
+      SELECT doc_id, hdr,
+             regexp_extract(hdr, 'Cache-Control: ([^\\n]+)', 1) AS cc,
+             regexp_extract(
+               regexp_extract(hdr, 'Cache-Control: ([^\\n]+)', 1),
+               'max-age=([0-9]+)', 1) AS ma,
+             hdr LIKE '%ETag:%' AS has_etag,
+             hdr LIKE '%Last-Modified:%' AS has_lm
+      FROM hdrs),
+    cls AS (
+      SELECT doc_id,
+             CASE WHEN ma = '' THEN NULL
+                  ELSE CAST(ma AS BIGINT) END AS ttl_s,
+             has_etag, has_lm,
+             CASE
+               WHEN cc LIKE '%no-store%' THEN 'no-store'
+               WHEN cc LIKE '%no-cache%' THEN 'revalidate-always'
+               WHEN ma <> '' AND cc LIKE '%stale-while-revalidate%'
+                 THEN 'fresh-ttl-swr'
+               WHEN ma <> '' THEN 'fresh-ttl'
+               WHEN has_etag THEN 'etag-revalidate'
+               WHEN has_lm THEN 'lm-heuristic'
+               ELSE 'uncacheable' END AS policy_class
+      FROM parsed)
+    SELECT policy_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(ttl_s), 0) AS BIGINT) AS ttl_total_s,
+           CAST(COALESCE(MAX(ttl_s), 0) AS BIGINT) AS ttl_max_s,
+           CAST(SUM(CASE WHEN has_etag OR has_lm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_revalidatable
+    FROM cls GROUP BY policy_class
+    """,
+)
+def q_http_cache(spark, sf_dir):
+    """HTTP cache-policy classification — the recrawl-economics signal
+    a polite crawler reads before q_recrawl_schedule's statistical
+    estimate: raw response headers (synthesized deterministically per
+    doc: no-store / no-cache+ETag / public max-age / private
+    max-age+stale-while-revalidate / bare ETag / bare Last-Modified —
+    all six RFC 9111 revalidation regimes fire) are PARSED with JVM
+    regexp (header lines are regular; newline-delimited via chr(10)
+    so the oracle literal carries no escape ambiguity) into a
+    revalidation class: no-store, revalidate-always, fresh-ttl,
+    fresh-ttl-swr, etag-revalidate, lm-heuristic. Per class: doc
+    count, total and max declared TTL seconds (exact BIGINT — the
+    freshness budget the scheduler can bank), and how many responses
+    are revalidatable with a conditional request (ETag or
+    Last-Modified present — a 304 costs ~100x less than a refetch).
+    The empty-string regexp_extract miss is mapped to NULL before the
+    cast (Spark ANSI mode would throw on CAST('') — both engines
+    guard identically).
+
+    Plan/scale: row-local whole-stage-codegen regexp + CASE over the
+    header blob, then ONE 6-group hash aggregate with map-side
+    partials. No join, no window, no Python; at 10^12 captures this
+    is scan + one exchange of 6 rows per partition."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 7
+    nl = F.lit("\n")
+    etag = F.concat(F.lit('ETag: "e'), d.cast("string"), F.lit('"'))
+    ma_day = (d * 37 % 86400).cast("string")
+    ma_hr = (d * 37 % 3600).cast("string")
+    tail = (
+        F.when(m == 0, F.concat(nl, F.lit("Cache-Control: no-store")))
+        .when(
+            m == 1,
+            F.concat(nl, F.lit("Cache-Control: no-cache"), nl, etag),
+        )
+        .when(
+            (m == 2) | (m == 3),
+            F.concat(nl, F.lit("Cache-Control: public, max-age="), ma_day),
+        )
+        .when(
+            m == 4,
+            F.concat(
+                nl,
+                F.lit("Cache-Control: private, max-age="),
+                ma_hr,
+                F.lit(", stale-while-revalidate=60"),
+            ),
+        )
+        .when(m == 5, F.concat(nl, etag))
+        .otherwise(
+            F.concat(
+                nl, F.lit("Last-Modified: Mon, 01 Jan 2024 00:00:00 GMT")
+            )
+        )
+    )
+    hdr = F.concat(
+        F.lit("HTTP/1.1 200 OK"), nl, F.lit("Content-Type: text/html"), tail
+    )
+    parsed = docs.select(
+        F.regexp_extract(hdr, r"Cache-Control: ([^\n]+)", 1).alias("cc"),
+        F.regexp_extract(
+            F.regexp_extract(hdr, r"Cache-Control: ([^\n]+)", 1),
+            r"max-age=([0-9]+)",
+            1,
+        ).alias("ma"),
+        hdr.like("%ETag:%").alias("has_etag"),
+        hdr.like("%Last-Modified:%").alias("has_lm"),
+    )
+    ttl = F.when(F.col("ma") != "", F.col("ma").cast("long"))
+    policy = (
+        F.when(F.col("cc").like("%no-store%"), F.lit("no-store"))
+        .when(F.col("cc").like("%no-cache%"), F.lit("revalidate-always"))
+        .when(
+            (F.col("ma") != "")
+            & F.col("cc").like("%stale-while-revalidate%"),
+            F.lit("fresh-ttl-swr"),
+        )
+        .when(F.col("ma") != "", F.lit("fresh-ttl"))
+        .when(F.col("has_etag"), F.lit("etag-revalidate"))
+        .when(F.col("has_lm"), F.lit("lm-heuristic"))
+        .otherwise(F.lit("uncacheable"))
+    )
+    return (
+        parsed.select(
+            policy.alias("policy_class"),
+            ttl.alias("ttl_s"),
+            "has_etag",
+            "has_lm",
+        )
+        .groupBy("policy_class")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("ttl_s"), F.lit(0))
+            .cast("long")
+            .alias("ttl_total_s"),
+            F.coalesce(F.max("ttl_s"), F.lit(0))
+            .cast("long")
+            .alias("ttl_max_s"),
+            F.sum(
+                (F.col("has_etag") | F.col("has_lm")).cast("long")
+            )
+            .cast("long")
+            .alias("n_revalidatable"),
+        )
+    )
+
+
+@q(
+    "q_unicode_normalize",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'decomposed'
+               WHEN 1 THEN 'precomposed'
+               ELSE 'ascii' END AS cls,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' cafe' || chr(769)
+               WHEN 1 THEN ' caf' || chr(233)
+               ELSE '' END AS t
+      FROM documents),
+    n AS (
+      SELECT cls, t, nfc_normalize(t) AS nt FROM aug)
+    SELECT cls,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN nt <> t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(length(t) - length(nt)) AS BIGINT)
+             AS chars_delta_total,
+           CAST(SUM(octet_length(encode(t)) - octet_length(encode(nt)))
+                AS BIGINT) AS bytes_delta_total
+    FROM n GROUP BY cls
+    """,
+)
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization audit — the canonicalization pass a
+    web-text corpus needs BEFORE any hash-keyed dedup or tokenizer
+    training (the same text arrives composed from one CMS and
+    decomposed from another; unnormalized, exact dedup misses the
+    pair and the tokenizer learns two vocab entries). Each document
+    is augmented with a deterministic suffix class: `decomposed`
+    (e + U+0301 combining acute — NFC composes it), `precomposed`
+    (U+00E9 — already canonical) or `ascii` (NFC is the identity);
+    the audit reports per class how many documents change under NFC
+    and the exact char/byte mass the normalization reclaims — the
+    numbers that size the canonicalization's dedup impact. Spark has
+    no built-in normalizer, so the normalize step runs as a
+    vectorized pandas `Series.str.normalize('NFC')` inside
+    mapInPandas (Arrow batches, no per-row Python); char/byte deltas
+    are computed in the same batch and the rollup is JVM-side. The
+    oracle is DuckDB's utf8proc-backed nfc_normalize over the same
+    augmented text — two independent Unicode implementations
+    agreeing on the hash is the point of the gate (the planted
+    sequences are composition-stable across Unicode versions).
+
+    Plan/scale: scan → one mapInPandas (the only Python in the plan,
+    amortized over Arrow batches) → 3-group hash aggregate with
+    map-side partials. No join, no window; at corpus scale the
+    normalize pass pipelines with the extract stage it would fuse
+    into."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    cls = (
+        F.when(m == 0, F.lit("decomposed"))
+        .when(m == 1, F.lit("precomposed"))
+        .otherwise(F.lit("ascii"))
+    )
+    suffix = (
+        F.when(m == 0, F.lit(" cafe\u0301"))  # e + combining acute
+        .when(m == 1, F.lit(" caf\u00e9"))  # precomposed U+00E9
+        .otherwise(F.lit(""))
+    )
+    aug = docs.select(
+        cls.alias("cls"), F.concat("text", suffix).alias("t")
+    )
+
+    def norm_batches(batches):
+        for pdf in batches:
+            t = pdf["t"].astype("string")
+            nt = t.str.normalize("NFC")
+            yield pd.DataFrame(
+                {
+                    "cls": pdf["cls"],
+                    "changed": (nt != t).astype("int64"),
+                    "chars_delta": (
+                        t.str.len() - nt.str.len()
+                    ).astype("int64"),
+                    "bytes_delta": (
+                        t.str.encode("utf-8").str.len()
+                        - nt.str.encode("utf-8").str.len()
+                    ).astype("int64"),
+                }
+            )
+
+    deltas = aug.mapInPandas(
+        norm_batches,
+        schema=(
+            "cls string, changed long, chars_delta long, bytes_delta long"
+        ),
+    )
+    return deltas.groupBy("cls").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("changed").cast("long").alias("n_changed"),
+        F.sum("chars_delta").cast("long").alias("chars_delta_total"),
+        F.sum("bytes_delta").cast("long").alias("bytes_delta_total"),
+    )

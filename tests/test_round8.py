@@ -1440,3 +1440,108 @@ def test_index_merge_classes_and_identities(spark, tmp_path):
     # markers xnew{0,1,2} / xbase{0,1,2}
     assert total_merged == 20 + 10 + 10 + 20  # term dfs + markers
     assert total_added == 4 + 2 + 2 + 4  # delta's share of each
+
+
+def test_feed_parse_formats_and_dup_ids(spark, tmp_path):
+    """Both wire formats fire (even hosts RSS, odd hosts Atom), and a
+    host with duplicate guids reports n_distinct_ids < n_entries —
+    the aggregator-dedup defect the audit exists to surface."""
+    t0 = _dt.datetime(2024, 3, 1, 12, 0, 0)
+    hr = _dt.timedelta(hours=1)
+    # host 0 (rss): eids 0 and 3600 share gid g0 (3600//30 % 120 == 0),
+    # eid 60 is gid g2; host 1 (atom): eids 1, 31 -> g0, g1
+    rows = [
+        (eid, t0 + k * hr, 1, "view", 1.0, "{}")
+        for k, eid in enumerate([0, 3600, 60, 1, 31])
+    ]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_feed_parse")
+    assert s == _oracle_rows(tmp_path, "q_feed_parse")
+    by_host = {r[0]: r for r in s}
+    assert by_host["site0.example.com"][1] == "rss"
+    assert by_host["site1.example.com"][1] == "atom"
+    # duplicate guid on host 0: 3 entries, 2 distinct ids
+    assert by_host["site0.example.com"][2] == 3
+    assert by_host["site0.example.com"][3] == 2
+    # atom host parses cleanly too (regexp dispatch picked href links)
+    assert by_host["site1.example.com"][2] == 2
+    assert by_host["site1.example.com"][5] == 2
+
+
+def test_link_depth_bfs_min_distance(spark, tmp_path):
+    """BFS from even-decade seeds: the +3/+1 step mix is required for
+    the min depth (host 8 needs 4 hops: 3+3+1+1), odd decades are
+    unreachable (-1), and a first-visit BFS that never re-relaxes a
+    longer path would overstate depth for hosts reachable both ways."""
+    rows = [(i, "t", "en", "s0", 1) for i in range(100)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_link_depth")
+    assert s == _oracle_rows(tmp_path, "q_link_depth")
+    depth = {r[0]: r[1] for r in s}
+    assert len(depth) == 100
+    assert depth[0] == 0 and depth[3] == 1 and depth[8] == 4
+    assert depth[5] == 3  # 3+1+1, not the 5-step pure +1 walk
+    assert depth[18] == -1 and depth[97] == -1  # odd decades
+    reachable = [r for r in s if r[2]]
+    assert len(reachable) == 50
+    assert max(r[1] for r in reachable) == 4  # eccentricity bound tight
+
+
+def test_audio_chunks_ragged_tail_and_batch_fanout(spark, tmp_path):
+    """Chunk partition is exact: per-doc chunk sizes sum to the decoded
+    sample count, the last chunk is ragged when 400 does not divide n,
+    and the fan-out happens inside the Arrow batch (no explode/Generate
+    node in the plan)."""
+    # n_bytes 3 -> n = 9 % 2000 + 400 = 409 -> chunks 400 + 9
+    _write_docs(tmp_path, [(7, "abc", "en", "s0", 3)])
+    df = REGISTRY["q_audio_chunks"].spark(spark, str(tmp_path))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Generate" not in plan  # fan-out is in-batch, not explode
+    s = _spark_rows(spark, tmp_path, "q_audio_chunks")
+    assert s == _oracle_rows(tmp_path, "q_audio_chunks")
+    assert [r[3] for r in s] == [400, 9]
+    assert all(r[1] == 409 for r in s)
+    # exact integer stats for the ragged tail: samples 400..408 of doc 7
+    v = [((7 * 31 + i * 7) % 1997) - 998 for i in range(400, 409)]
+    assert s[-1][4] == sum(x * x for x in v)
+    assert s[-1][5] == max(abs(x) for x in v)
+
+
+def test_http_cache_all_six_classes(spark, tmp_path):
+    """All six RFC 9111 revalidation regimes fire, the TTL mass lands
+    only in the max-age classes, and revalidatability follows the
+    validator headers exactly."""
+    rows = [(i, "t", "en", "s0", 1) for i in range(14)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_http_cache")
+    assert s == _oracle_rows(tmp_path, "q_http_cache")
+    by_cls = {r[0]: r for r in s}
+    assert set(by_cls) == {
+        "no-store", "revalidate-always", "fresh-ttl", "fresh-ttl-swr",
+        "etag-revalidate", "lm-heuristic",
+    }
+    assert by_cls["no-store"][3] == 0 and by_cls["no-store"][4] == 0
+    assert by_cls["revalidate-always"][4] == by_cls["revalidate-always"][1]
+    assert by_cls["fresh-ttl"][1] == 4  # doc_id % 7 in (2, 3) of 14
+    assert by_cls["fresh-ttl-swr"][3] < 3600  # the hour-capped regime
+    assert by_cls["etag-revalidate"][2] == 0  # validators carry no TTL
+    assert by_cls["lm-heuristic"][4] == by_cls["lm-heuristic"][1]
+
+
+def test_unicode_normalize_classes(spark, tmp_path):
+    """The decomposed class changes on every doc reclaiming exactly one
+    char and one byte per doc; precomposed and ascii are NFC
+    fixpoints — a normalizer that composes nothing (or re-encodes
+    everything) fails one side or the other."""
+    rows = [(i, "plain ascii text", "en", "s0", 16) for i in range(12)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_unicode_normalize")
+    assert s == _oracle_rows(tmp_path, "q_unicode_normalize")
+    by_cls = {r[0]: r for r in s}
+    assert set(by_cls) == {"decomposed", "precomposed", "ascii"}
+    n, changed, chars, bts = by_cls["decomposed"][1:]
+    assert changed == n and chars == n and bts == n
+    assert by_cls["precomposed"][2] == 0 and by_cls["precomposed"][4] == 0
+    assert by_cls["ascii"][2] == 0 and by_cls["ascii"][3] == 0
