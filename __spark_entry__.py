@@ -225,7 +225,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_feed_parse (RSS/Atom wire-format parse), q_link_depth
 #: (multi-successor BFS min-distance), q_audio_chunks (3rd-modality
 #: plumbing), q_http_cache (RFC 9111 revalidation classes) and
-#: q_unicode_normalize (NFC audit, pandas-vs-utf8proc cross-check).
+#: q_unicode_normalize (NFC audit, pandas-vs-utf8proc cross-check),
+#: q_lang_mismatch (declared-vs-detected confusion) and
+#: q_capture_diff (inter-capture token-Jaccard change magnitude).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -193,6 +193,8 @@ HEADLINE = [
     "q_audio_chunks",
     "q_http_cache",
     "q_unicode_normalize",
+    "q_lang_mismatch",
+    "q_capture_diff",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

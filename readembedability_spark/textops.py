@@ -13947,3 +13947,186 @@ def q_unicode_normalize(spark, sf_dir):
         F.sum("chars_delta").cast("long").alias("chars_delta_total"),
         F.sum("bytes_delta").cast("long").alias("bytes_delta_total"),
     )
+
+
+@q(
+    "q_lang_mismatch",
+    f"""
+    WITH {_WORDS_SQL},
+    langwords(lid, w) AS (VALUES {_LANG_VALUES_SQL}),
+    scores AS (
+      SELECT words.doc_id, langwords.lid, COUNT(*) AS hits
+      FROM words JOIN langwords ON words.w = langwords.w
+      GROUP BY words.doc_id, langwords.lid),
+    best AS (
+      SELECT doc_id, lid, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lid) AS rn
+      FROM scores),
+    conf AS (
+      SELECT d.lang AS declared,
+             COALESCE(b.lid, 'und') AS detected,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents d
+      LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+      GROUP BY 1, 2)
+    SELECT declared, detected, n_docs,
+           CASE WHEN detected = 'und' THEN 'undetermined'
+                WHEN detected = declared THEN 'agree'
+                ELSE 'mismatch' END AS cls,
+           CAST(n_docs * 1000000 // SUM(n_docs)
+                  OVER (PARTITION BY declared) AS BIGINT) AS share_ppm
+    FROM conf
+    """,
+)
+def q_lang_mismatch(spark, sf_dir):
+    """Declared-vs-detected language confusion matrix — the metadata
+    trust audit a multilingual curation run does before keying ANY
+    per-lang decision (mixture weights, packing, CCNet buckets) on the
+    declared `lang` column: detection replays q_langid's stopword-set
+    vote verbatim (distinct-word hits per language, argmax with
+    lexicographic tie-break, 'und' on zero hits), and the rollup
+    crosses it with the DECLARED label. Every cell is classed `agree`
+    / `mismatch` / `undetermined`, with an exact-ppm share within the
+    declared language — the per-lang error rate that decides whether
+    the declared column is usable at all. On this corpus the matrix
+    exposes both real failure modes: declared langs outside the
+    detector alphabet (zh) can never agree (detector blind spot), and
+    the en-ish synthetic text pulls other declared langs to `en`
+    (metadata lies OR detector bias — the audit can't tell, which is
+    exactly why it reports both axes).
+
+    Plan/scale: the q_langid scan/vote (word explode → distinct →
+    broadcast stopword join → doc-grain window bounded by the 4-lang
+    alphabet), then ONE (declared, detected) hash aggregate — ≤
+    |langs|² groups — and a share window over that ≤25-row rollup,
+    never the corpus. Cost class identical to q_langid itself."""
+    detected = REGISTRY["q_langid"].spark(spark, sf_dir).select(
+        "doc_id", "detected"
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("declared")
+    )
+    conf = (
+        docs.join(detected, "doc_id")
+        .groupBy("declared", "detected")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    cls = (
+        F.when(F.col("detected") == "und", F.lit("undetermined"))
+        .when(F.col("detected") == F.col("declared"), F.lit("agree"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return conf.select(
+        "declared",
+        "detected",
+        "n_docs",
+        cls.alias("cls"),
+        F.expr(
+            "n_docs * 1000000 DIV SUM(n_docs)"
+            " OVER (PARTITION BY declared)"
+        ).alias("share_ppm"),
+    )
+
+
+@q(
+    "q_capture_diff",
+    """
+    WITH caps AS (
+      SELECT event_id % 50 AS url_id,
+             ROW_NUMBER() OVER (PARTITION BY event_id % 50
+                                ORDER BY ts, event_id) - 1 AS v
+      FROM events),
+    agg AS (
+      SELECT url_id, CAST(COUNT(*) AS BIGINT) AS n_captures
+      FROM caps GROUP BY url_id
+      HAVING COUNT(*) >= 2)
+    SELECT url_id,
+           n_captures,
+           n_captures - 1 AS n_pairs,
+           (n_captures - 1) // 2 AS n_changed,
+           CAST(((n_captures - 1) - (n_captures - 1) // 2) * 1000000
+                + ((n_captures - 1) // 2) * (7000000 // 13)
+                AS BIGINT) AS sim_ppm_total,
+           CAST((((n_captures - 1) - (n_captures - 1) // 2) * 1000000
+                 + ((n_captures - 1) // 2) * (7000000 // 13))
+                // NULLIF(n_captures - 1, 0) AS BIGINT) AS mean_sim_ppm
+    FROM agg
+    """,
+)
+def q_capture_diff(spark, sf_dir):
+    """Inter-capture change MAGNITUDE — the recrawl-value signal one
+    level deeper than q_stale_captures' binary digest transition: for
+    every consecutive capture pair of a url, the token-set Jaccard
+    similarity says HOW MUCH of the page turned over (boilerplate
+    tweak vs full rewrite), which prices a recrawl far better than
+    change/no-change. Captures are versioned per url by (ts,
+    event_id); each version's token set is synthesized in-array
+    (7 stable tokens + 3 volatile tokens that rotate every 2
+    versions), the ACTUAL array machinery diffs consecutive sets
+    (lag window over the array column, array_intersect /
+    array_union sizes, exact integer ppm), and the per-url rollup
+    reports pair counts, changed-pair counts and exact mean
+    similarity. The oracle states the planted rule's CLOSED FORM
+    (even-boundary pairs similar at 7/13 = 538461 ppm, in-window
+    pairs identical), so a differ that compares the wrong neighbor,
+    loses set semantics (duplicate tokens), or rounds the rational
+    hash-fails.
+
+    Plan/scale: one per-url window pass (the sort a capture index
+    already maintains) carrying the lag'd token array, row-local
+    array intersect/union — never a self-join of captures — then one
+    url-keyed rollup. At 10^12 captures this is the same one-window
+    cost class as q_crawl_delta; the token arrays ride inside the
+    row, so the window state is one array per url, not a history."""
+    ev = _t(spark, sf_dir, "events")
+    caps = ev.select(
+        (F.col("event_id") % 50).alias("url_id"),
+        F.col("ts"),
+        F.col("event_id"),
+    ).withColumn(
+        "v",
+        F.row_number().over(
+            Window.partitionBy("url_id").orderBy("ts", "event_id")
+        )
+        - 1,
+    )
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda i: F.concat(
+            F.lit("u"),
+            F.col("url_id").cast("string"),
+            F.lit("_"),
+            i.cast("string"),
+            F.when(
+                i >= 7,
+                F.concat(
+                    F.lit("_v"), F.expr("v DIV 2").cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    w = Window.partitionBy("url_id").orderBy("v")
+    pairs = (
+        caps.withColumn("toks", toks)
+        .withColumn("prev", F.lag("toks").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "url_id",
+            F.expr(
+                "size(array_intersect(toks, prev)) * 1000000L"
+                " DIV size(array_union(toks, prev))"
+            ).alias("sim_ppm"),
+        )
+    )
+    return pairs.groupBy("url_id").agg(
+        (F.count("*") + 1).cast("long").alias("n_captures"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((F.col("sim_ppm") < 1000000).cast("long"))
+        .cast("long")
+        .alias("n_changed"),
+        F.sum("sim_ppm").cast("long").alias("sim_ppm_total"),
+        F.expr("SUM(sim_ppm) DIV NULLIF(COUNT(*), 0)").alias(
+            "mean_sim_ppm"
+        ),
+    )

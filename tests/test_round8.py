@@ -1545,3 +1545,51 @@ def test_unicode_normalize_classes(spark, tmp_path):
     assert changed == n and chars == n and bts == n
     assert by_cls["precomposed"][2] == 0 and by_cls["precomposed"][4] == 0
     assert by_cls["ascii"][2] == 0 and by_cls["ascii"][3] == 0
+
+
+def test_lang_mismatch_all_classes(spark, tmp_path):
+    """agree / mismatch / undetermined all fire on planted texts, and
+    the exact-ppm shares within a declared language are floor-exact."""
+    rows = [
+        # declared de, german stopwords -> agree
+        (0, "der die und das ist", "de", "s0", 20),
+        (1, "der die und nicht mit", "de", "s0", 20),
+        # declared de, english text -> mismatch (detected en)
+        (2, "the and of to in", "de", "s0", 16),
+        # declared zh, english text -> mismatch (detector blind spot)
+        (3, "the and of to in", "zh", "s0", 16),
+        # declared en, no stopwords at all -> undetermined
+        (4, "zz qq xx", "en", "s0", 8),
+    ]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_lang_mismatch")
+    assert s == _oracle_rows(tmp_path, "q_lang_mismatch")
+    cells = {(r[0], r[1]): r for r in s}
+    assert cells[("de", "de")][3] == "agree"
+    assert cells[("de", "en")][3] == "mismatch"
+    assert cells[("zh", "en")][3] == "mismatch"
+    assert cells[("en", "und")][3] == "undetermined"
+    # de split 2/1: shares floor to 666666 and 333333 ppm
+    assert cells[("de", "de")][4] == 666666
+    assert cells[("de", "en")][4] == 333333
+
+
+def test_capture_diff_rule_and_single_capture(spark, tmp_path):
+    """5 captures of one url: pairs (0,1)(2,3) identical (in-window),
+    (1,2)(3,4) changed at exactly 7/13 Jaccard = 538461 ppm — computed
+    by REAL array diffing on the Spark side and by closed form in the
+    oracle; a single-capture url is excluded on BOTH sides."""
+    t0 = _dt.datetime(2024, 5, 1)
+    hr = _dt.timedelta(hours=1)
+    rows = [
+        (50 * k, t0 + k * hr, 1, "view", 1.0, "{}") for k in range(5)
+    ]  # url 0: versions 0..4
+    rows += [(1, t0, 1, "view", 1.0, "{}")]  # url 1: single capture
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_capture_diff")
+    assert s == _oracle_rows(tmp_path, "q_capture_diff")
+    assert [r[0] for r in s] == [0]  # url 1 excluded both sides
+    url0 = s[0]
+    assert url0[1:4] == (5, 4, 2)
+    assert url0[4] == 2 * 1000000 + 2 * 538461
+    assert url0[5] == (2 * 1000000 + 2 * 538461) // 4
