@@ -10750,6 +10750,99 @@ def q_token_budget_mixture(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _image_resize_batches(batches):
+    """Stub decode + aspect-preserving 64-box thumbnail fit — the ONE
+    batch body q_image_resize and jobs/media_pipeline.py share (a rule
+    drift between the gate and the job is impossible by construction)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        n = (pdf["payload"].str.len().fillna(0).astype("int64")).to_numpy()
+        w = (n % 640 + 1).astype("int64")
+        h = (n * 7 % 480 + 1).astype("int64")
+        tw = np.where(w >= h, 64, np.maximum(1, w * 64 // h))
+        th = np.where(w >= h, np.maximum(1, h * 64 // w), 64)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": w,
+                "height": h,
+                "thumb_w": tw.astype("int64"),
+                "thumb_h": th.astype("int64"),
+            }
+        )
+
+
+def _video_frame_batches(batches):
+    """Stub decode + stride frame sampling with in-batch fan-out —
+    shared by q_video_frame_sample and jobs/media_pipeline.py."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        n = (pdf["payload"].str.len().fillna(0).astype("int64")).to_numpy()
+        nf = (n % 240 + 1).astype("int64")
+        stride = (nf + 7) // 8
+        reps = (nf - 1) // stride + 1
+        if len(pdf):
+            idx = np.concatenate(
+                [np.arange(0, f, s) for f, s in zip(nf, stride)]
+            ).astype("int64")
+        else:
+            idx = np.array([], dtype="int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), reps),
+                "n_frames": np.repeat(nf, reps),
+                "frame_idx": idx,
+            }
+        )
+
+
+def _audio_chunk_batches(batches):
+    """Stub PCM decode + 400-sample window chunking with exact integer
+    energy/peak — shared by q_audio_chunks and jobs/media_pipeline.py."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        nbytes = (
+            pdf["payload"].str.len().fillna(0).astype("int64")
+        ).to_numpy()
+        ns = nbytes * 3 % 2000 + 400
+        dids = pdf["doc_id"].to_numpy()
+        out_id, out_ns, out_ci, out_cn, out_en, out_pk = (
+            [], [], [], [], [], []
+        )
+        for did, n in zip(dids, ns):
+            v = (did * 31 + np.arange(n, dtype="int64") * 7) % 1997 - 998
+            bounds = np.arange(0, n, 400)
+            k = len(bounds)
+            out_id.append(np.full(k, did, dtype="int64"))
+            out_ns.append(np.full(k, n, dtype="int64"))
+            out_ci.append(np.arange(k, dtype="int64"))
+            sizes = np.diff(np.append(bounds, n))
+            out_cn.append(sizes.astype("int64"))
+            out_en.append(np.add.reduceat(v * v, bounds))
+            out_pk.append(np.maximum.reduceat(np.abs(v), bounds))
+        cat = (
+            lambda parts: np.concatenate(parts)
+            if parts
+            else np.array([], dtype="int64")
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": cat(out_id),
+                "n_samples": cat(out_ns),
+                "chunk_idx": cat(out_ci),
+                "chunk_n": cat(out_cn),
+                "energy": cat(out_en),
+                "peak": cat(out_pk),
+            }
+        )
+
+
 @q(
     "q_image_resize",
     """
@@ -10789,34 +10882,12 @@ def q_image_resize(spark, sf_dir):
     per-row Python), then row-local JVM string/hash functions in
     whole-stage codegen. Nothing shuffles; partitioning is inherited
     from the scan, exactly like the extract stage."""
-    import numpy as np
-    import pandas as pd
-
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
 
-    def resize_batches(batches):
-        for pdf in batches:
-            n = (
-                pdf["payload"].str.len().fillna(0).astype("int64")
-            ).to_numpy()
-            w = (n % 640 + 1).astype("int64")
-            h = (n * 7 % 480 + 1).astype("int64")
-            tw = np.where(w >= h, 64, np.maximum(1, w * 64 // h))
-            th = np.where(w >= h, np.maximum(1, h * 64 // w), 64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": w,
-                    "height": h,
-                    "thumb_w": tw.astype("int64"),
-                    "thumb_h": th.astype("int64"),
-                }
-            )
-
     dims = docs.mapInPandas(
-        resize_batches,
+        _image_resize_batches,
         schema=(
             "doc_id long, width long, height long,"
             " thumb_w long, thumb_h long"
@@ -10876,39 +10947,12 @@ def q_video_frame_sample(spark, sf_dir):
     row-local JVM hash/string work. Output is at most 8x the input
     row count and partitioning is inherited from the scan; downstream
     consumers (per-frame embedding, dedup) shuffle on their own keys."""
-    import numpy as np
-    import pandas as pd
-
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
 
-    def frame_batches(batches):
-        for pdf in batches:
-            n = (
-                pdf["payload"].str.len().fillna(0).astype("int64")
-            ).to_numpy()
-            nf = (n % 240 + 1).astype("int64")
-            stride = (nf + 7) // 8
-            reps = (nf - 1) // stride + 1
-            if len(pdf):
-                idx = np.concatenate(
-                    [np.arange(0, f, s) for f, s in zip(nf, stride)]
-                ).astype("int64")
-            else:
-                idx = np.array([], dtype="int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.repeat(
-                        pdf["doc_id"].to_numpy(), reps
-                    ),
-                    "n_frames": np.repeat(nf, reps),
-                    "frame_idx": idx,
-                }
-            )
-
     frames = docs.mapInPandas(
-        frame_batches,
+        _video_frame_batches,
         schema="doc_id long, n_frames long, frame_idx long",
     )
     digest = F.substring(
@@ -13629,52 +13673,12 @@ def q_audio_chunks(spark, sf_dir):
     fan-out inside the batch — no explode shuffle. Output inherits
     the scan partitioning; downstream per-chunk consumers (ASR
     embedding, dedup) shuffle on their own keys."""
-    import numpy as np
-    import pandas as pd
-
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
 
-    def chunk_batches(batches):
-        for pdf in batches:
-            nbytes = (
-                pdf["payload"].str.len().fillna(0).astype("int64")
-            ).to_numpy()
-            ns = nbytes * 3 % 2000 + 400
-            dids = pdf["doc_id"].to_numpy()
-            out_id, out_ns, out_ci, out_cn, out_en, out_pk = (
-                [], [], [], [], [], []
-            )
-            for did, n in zip(dids, ns):
-                v = (did * 31 + np.arange(n, dtype="int64") * 7) % 1997 - 998
-                bounds = np.arange(0, n, 400)
-                k = len(bounds)
-                out_id.append(np.full(k, did, dtype="int64"))
-                out_ns.append(np.full(k, n, dtype="int64"))
-                out_ci.append(np.arange(k, dtype="int64"))
-                sizes = np.diff(np.append(bounds, n))
-                out_cn.append(sizes.astype("int64"))
-                out_en.append(np.add.reduceat(v * v, bounds))
-                out_pk.append(np.maximum.reduceat(np.abs(v), bounds))
-            cat = (
-                lambda parts: np.concatenate(parts)
-                if parts
-                else np.array([], dtype="int64")
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_id": cat(out_id),
-                    "n_samples": cat(out_ns),
-                    "chunk_idx": cat(out_ci),
-                    "chunk_n": cat(out_cn),
-                    "energy": cat(out_en),
-                    "peak": cat(out_pk),
-                }
-            )
-
     return docs.mapInPandas(
-        chunk_batches,
+        _audio_chunk_batches,
         schema=(
             "doc_id long, n_samples long, chunk_idx long,"
             " chunk_n long, energy long, peak long"

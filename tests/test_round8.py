@@ -1593,3 +1593,76 @@ def test_capture_diff_rule_and_single_capture(spark, tmp_path):
     assert url0[1:4] == (5, 4, 2)
     assert url0[4] == 2 * 1000000 + 2 * 538461
     assert url0[5] == (2 * 1000000 + 2 * 538461) // 4
+
+
+def test_media_pipeline_job_composes(spark, tmp_path, monkeypatch, capsys):
+    """jobs/media_pipeline.py over the synthetic asset table: each
+    modality branch runs the SAME batch body its driver gate
+    hash-checks, the written artifacts obey the stub-decode rules
+    recomputed independently in python, and the manifest read back
+    from parquet is consistent with the files it describes."""
+    import hashlib as hl
+    import importlib
+    import json as json_
+    import sys as sys_
+
+    sys_.path.insert(
+        0, str(__import__("pathlib").Path(__file__).resolve().parent.parent
+               / "jobs")
+    )
+    mp = importlib.import_module("media_pipeline")
+    out = tmp_path / "media"
+    monkeypatch.setattr(
+        sys_, "argv",
+        ["media_pipeline.py", "--assets", "90", "--output", str(out)],
+    )
+    mp.main()
+    stats = json_.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["assets"] == 90
+    assert all(stats[m]["n_assets"] == 30 for m in ("image", "video", "audio"))
+    # independent python recompute of every image row from the synth rule
+    imgs = {r["doc_id"]: r
+            for r in spark.read.parquet(str(out / "images")).collect()}
+    assert len(imgs) == 30
+    for did, r in imgs.items():
+        n = did % 251 + 16  # payload byte-length rule (hex chars = bytes)
+        w, h = n % 640 + 1, n * 7 % 480 + 1
+        assert (r["width"], r["height"]) == (w, h)
+        tw = 64 if w >= h else max(1, w * 64 // h)
+        th = max(1, h * 64 // w) if w >= h else 64
+        assert (r["thumb_w"], r["thumb_h"]) == (tw, th)
+        assert r["thumb_digest"] == hl.md5(
+            f"{did}:{tw}x{th}".encode()).hexdigest()[:8]
+    # video: at most 8 frames per asset, stride rule holds
+    fr = spark.read.parquet(str(out / "frames")).collect()
+    by_vid = {}
+    for r in fr:
+        by_vid.setdefault(r["doc_id"], []).append(r)
+    assert len(by_vid) == 30
+    for did, rows in by_vid.items():
+        nf = rows[0]["n_frames"]
+        assert nf == (did % 251 + 16) % 240 + 1
+        assert 1 <= len(rows) <= 8
+        stride = (nf + 7) // 8
+        assert sorted(r["frame_idx"] for r in rows) == list(
+            range(0, nf, stride))
+    # audio: chunk sizes partition the decoded sample count exactly
+    au = spark.read.parquet(str(out / "audio_chunks")).collect()
+    by_aud = {}
+    for r in au:
+        by_aud.setdefault(r["doc_id"], []).append(r)
+    assert len(by_aud) == 30
+    for did, rows in by_aud.items():
+        n = (did % 251 + 16) * 3 % 2000 + 400
+        assert rows[0]["n_samples"] == n
+        assert sum(r["chunk_n"] for r in rows) == n
+    # manifest certifies the written files
+    man = {r["modality"]: r
+           for r in spark.read.parquet(str(out / "manifest")).collect()}
+    assert man["image"]["n_units"] == 30
+    assert man["video"]["n_units"] == len(fr)
+    assert man["audio"]["n_units"] == len(au)
+    assert man["video"]["mass"] == sum(
+        rows[0]["n_frames"] for rows in by_vid.values())
+    assert man["audio"]["mass"] == sum(
+        rows[0]["n_samples"] for rows in by_aud.values())
