@@ -227,7 +227,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: plumbing), q_http_cache (RFC 9111 revalidation classes) and
 #: q_unicode_normalize (NFC audit, pandas-vs-utf8proc cross-check),
 #: q_lang_mismatch (declared-vs-detected confusion) and
-#: q_capture_diff (inter-capture token-Jaccard change magnitude).
+#: q_capture_diff (inter-capture token-Jaccard change magnitude),
+#: q_robots_sitemaps (Sitemap-directive discovery incl. cross-host),
+#: q_embedding_quantize (SQ8 audit on the integer lattice) and
+#: q_compression_ratio (zlib quality filter — rows-only, the one
+#: no-SQL-oracle text op, pinned by a python-zlib reference test).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

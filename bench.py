@@ -195,6 +195,9 @@ HEADLINE = [
     "q_unicode_normalize",
     "q_lang_mismatch",
     "q_capture_diff",
+    "q_robots_sitemaps",
+    "q_embedding_quantize",
+    "q_compression_ratio",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -14134,3 +14134,270 @@ def q_capture_diff(spark, sf_dir):
             "mean_sim_ppm"
         ),
     )
+
+
+@q(
+    "q_robots_sitemaps",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT event_id % 40 AS h FROM events),
+    robots AS (
+      SELECT h,
+             'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10)
+             || array_to_string(
+                  list_transform(range(0, h % 3 + 1),
+                    i -> 'Sitemap: ' || CASE WHEN h % 5 = 0
+                         THEN 'https://cdn.example.net/sm/h'
+                              || CAST(h AS VARCHAR) || '_'
+                              || CAST(i AS VARCHAR) || '.xml'
+                         ELSE 'https://site' || CAST(h AS VARCHAR)
+                              || '.example.com/sitemap'
+                              || CAST(i AS VARCHAR) || '.xml' END),
+                  chr(10)) AS txt
+      FROM hosts),
+    parsed AS (
+      SELECT 'site' || CAST(h AS VARCHAR) || '.example.com'
+               AS robots_host,
+             regexp_extract_all(txt, 'Sitemap: ([^\\n]+)', 1) AS sms
+      FROM robots),
+    x AS (
+      SELECT robots_host,
+             CAST(len(sms) AS BIGINT) AS n_sitemaps,
+             CAST(len(list_filter(sms,
+                    s -> regexp_extract(s, 'https?://([^/]+)', 1)
+                         <> robots_host)) AS BIGINT) AS n_cross_host,
+             CAST(len(list_distinct(list_transform(sms,
+                    s -> regexp_extract(s, 'https?://([^/]+)', 1))))
+                  AS BIGINT) AS n_sitemap_hosts
+      FROM parsed)
+    SELECT robots_host AS host, n_sitemaps, n_cross_host,
+           n_sitemap_hosts, n_cross_host > 0 AS cross_host_flag
+    FROM x
+    """,
+)
+def q_robots_sitemaps(spark, sf_dir):
+    """robots.txt Sitemap-directive discovery — the missing link
+    between the robots family (q_frontier_robots parses the
+    Allow/Disallow rules) and the sitemap family (q_sitemap_parse
+    consumes the urlset): per host, the Sitemap: lines are extracted
+    from the robots blob and audited for CROSS-HOST pointers (every
+    5th host serves its sitemaps from a CDN host — the real-world
+    pattern the sitemaps.org cross-submission rule exists for, and a
+    crawler that keys sitemap trust on the robots host alone will
+    either miss or over-trust them). Per host: sitemap count, cross-
+    host pointer count, distinct sitemap hosts, and the flag the
+    frontier seeder branches on.
+
+    Plan/scale: the robots blob is one row per host by construction
+    (the fetch grain), so there is no build aggregate at all — parse,
+    per-line host extraction (JVM regexp inside array lambdas) and
+    the audit are entirely row-local on the host grain; the only
+    exchange is the DISTINCT host derivation the synthesis needs (a
+    real deployment reads robots blobs already host-keyed). No join,
+    no window, no Python."""
+    hosts = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("event_id") % 40).alias("h"))
+        .distinct()
+    )
+    h = F.col("h")
+    sm_url = lambda i: F.when(  # noqa: E731
+        h % 5 == 0,
+        F.concat(
+            F.lit("https://cdn.example.net/sm/h"), h.cast("string"),
+            F.lit("_"), i.cast("string"), F.lit(".xml"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://site"), h.cast("string"),
+            F.lit(".example.com/sitemap"), i.cast("string"), F.lit(".xml"),
+        )
+    )
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /tmp\n"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), h % 3),
+                lambda i: F.concat(F.lit("Sitemap: "), sm_url(i)),
+            ),
+            "\n",
+        ),
+    )
+    robots_host = F.concat(
+        F.lit("site"), h.cast("string"), F.lit(".example.com")
+    )
+    parsed = hosts.select(
+        robots_host.alias("robots_host"),
+        F.regexp_extract_all(txt, F.lit(r"Sitemap: ([^\n]+)"), F.lit(1))
+        .alias("sms"),
+    )
+    sm_host = lambda s: F.regexp_extract(  # noqa: E731
+        s, r"https?://([^/]+)", 1
+    )
+    n_cross = F.size(
+        F.filter("sms", lambda s: sm_host(s) != F.col("robots_host"))
+    ).cast("long")
+    return parsed.select(
+        F.col("robots_host").alias("host"),
+        F.size("sms").cast("long").alias("n_sitemaps"),
+        n_cross.alias("n_cross_host"),
+        F.size(
+            F.array_distinct(F.transform("sms", lambda s: sm_host(s)))
+        )
+        .cast("long")
+        .alias("n_sitemap_hosts"),
+        (n_cross > 0).alias("cross_host_flag"),
+    )
+
+
+@q(
+    "q_embedding_quantize",
+    """
+    WITH dims AS (
+      SELECT generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                  AS BIGINT) AS xq
+      FROM embeddings),
+    stats AS (
+      SELECT d, MIN(xq) AS mnq, MAX(xq) AS mxq FROM dims GROUP BY d),
+    coded AS (
+      SELECT dims.d, xq, mnq, mxq,
+             CASE WHEN mxq = mnq THEN 0
+                  ELSE (xq - mnq) * 255 // (mxq - mnq) END AS code
+      FROM dims JOIN stats ON dims.d = stats.d),
+    recon AS (
+      SELECT d, xq, code, mxq - mnq AS rng,
+             mnq + code * (mxq - mnq) // 255 AS rq
+      FROM coded)
+    SELECT d AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(rng) AS BIGINT) AS range_q,
+           CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used,
+           CAST(SUM(ABS(xq - rq)) AS BIGINT) AS err_total_q,
+           CAST(MAX(ABS(xq - rq)) AS BIGINT) AS err_max_q
+    FROM recon GROUP BY d
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Per-dimension int8 scalar quantization audit — the serving-side
+    compression every ANN deployment sizes before switching the index
+    from float32 to SQ8 (4x smaller, memory-bandwidth-bound scans 4x
+    faster): per dimension the corpus min/max define the 255-code
+    grid, every element is coded and reconstructed, and the audit
+    reports the per-dim range, code occupancy (a dim using 3 of 255
+    codes wastes its byte — the signal to switch that dim to a
+    narrower grid or drop it) and exact total/max reconstruction
+    error. All arithmetic runs on the established floor(x*1e4)
+    integer lattice (q_embedding_drift's discipline): float32 values
+    are quantized ONCE on entry, so min/max/code/reconstruction are
+    exact BIGINT math in both engines — no order-dependent float
+    reduce anywhere, the whole audit is hash-stable by construction.
+
+    Plan/scale: posexplode → one dim-keyed stats aggregate (64 rows)
+    broadcast back onto the exploded stream → row-local code/recon →
+    one dim-keyed rollup. Two exchanges total at any corpus size;
+    the broadcast is |dims| rows. The exploded stream is the same
+    shape the IVF/PQ training jobs already scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("p", "x")
+    ).select(
+        (F.col("p") + 1).alias("d"),
+        F.floor(F.col("x").cast("double") * 10000)
+        .cast("long")
+        .alias("xq"),
+    )
+    stats = exploded.groupBy("d").agg(
+        F.min("xq").alias("mnq"), F.max("xq").alias("mxq")
+    )
+    coded = exploded.join(F.broadcast(stats), "d").select(
+        "d",
+        "xq",
+        (F.col("mxq") - F.col("mnq")).alias("rng"),
+        F.when(F.col("mxq") == F.col("mnq"), F.lit(0).cast("long"))
+        .otherwise(F.expr("(xq - mnq) * 255 DIV (mxq - mnq)"))
+        .alias("code"),
+        F.col("mnq"),
+    )
+    recon = coded.select(
+        "d",
+        "xq",
+        "code",
+        "rng",
+        (F.col("mnq") + F.expr("code * rng DIV 255")).alias("rq"),
+    )
+    return recon.groupBy(F.col("d").alias("dim")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("rng").cast("long").alias("range_q"),
+        F.countDistinct("code").cast("long").alias("codes_used"),
+        F.sum(F.abs(F.col("xq") - F.col("rq")))
+        .cast("long")
+        .alias("err_total_q"),
+        F.max(F.abs(F.col("xq") - F.col("rq")))
+        .cast("long")
+        .alias("err_max_q"),
+    )
+
+
+@q("q_compression_ratio", None)
+def q_compression_ratio(spark, sf_dir):
+    """Compressibility quality filter — the Gopher/CCNet signal with
+    no SQL equivalent (zlib is not expressible in DuckDB, so this is
+    one of the few rows-only driver entries; correctness is pinned by
+    tests/test_round8.py against a direct python-zlib reference and
+    by planted-extreme class tests): each document's zlib-6 ratio in
+    exact integer ppm classifies it `highly_repetitive` (< 450000 —
+    boilerplate/template farms; compression finds the duplication
+    that n-gram dedup prices later, for one cheap pass), `normal`, or
+    `incompressible` (> 900000 — already-compressed or binary junk
+    masquerading as text). Per class: doc count, raw/compressed byte
+    mass, exact mean ratio. Thresholds chosen so all three classes
+    fire on the synthetic corpus (dead-class discipline).
+
+    Plan/scale: one mapInPandas pass — zlib runs per row but each
+    call is a C call amortized over Arrow batches (the same toll the
+    extract stage pays), emitting two ints per doc — then a 3-group
+    JVM rollup with map-side partials. At 100 TB the compression pass
+    fuses into the extract stage's existing Python stage; nothing
+    else scales with the corpus."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ratio_batches(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw.str.len().astype("int64"),
+                    "comp_bytes": raw.map(
+                        lambda b: len(zlib.compress(b, 6))
+                    ).astype("int64"),
+                }
+            )
+
+    sized = docs.mapInPandas(
+        ratio_batches,
+        schema="doc_id long, raw_bytes long, comp_bytes long",
+    )
+    ratio = F.expr("comp_bytes * 1000000 DIV NULLIF(raw_bytes, 0)")
+    cls = (
+        F.when(ratio < 450000, F.lit("highly_repetitive"))
+        .when(ratio > 900000, F.lit("incompressible"))
+        .otherwise(F.lit("normal"))
+    )
+    return (
+        sized.select(cls.alias("cls"), "raw_bytes", "comp_bytes")
+        .groupBy("cls")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("raw_bytes").cast("long").alias("raw_bytes"),
+            F.sum("comp_bytes").cast("long").alias("comp_bytes"),
+            F.expr(
+                "SUM(comp_bytes) * 1000000 DIV NULLIF(SUM(raw_bytes), 0)"
+            ).alias("mean_ratio_ppm"),
+        )
+    )

@@ -1666,3 +1666,79 @@ def test_media_pipeline_job_composes(spark, tmp_path, monkeypatch, capsys):
         rows[0]["n_frames"] for rows in by_vid.values())
     assert man["audio"]["mass"] == sum(
         rows[0]["n_samples"] for rows in by_aud.values())
+
+
+def test_robots_sitemaps_cross_host(spark, tmp_path):
+    """CDN hosts (h % 5 == 0) flag cross-host sitemap pointers with
+    the right counts; same-host publishers never flag."""
+    t0 = _dt.datetime(2024, 6, 1)
+    rows = [(h, t0, 1, "view", 1.0, "{}") for h in (0, 1, 4, 5)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_robots_sitemaps")
+    assert s == _oracle_rows(tmp_path, "q_robots_sitemaps")
+    by_host = {r[0]: r for r in s}
+    # h=0: 1 sitemap (0%3+1), all on the CDN host
+    assert by_host["site0.example.com"][1:] == (1, 1, 1, True)
+    # h=5: 3 sitemaps (5%3+1), all cross-host, one distinct CDN host
+    assert by_host["site5.example.com"][1:] == (3, 3, 1, True)
+    # h=1: 2 sitemaps, same host, no flag
+    assert by_host["site1.example.com"][1:] == (2, 0, 1, False)
+    assert by_host["site4.example.com"][1:] == (2, 0, 1, False)
+
+
+def test_embedding_quantize_grid_exactness(spark, tmp_path):
+    """Grid endpoints reconstruct exactly (code 0 and 255 -> err 0),
+    a midpoint lands on the floor grid with the closed-form error,
+    and a constant dimension degenerates to one code with zero range."""
+    _write_embeddings(
+        tmp_path,
+        [
+            (0, [0.0, 7.5], 0),
+            (1, [1.0, 7.5], 0),
+            (2, [0.5, 7.5], 0),
+        ],
+    )
+    s = _spark_rows(spark, tmp_path, "q_embedding_quantize")
+    assert s == _oracle_rows_emb(tmp_path, "q_embedding_quantize")
+    by_dim = {r[0]: r for r in s}
+    # dim 1: xq {0, 5000, 10000}; endpoints err 0; midpoint:
+    # code = 5000*255//10000 = 127, recon = 127*10000//255 = 4980,
+    # err = 20
+    assert by_dim[1][1:] == (3, 10000, 3, 20, 20)
+    # dim 2: constant 7.5 -> xq 75000, range 0, single code, no error
+    assert by_dim[2][1:] == (3, 0, 1, 0, 0)
+
+
+def test_compression_ratio_matches_zlib_reference(spark, tmp_path):
+    """Planted extremes fire all three classes and every aggregate
+    matches a direct python-zlib recompute of the same texts — the
+    correctness pin for the one rows-only (no-SQL-oracle) text op."""
+    import zlib as zl
+
+    texts = {
+        0: "spam " * 400,                      # highly repetitive
+        1: "xQ",                               # tiny: zlib overhead > raw
+        2: " ".join(  # mid-range ratio ~573k ppm: hash-token salad
+            __import__("hashlib").md5(str(i).encode()).hexdigest()[:8]
+            for i in range(80)),
+        3: "ham " * 300,                       # repetitive again
+    }
+    _write_docs(
+        tmp_path, [(k, v, "en", "s0", len(v)) for k, v in texts.items()]
+    )
+    s = _spark_rows(spark, tmp_path, "q_compression_ratio")
+    exp = {}
+    for t in texts.values():
+        raw = t.encode()
+        comp = len(zl.compress(raw, 6))
+        ppm = comp * 1000000 // len(raw)
+        cls = ("highly_repetitive" if ppm < 450000
+               else "incompressible" if ppm > 900000 else "normal")
+        n, r, c = exp.get(cls, (0, 0, 0))
+        exp[cls] = (n + 1, r + len(raw), c + comp)
+    assert set(r[0] for r in s) == {"highly_repetitive", "normal",
+                                    "incompressible"}
+    for cls_name, n_docs, raw_b, comp_b, mean_ppm in s:
+        n, r, c = exp[cls_name]
+        assert (n_docs, raw_b, comp_b) == (n, r, c)
+        assert mean_ppm == c * 1000000 // r
