@@ -232,6 +232,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_embedding_quantize (SQ8 audit on the integer lattice) and
 #: q_compression_ratio (zlib quality filter — rows-only, the one
 #: no-SQL-oracle text op, pinned by a python-zlib reference test).
+#: The 11th streaming pipeline streaming_capture_diff (the T-158
+#: change-magnitude maintainer) is test-verified, outside oracle
+#: scope like its ten siblings.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

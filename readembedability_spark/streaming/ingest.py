@@ -517,3 +517,111 @@ def streaming_crawl_delta(pages_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+def streaming_capture_diff(
+    pages_stream: DataFrame, max_tokens: int = 4096
+) -> DataFrame:
+    """Streaming change-MAGNITUDE maintainer (the streaming sibling of
+    q_capture_diff, one level deeper than streaming_crawl_delta's
+    binary digest transition): as captures stream in, state per url
+    keeps the PREVIOUS capture's distinct token set, and every
+    consecutive pair is scored with exact integer token-set Jaccard —
+    how much of the page turned over, the number a recrawl scheduler
+    prices fetches with. Cumulative pair/change counts and similarity
+    mass ride in state so the mean never needs history.
+
+    State is BOUNDED: the token set is capped at ``max_tokens``
+    entries in sorted order (deterministic truncation — a production
+    deployment stores a MinHash signature at the same position, the
+    capped set IS the exactness-first variant of that sketch); packed
+    as one unit-separator string because state columns are flat.
+    Ordering: each group's chunks are concatenated and sorted by
+    (ts_us, packed tokens) before folding, so multi-chunk batches
+    replay identically. LATE DATA follows the streaming_crawl_delta
+    contract: a capture older than the head counts in ``n_late`` and
+    never touches the comparison state — splicing it into history is
+    the batch sibling's job."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    SEP = "\x1f"
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        last_packed = None
+        n_pairs = 0
+        n_changed = 0
+        sim_total = 0
+        last_us = None
+        n_late = 0
+        if state.exists:
+            (n, last_packed, n_pairs, n_changed, sim_total, last_us,
+             n_late) = state.get
+        last_sim = None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch["packed"] = [
+            SEP.join(sorted(set(t))[:max_tokens]) for t in batch["toks"]
+        ]
+        batch = batch.sort_values(["ts_us", "packed"])
+        for ts_us, packed in zip(batch["ts_us"], batch["packed"]):
+            ts_us = int(ts_us)
+            if last_us is not None and ts_us < last_us:
+                n_late += 1
+                continue
+            if last_packed is not None:
+                prev = set(last_packed.split(SEP)) if last_packed else set()
+                cur = set(packed.split(SEP)) if packed else set()
+                union = len(prev | cur)
+                sim = (
+                    len(prev & cur) * 1000000 // union if union else 1000000
+                )
+                n_pairs += 1
+                sim_total += sim
+                if sim < 1000000:
+                    n_changed += 1
+                last_sim = sim
+            last_packed = packed
+            last_us = ts_us
+        n += len(batch)
+        state.update(
+            (n, last_packed, n_pairs, n_changed, sim_total, last_us, n_late)
+        )
+        yield pd.DataFrame(
+            {
+                "url": [key[0]],
+                "n_captures": [n],
+                "n_pairs": [n_pairs],
+                "n_changed": [n_changed],
+                "sim_ppm_total": [sim_total],
+                "mean_sim_ppm": [
+                    sim_total // n_pairs if n_pairs else None
+                ],
+                "last_sim_ppm": [last_sim],
+                "n_late": [n_late],
+            }
+        )
+
+    keyed = pages_stream.select(
+        "url",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " timestamp'1970-01-01 00:00:00', warc_ts)"
+        ).alias("ts_us"),
+        F.array_distinct(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("toks"),
+    )
+    return keyed.groupBy("url").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "url string, n_captures long, n_pairs long, n_changed long,"
+            " sim_ppm_total long, mean_sim_ppm long, last_sim_ppm long,"
+            " n_late long"
+        ),
+        stateStructType=(
+            "n_captures long, last_toks string, n_pairs long,"
+            " n_changed long, sim_total long, last_us long, n_late long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

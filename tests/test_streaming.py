@@ -539,3 +539,98 @@ def test_streaming_crawl_delta_converges_to_batch(spark, tmp_path):
     for r in batch_rule.collect():
         if final[r["url"]]["n_late"] == 0:
             assert final[r["url"]]["status"] == r["status"], r
+
+
+def test_streaming_capture_diff_magnitude_and_late(spark, tmp_path):
+    """Token-set Jaccard between consecutive captures accumulates in
+    O(1)-per-url state (last set only): engineered overlaps score
+    exactly (3/5 -> 600000 ppm, 2/4 -> 500000 ppm), identical
+    recrawls score 1000000 with n_changed 0, an in-batch
+    multi-capture url folds in timestamp order, and a late capture
+    counts in n_late without touching the comparison state."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from readembedability_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_capture_diff,
+    )
+
+    t0 = datetime(2025, 2, 1, 12, 0, 0)
+    hr = timedelta(hours=1)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def batch(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [r[0] for r in rows],
+                    "warc_ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "html": pa.array([b"<html/>"] * len(rows), pa.binary()),
+                    "text": [r[2] for r in rows],
+                    "lang": ["en"] * len(rows),
+                }
+            ),
+            in_dir / name,
+        )
+
+    u = "https://h{}.example.com/p"
+    # batch 1: first captures; url4 gets TWO captures in ONE batch
+    batch("b1.parquet", [
+        (u.format(1), t0, "a b c d"),
+        (u.format(2), t0, "solo page"),
+        (u.format(3), t0, "same text here"),
+        (u.format(4), t0, "p q"),
+        (u.format(4), t0 + hr, "p q r s"),
+    ])
+    # batch 2: recrawls
+    batch("b2.parquet", [
+        (u.format(1), t0 + 2 * hr, "a b c x"),       # 3/5 overlap
+        (u.format(3), t0 + 2 * hr, "same text here"),  # identical
+    ])
+    # batch 3: LATE capture for url1 (older than head)
+    batch("b3.parquet", [
+        (u.format(1), t0 - hr, "ancient version"),
+    ])
+    out = streaming_capture_diff(
+        read_pages_stream(spark, str(in_dir), max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("capture_diff")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        r["url"]: r
+        for r in spark.sql(
+            """select * from capture_diff a
+               where n_captures = (select max(n_captures)
+                                   from capture_diff b
+                                   where b.url = a.url)"""
+        ).collect()
+    }
+    # url1: one real pair at 3/5 = 600000 ppm, then one late capture
+    r1 = final[u.format(1)]
+    assert (r1["n_captures"], r1["n_pairs"], r1["n_changed"]) == (3, 1, 1)
+    assert r1["sim_ppm_total"] == 600000 and r1["mean_sim_ppm"] == 600000
+    assert r1["n_late"] == 1
+    # url2: single capture -> no pairs, NULL mean
+    r2 = final[u.format(2)]
+    assert (r2["n_pairs"], r2["n_changed"]) == (0, 0)
+    assert r2["mean_sim_ppm"] is None
+    # url3: identical recrawl -> pair at 1000000, not a change
+    r3 = final[u.format(3)]
+    assert (r3["n_pairs"], r3["n_changed"]) == (1, 0)
+    assert r3["sim_ppm_total"] == 1000000
+    # url4: in-batch fold in ts order -> 2/4 = 500000 ppm
+    r4 = final[u.format(4)]
+    assert (r4["n_captures"], r4["n_pairs"], r4["n_changed"]) == (2, 1, 1)
+    assert r4["last_sim_ppm"] == 500000
