@@ -234,7 +234,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: no-SQL-oracle text op, pinned by a python-zlib reference test).
 #: The 11th streaming pipeline streaming_capture_diff (the T-158
 #: change-magnitude maintainer) is test-verified, outside oracle
-#: scope like its ten siblings.
+#: scope like its ten siblings. q_extract_clientmeta (the M-1/M-2
+#: declared-lang + meta-refresh chain — NEW extractor surface, so it
+#: would gate first were the head not frozen) joins the same r9 slot
+#: promise.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

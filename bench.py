@@ -198,6 +198,7 @@ HEADLINE = [
     "q_robots_sitemaps",
     "q_embedding_quantize",
     "q_compression_ratio",
+    "q_extract_clientmeta",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -31,6 +31,7 @@ class PageMeta:
         "names",
         "properties",
         "links",
+        "html_lang",
         "title_tag",
         "h1",
         "jsonld_texts",
@@ -44,6 +45,7 @@ class PageMeta:
 
     def __init__(self) -> None:
         self.names: dict[str, str] = {}  # <meta name=...>
+        self.html_lang: str | None = None  # <html lang=...> (M-1)
         self.properties: dict[str, str] = {}  # <meta property=...>
         self.links: dict[str, str] = {}  # <link rel=...> href (first wins)
         self.title_tag: str | None = None
@@ -105,6 +107,10 @@ def collect_meta(root: Element) -> PageMeta:
                         pm.discovery_link = href.strip()
                     elif typ in ("application/rss+xml", "application/atom+xml"):
                         pm.feed_links.append(href)  # F-1, doc order
+        elif tag == "html" and pm.html_lang is None:
+            lang_attr = el.attrs.get("lang")
+            if lang_attr and lang_attr.strip():
+                pm.html_lang = lang_attr.strip()
         elif tag == "title" and pm.title_tag is None:
             pm.title_tag = el.text_content()
         elif tag == "h1" and pm.h1 is None:
@@ -214,3 +220,54 @@ def page_host(url: str) -> str:
 def find_h1(root: Element) -> str | None:
     el = find_first(root, "h1")
     return _clean_ws(el.text_content()) if el is not None else None
+
+
+# -- client-side metadata (M-1/M-2): declared language + meta refresh ------
+
+_LANG_TAG_RE = re.compile(r"^[a-z]{2,3}(-[a-z0-9]{2,8})*$")
+
+#: meta refresh content per the WHATWG "shared declarative refresh
+#: steps": optional whole-second delay, then an optional ;/,-separated
+#: url=... clause (key case-insensitive, value optionally quoted).
+_REFRESH_RE = re.compile(
+    r"^\s*(\d+)\s*(?:[;,]\s*url\s*=\s*(['\"]?)(.*?)\2\s*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_declared_lang(pm: PageMeta) -> str | None:
+    """M-1: the page's DECLARED language — ``<html lang>`` beats the
+    ``Content-Language`` http-equiv meta (the html attribute is the
+    language of the document, the header the language of the intended
+    audience; processors prefer the attribute). Multi-valued headers
+    ('de, en') keep the first entry. Values are lowercased and must
+    look like a BCP-47-ish tag (2-3 letter primary + -subtags) or the
+    field stays unset — declared metadata lies enough without keeping
+    junk values."""
+    cand = pm.html_lang or pm.names.get("content-language")
+    if not cand:
+        return None
+    tag = cand.split(",", 1)[0].strip().lower()
+    return tag if _LANG_TAG_RE.match(tag) else None
+
+
+def extract_refresh(pm: PageMeta, page_url: str) -> str | None:
+    """M-2: client-side redirect target from ``<meta http-equiv=
+    "refresh">`` — the soft-redirect every archive resolver folds into
+    the 3xx chain (q_redirect_resolve's pointer-jumping consumes these
+    edges exactly like server redirects). Returns the ABSOLUTE target
+    (resolved against the page url like every other extracted link) or
+    None when the refresh is a pure timed reload (no url= clause) —
+    a reload is not a redirect."""
+    from urllib.parse import urljoin
+
+    content = pm.names.get("refresh")
+    if not content:
+        return None
+    m = _REFRESH_RE.match(content)
+    if not m or not m.group(3):
+        return None
+    target = m.group(3).strip()
+    if not target:
+        return None
+    return urljoin(page_url, target)

@@ -26,7 +26,9 @@ from readembedability_spark.extractor.links import extract_anchors
 from readembedability_spark.extractor.meta import (
     collect_meta,
     extract_canonical,
+    extract_declared_lang,
     extract_description,
+    extract_refresh,
     extract_title,
 )
 from readembedability_spark.extractor.oembed import detect_embed
@@ -58,6 +60,8 @@ def _empty_row(url: str, status: str) -> dict[str, Any]:
         "anchor_texts": None,
         "link_nofollow": None,
         "feeds": None,
+        "declared_lang": None,
+        "refresh_url": None,
         "confidences": {},
         "status": status,
     }
@@ -114,6 +118,8 @@ def _extract_from_dom(url: str, root) -> dict[str, Any]:
     canonical = extract_canonical(pm, url)  # A-12
     anchors = extract_anchors(root, url)  # A-23 (raw dom, pre-cleanup)
     feeds = extract_feeds(pm, url)  # F-1..F-5 (head facts, raw dom)
+    declared_lang = extract_declared_lang(pm)  # M-1
+    refresh_url = extract_refresh(pm, url)  # M-2 (client-side redirect)
 
     result = ParseResult()
     for value, conf in extract_title(pm, ld.headline, url):  # A-9/13/14
@@ -158,6 +164,8 @@ def _extract_from_dom(url: str, root) -> dict[str, Any]:
         "anchor_texts": [t for _, t, _ in anchors] or None,
         "link_nofollow": [nf for _, _, nf in anchors] or None,
         "feeds": feeds or None,
+        "declared_lang": declared_lang,
+        "refresh_url": refresh_url,
         "confidences": result.confidences,
         "status": "ok",
     }

@@ -2244,3 +2244,111 @@ def q_metrics_rollup(spark, sf_dir):
         .cast("bigint")
         .alias("total_chars"),
     )
+
+
+@q(
+    "q_extract_clientmeta",
+    """
+    SELECT 'https://docs.example.com/cm/d' || CAST(doc_id AS VARCHAR)
+             AS url,
+           CASE doc_id % 3
+             WHEN 0 THEN 'en-us'
+             WHEN 1 THEN 'de'
+             ELSE NULL END AS declared_lang,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://docs.example.com/next/d'
+                         || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'https://hop.example.com/h'
+                         || CAST(doc_id AS VARCHAR)
+             ELSE NULL END AS refresh_url,
+           'ok' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_clientmeta(spark, sf_dir):
+    """Client-side metadata gate — the M-1/M-2 chain (declared
+    language + meta-refresh redirect) driver-hash-checked through the
+    REAL extractor: per doc_id rule the page carries a relative
+    refresh ('0;url=/next/…' — must absolutize against the page url),
+    a QUOTED uppercase-key refresh ("5; URL='https://hop…'" — the
+    WHATWG parse accepts both separators, key case and quoting), a
+    pure timed reload ('300' — NOT a redirect, must stay NULL), or no
+    refresh at all; and an ``<html lang="EN-us">`` that must BEAT a
+    contradicting Content-Language meta (precedence + lowercasing), a
+    meta-only multi-value header ('de, en' — first entry wins), or
+    neither. The oracle replays every rule in closed form, so a
+    refresh parser that mis-splits the url clause, keeps timed
+    reloads, skips absolutization, or a lang chain with inverted
+    precedence hash-fails the gate.
+
+    Plan/scale: identical cost class to every extraction archetype —
+    synthesize html row-locally, one salted mapInPandas extract pass,
+    project four columns. No join, no window."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    did = F.col("doc_id").cast("string")
+    m3 = F.col("doc_id") % 3
+    m5 = F.col("doc_id") % 5
+    html_open = (
+        F.when(m3 == 0, F.lit('<html lang="EN-us">'))
+        .otherwise(F.lit("<html>"))
+    )
+    lang_meta = (
+        F.when(
+            m3 == 0,
+            F.lit('<meta http-equiv="content-language" content="fr">'),
+        )
+        .when(
+            m3 == 1,
+            F.lit('<meta http-equiv="Content-Language" content="de, en">'),
+        )
+        .otherwise(F.lit(""))
+    )
+    refresh_meta = (
+        F.when(
+            m5 == 0,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="0;url=/next/d'),
+                did,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            m5 == 1,
+            F.concat(
+                F.lit(
+                    '<meta http-equiv="Refresh"'
+                    " content=\"5; URL='https://hop.example.com/h"
+                ),
+                did,
+                F.lit("'\">"),
+            ),
+        )
+        .when(
+            m5 == 2,
+            F.lit('<meta http-equiv="refresh" content="300">'),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.encode(
+        F.concat(
+            html_open,
+            F.lit("<head><title>Doc "),
+            did,
+            F.lit("</title>"),
+            lang_meta,
+            refresh_meta,
+            F.lit('</head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit("</p></div></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _archetype_pages(
+        spark, docs, "https://docs.example.com/cm/d", html
+    )
+    return extract_stage(pages).select(
+        "url", "declared_lang", "refresh_url", "status"
+    )

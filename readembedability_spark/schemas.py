@@ -62,6 +62,10 @@ EXTRACTED_SCHEMA = StructType(
         # discovered rel=alternate RSS/Atom feed urls (F-1..F-5),
         # ordered/absolutized/deduped — the recrawl-notification surface
         StructField("feeds", ArrayType(StringType()), True),
+        # M-1 declared language (<html lang> beats Content-Language meta)
+        StructField("declared_lang", StringType(), True),
+        # M-2 client-side redirect target (meta refresh, absolutized)
+        StructField("refresh_url", StringType(), True),
         StructField("confidences", MapType(StringType(), DoubleType()), True),
         # ok|empty|non_html|parse_error|pdf|oversize
         StructField("status", StringType(), False),

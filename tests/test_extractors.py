@@ -277,3 +277,67 @@ def test_gzip_page_decodes():
     assert row["status"] == "ok"
     assert row["title"] == "Gz Page"
     assert "Compressed transport page" in row["content_text"]
+
+
+def test_declared_lang_precedence_and_validation():
+    """<html lang> beats Content-Language; multi-value headers keep the
+    first entry; junk values are rejected rather than kept."""
+    from readembedability_spark.extractor import extract_page
+
+    # precedence + lowercasing
+    r = extract_page(
+        "https://ex.com/",
+        b'<html lang="EN-us"><head>'
+        b'<meta http-equiv="content-language" content="fr">'
+        b"<title>T</title></head><body><p>x</p></body></html>",
+    )
+    assert r["declared_lang"] == "en-us"
+    # meta fallback, first of multi-value
+    r = extract_page(
+        "https://ex.com/",
+        b'<html><head><meta http-equiv="Content-Language" '
+        b'content="de, en"><title>T</title></head>'
+        b"<body><p>x</p></body></html>",
+    )
+    assert r["declared_lang"] == "de"
+    # junk value rejected
+    r = extract_page(
+        "https://ex.com/",
+        b'<html lang="click here!"><head><title>T</title></head>'
+        b"<body><p>x</p></body></html>",
+    )
+    assert r["declared_lang"] is None
+    # whitespace-only attribute ignored, meta used
+    r = extract_page(
+        "https://ex.com/",
+        b'<html lang="  "><head><meta http-equiv="content-language" '
+        b'content="PT-br"><title>T</title></head>'
+        b"<body><p>x</p></body></html>",
+    )
+    assert r["declared_lang"] == "pt-br"
+
+
+def test_meta_refresh_parse_scope():
+    """The WHATWG-ish refresh grammar at declared scope: ;/, separators,
+    case-insensitive url key, optional quotes, relative absolutization;
+    timed reloads and malformed clauses yield NULL."""
+    from readembedability_spark.extractor import extract_page
+
+    def refresh(content, url="https://ex.com/a/b"):
+        # single-quoted attribute so double-quoted url= targets survive
+        html = (
+            "<html><head><meta http-equiv=\"refresh\" content='"
+            + content
+            + "'><title>T</title></head><body><p>x</p></body></html>"
+        ).encode()
+        return extract_page(url, html)["refresh_url"]
+
+    assert refresh("0;url=/next") == "https://ex.com/next"
+    assert refresh("5; URL=page2") == "https://ex.com/a/page2"
+    assert refresh('1 , url = "https://o.example.com/x"') == (
+        "https://o.example.com/x"
+    )
+    assert refresh('2;url="rel/y"') == "https://ex.com/a/rel/y"
+    assert refresh("300") is None          # timed reload, not a redirect
+    assert refresh("0;url=") is None       # empty target
+    assert refresh("banana") is None       # malformed
