@@ -237,7 +237,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: scope like its ten siblings. q_extract_clientmeta (the M-1/M-2
 #: declared-lang + meta-refresh chain — NEW extractor surface, so it
 #: would gate first were the head not frozen) joins the same r9 slot
-#: promise.
+#: promise, as does q_extract_robotsmeta (M-3/M-4: page-level robots
+#: directives + the rel=amphtml alternate).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -199,6 +199,7 @@ HEADLINE = [
     "q_embedding_quantize",
     "q_compression_ratio",
     "q_extract_clientmeta",
+    "q_extract_robotsmeta",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -271,3 +271,34 @@ def extract_refresh(pm: PageMeta, page_url: str) -> str | None:
     if not target:
         return None
     return urljoin(page_url, target)
+
+
+def extract_robots_meta(pm: PageMeta) -> tuple[bool, bool]:
+    """M-3: page-level robots directives from ``<meta name="robots">``
+    — the in-document compliance layer robots.txt cannot express
+    (robots.txt gates FETCHING, the meta gates INDEXING/ENDORSING):
+    returns (noindex, nofollow). Directives are comma-split,
+    case-insensitive; ``none`` is the spec'd shorthand for both. An
+    absent or unrecognized meta means indexable — the default is
+    permissive by design, exactly like the live web."""
+    content = pm.names.get("robots")
+    if not content:
+        return False, False
+    dirs = {d.strip().lower() for d in content.split(",")}
+    noindex = "noindex" in dirs or "none" in dirs
+    nofollow = "nofollow" in dirs or "none" in dirs
+    return noindex, nofollow
+
+
+def extract_amp_url(pm: PageMeta, page_url: str) -> str | None:
+    """M-4: the ``rel=amphtml`` alternate — the AMP twin every mobile
+    crawl captures alongside the canonical page; surfacing the link
+    lets dedup treat the (page, AMP) pair as one document family
+    instead of rediscovering it as a near-duplicate. Resolved
+    absolute against the page url like every extracted link."""
+    from urllib.parse import urljoin
+
+    href = pm.links.get("amphtml")
+    if not href or not href.strip():
+        return None
+    return urljoin(page_url, href.strip())

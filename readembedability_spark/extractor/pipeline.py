@@ -25,10 +25,12 @@ from readembedability_spark.extractor.keywords import extract_keywords, extract_
 from readembedability_spark.extractor.links import extract_anchors
 from readembedability_spark.extractor.meta import (
     collect_meta,
+    extract_amp_url,
     extract_canonical,
     extract_declared_lang,
     extract_description,
     extract_refresh,
+    extract_robots_meta,
     extract_title,
 )
 from readembedability_spark.extractor.oembed import detect_embed
@@ -62,6 +64,9 @@ def _empty_row(url: str, status: str) -> dict[str, Any]:
         "feeds": None,
         "declared_lang": None,
         "refresh_url": None,
+        "robots_noindex": False,
+        "robots_nofollow": False,
+        "amp_url": None,
         "confidences": {},
         "status": status,
     }
@@ -120,6 +125,8 @@ def _extract_from_dom(url: str, root) -> dict[str, Any]:
     feeds = extract_feeds(pm, url)  # F-1..F-5 (head facts, raw dom)
     declared_lang = extract_declared_lang(pm)  # M-1
     refresh_url = extract_refresh(pm, url)  # M-2 (client-side redirect)
+    noindex, nofollow = extract_robots_meta(pm)  # M-3
+    amp_url = extract_amp_url(pm, url)  # M-4
 
     result = ParseResult()
     for value, conf in extract_title(pm, ld.headline, url):  # A-9/13/14
@@ -166,6 +173,9 @@ def _extract_from_dom(url: str, root) -> dict[str, Any]:
         "feeds": feeds or None,
         "declared_lang": declared_lang,
         "refresh_url": refresh_url,
+        "robots_noindex": noindex,
+        "robots_nofollow": nofollow,
+        "amp_url": amp_url,
         "confidences": result.confidences,
         "status": "ok",
     }

@@ -2352,3 +2352,76 @@ def q_extract_clientmeta(spark, sf_dir):
     return extract_stage(pages).select(
         "url", "declared_lang", "refresh_url", "status"
     )
+
+
+@q(
+    "q_extract_robotsmeta",
+    """
+    SELECT 'https://docs.example.com/rm/d' || CAST(doc_id AS VARCHAR)
+             AS url,
+           doc_id % 4 IN (0, 2) AS robots_noindex,
+           doc_id % 4 IN (1, 2) AS robots_nofollow,
+           CASE WHEN doc_id % 6 = 0
+                THEN 'https://docs.example.com/amp/d'
+                     || CAST(doc_id AS VARCHAR) END AS amp_url,
+           'ok' AS status
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def q_extract_robotsmeta(spark, sf_dir):
+    """Page-level compliance gate — the M-3/M-4 chain (robots meta
+    directives + rel=amphtml alternate) driver-hash-checked through
+    the REAL extractor: per doc_id rule the page carries
+    'noindex, follow' (index gate only), an UPPERCASE bare 'NOFOLLOW'
+    (case-insensitivity + single directive), the 'none' shorthand
+    (must set BOTH flags — the spec'd contraction a naive
+    contains-check misses), or no robots meta at all (permissive
+    default: both false, never NULL); every 6th page declares a
+    RELATIVE amphtml alternate that must come back absolutized. The
+    oracle replays the rules closed-form, so a directive parser that
+    misses 'none', case-folds wrong, defaults to null, or an AMP link
+    that skips resolution hash-fails.
+
+    robots.txt gates FETCHING (q_frontier_robots / q_robots_crawl_debt);
+    this meta gates INDEXING and ENDORSING — the page-level layer a
+    compliant index purge (r9 consumer) keys on.
+
+    Plan/scale: the extraction-archetype cost class — row-local
+    synthesis, one salted mapInPandas pass, project five columns."""
+    from readembedability_spark.operators.extract import extract_stage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    did = F.col("doc_id").cast("string")
+    m4 = F.col("doc_id") % 4
+    robots_meta = (
+        F.when(
+            m4 == 0, F.lit('<meta name="robots" content="noindex, follow">')
+        )
+        .when(m4 == 1, F.lit('<meta name="robots" content="NOFOLLOW">'))
+        .when(m4 == 2, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(""))
+    )
+    amp_link = F.when(
+        F.col("doc_id") % 6 == 0,
+        F.concat(F.lit('<link rel="amphtml" href="/amp/d'), did, F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            did,
+            F.lit("</title>"),
+            robots_meta,
+            amp_link,
+            F.lit('</head><body><div class="content"><p>'),
+            F.col("text"),
+            F.lit("</p></div></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _archetype_pages(
+        spark, docs, "https://docs.example.com/rm/d", html
+    )
+    return extract_stage(pages).select(
+        "url", "robots_noindex", "robots_nofollow", "amp_url", "status"
+    )

@@ -66,6 +66,12 @@ EXTRACTED_SCHEMA = StructType(
         StructField("declared_lang", StringType(), True),
         # M-2 client-side redirect target (meta refresh, absolutized)
         StructField("refresh_url", StringType(), True),
+        # M-3 page-level robots directives (noindex/nofollow; 'none'
+        # implies both; absent meta = permissive default)
+        StructField("robots_noindex", BooleanType(), True),
+        StructField("robots_nofollow", BooleanType(), True),
+        # M-4 rel=amphtml alternate (absolutized) - the AMP twin
+        StructField("amp_url", StringType(), True),
         StructField("confidences", MapType(StringType(), DoubleType()), True),
         # ok|empty|non_html|parse_error|pdf|oversize
         StructField("status", StringType(), False),

@@ -341,3 +341,30 @@ def test_meta_refresh_parse_scope():
     assert refresh("300") is None          # timed reload, not a redirect
     assert refresh("0;url=") is None       # empty target
     assert refresh("banana") is None       # malformed
+
+
+def test_robots_meta_and_amp_scope():
+    """Directive parsing: case-insensitive, comma-split, 'none' sets
+    BOTH flags, absent meta means permissive (false, never None);
+    rel=amphtml absolutizes."""
+    from readembedability_spark.extractor import extract_page
+
+    def page(head):
+        html = (
+            "<html><head><title>T</title>" + head
+            + "</head><body><p>x</p></body></html>"
+        ).encode()
+        return extract_page("https://ex.com/a/p", html)
+
+    r = page('<meta name="robots" content="NOINDEX , Follow">')
+    assert (r["robots_noindex"], r["robots_nofollow"]) == (True, False)
+    r = page('<meta name="robots" content="none">')
+    assert (r["robots_noindex"], r["robots_nofollow"]) == (True, True)
+    r = page('<meta name="robots" content="max-snippet:50">')
+    assert (r["robots_noindex"], r["robots_nofollow"]) == (False, False)
+    r = page("")
+    assert (r["robots_noindex"], r["robots_nofollow"]) == (False, False)
+    r = page('<link rel="amphtml" href="amp/">')
+    assert r["amp_url"] == "https://ex.com/a/amp/"
+    r = page("")
+    assert r["amp_url"] is None
