@@ -238,7 +238,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: declared-lang + meta-refresh chain — NEW extractor surface, so it
 #: would gate first were the head not frozen) joins the same r9 slot
 #: promise, as does q_extract_robotsmeta (M-3/M-4: page-level robots
-#: directives + the rel=amphtml alternate).
+#: directives + the rel=amphtml alternate). The session-7 trio —
+#: q_sitemap_coverage (declare-vs-fetch reconciliation),
+#: q_ip_colocation (/24 shared-hosting clusters) and
+#: q_freshness_weights (exact power-of-two temporal decay) — joins
+#: the same r9 promise.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -200,6 +200,9 @@ HEADLINE = [
     "q_compression_ratio",
     "q_extract_clientmeta",
     "q_extract_robotsmeta",
+    "q_sitemap_coverage",
+    "q_ip_colocation",
+    "q_freshness_weights",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -14401,3 +14401,238 @@ def q_compression_ratio(spark, sf_dir):
             ).alias("mean_ratio_ppm"),
         )
     )
+
+
+@q(
+    "q_sitemap_coverage",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT event_id % 40 AS h FROM events),
+    x AS (
+      SELECT h,
+             range(0, h % 7 + 5) AS declared,
+             list_transform(range(0, h % 5 + 7), j -> j * 2) AS crawled
+      FROM hosts),
+    m AS (
+      SELECT h, declared, crawled,
+             list_filter(declared,
+                         u -> list_contains(crawled, u)) AS matched
+      FROM x)
+    SELECT 'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+           CAST(len(declared) AS BIGINT) AS n_declared,
+           CAST(len(crawled) AS BIGINT) AS n_crawled,
+           CAST(len(matched) AS BIGINT) AS n_matched,
+           CAST(len(declared) - len(matched) AS BIGINT) AS n_missing,
+           CAST(len(crawled) - len(matched) AS BIGINT) AS n_orphan,
+           CAST(len(matched) * 1000000 // len(declared) AS BIGINT)
+             AS coverage_ppm
+    FROM m
+    """,
+)
+def q_sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl coverage gap — the audit that closes the loop
+    between the sitemap family (q_sitemap_parse extracts what the host
+    DECLARES) and the capture family (q_crawl_delta tracks what the
+    crawler FETCHED): per host, the declared URL set and the crawled
+    URL set are reconciled into matched / missing (declared but never
+    fetched — frontier debt, the sitemap's whole point) / orphan
+    (fetched but not declared — either sitemap rot or crawler waste),
+    plus coverage in exact integer ppm. Both defect branches fire on
+    every synthetic host by construction (declared = 0..h%7+4, crawled
+    = evens 0..2*(h%5+6): odd declared items are always missing, the
+    even tail is always orphaned — no dead class, two coprime-ish
+    moduli vary the set sizes independently).
+
+    Plan/scale: both URL sets are row-local arrays on the host grain
+    (a real deployment joins the parsed sitemap against the capture
+    index host-keyed — one co-partitioned join; here the sets derive
+    row-locally so the ONLY exchange is the synthesis DISTINCT), and
+    the reconciliation is array land (intersect/size) inside
+    whole-stage codegen. No window, no Python, nothing scales with
+    corpus size except the host grain itself."""
+    hosts = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("event_id") % 40).alias("h"))
+        .distinct()
+    )
+    h = F.col("h")
+    x = hosts.select(
+        h,
+        F.sequence(F.lit(0).cast("long"), h % 7 + 4).alias("declared"),
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), h % 5 + 6),
+            lambda j: j * 2,
+        ).alias("crawled"),
+    ).withColumn(
+        "matched", F.array_intersect("declared", "crawled")
+    )
+    return x.select(
+        F.concat(
+            F.lit("site"), h.cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.size("declared").cast("long").alias("n_declared"),
+        F.size("crawled").cast("long").alias("n_crawled"),
+        F.size("matched").cast("long").alias("n_matched"),
+        (F.size("declared") - F.size("matched"))
+        .cast("long")
+        .alias("n_missing"),
+        (F.size("crawled") - F.size("matched"))
+        .cast("long")
+        .alias("n_orphan"),
+        F.expr(
+            "size(matched) * 1000000L DIV size(declared)"
+        ).alias("coverage_ppm"),
+    )
+
+
+@q(
+    "q_ip_colocation",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT event_id % 97 AS h FROM events),
+    m AS (
+      SELECT 'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+             CASE WHEN h % 4 = 0 THEN 99
+                  WHEN h >= 90 THEN 100 + h
+                  ELSE h % 29 END AS sn
+      FROM hosts)
+    SELECT '10.0.' || CAST(sn AS VARCHAR) || '.0/24' AS subnet,
+           CAST(COUNT(*) AS BIGINT) AS n_hosts,
+           array_to_string(list_sort(list(host))[1:3], ',')
+             AS sample_hosts,
+           CASE WHEN COUNT(*) >= 10 THEN 'farm'
+                WHEN COUNT(*) >= 2 THEN 'shared'
+                ELSE 'dedicated' END AS coloc_class
+    FROM m GROUP BY sn
+    """,
+)
+def q_ip_colocation(spark, sf_dir):
+    """IP-colocation host clustering — the infrastructure-level spam
+    signal the content-level detectors (q_anchor_spam,
+    q_graph_reciprocity) cannot see: hosts resolving into the same
+    /24 subnet share hosting, and a subnet with dozens of
+    cross-linking hosts is the classic link-farm footprint (one
+    operator, many "independent" domains). Host→subnet assignment is
+    synthesized deterministically with all three regimes live: every
+    4th host lands in the mega-farm subnet (≈25 hosts), hosts ≥ 90
+    (mod 4 ≠ 0) get dedicated singleton subnets, the rest spread 2-3
+    per subnet over 29 shared-hosting subnets — farm / shared /
+    dedicated all fire (dead-class discipline). Per subnet: host
+    count, a deterministic 3-host sample (sorted, sliced) and the
+    class the downstream authority-damping join keys on.
+
+    Plan/scale: one hash aggregate on the subnet key (a real
+    deployment joins a host→IP resolution table host-keyed first —
+    broadcast-sized at any corpus, since hosts ≪ captures). The
+    sorted sample is bounded per group only by collect_list over
+    co-located HOSTS (not captures) — at web scale the hottest /24
+    holds thousands of hosts, not billions; if that ever skewed, the
+    slice-of-3 becomes a bounded top-k window. No Python, one
+    exchange past the synthesis DISTINCT."""
+    hosts = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("event_id") % 97).alias("h"))
+        .distinct()
+    )
+    h = F.col("h")
+    m = hosts.select(
+        F.concat(
+            F.lit("site"), h.cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.when(h % 4 == 0, F.lit(99).cast("long"))
+        .when(h >= 90, (h + 100))
+        .otherwise(h % 29)
+        .alias("sn"),
+    )
+    agg = m.groupBy("sn").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("host")), 1, 3), ","
+        ).alias("sample_hosts"),
+    )
+    return agg.select(
+        F.concat(
+            F.lit("10.0."), F.col("sn").cast("string"), F.lit(".0/24")
+        ).alias("subnet"),
+        "n_hosts",
+        "sample_hosts",
+        F.when(F.col("n_hosts") >= 10, F.lit("farm"))
+        .when(F.col("n_hosts") >= 2, F.lit("shared"))
+        .otherwise(F.lit("dedicated"))
+        .alias("coloc_class"),
+    )
+
+
+@q(
+    "q_freshness_weights",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'src' || CAST(doc_id % 5 AS VARCHAR) AS source,
+             (doc_id * 13) % 1460 AS age_days
+      FROM documents),
+    b AS (
+      SELECT source, age_days // 90 AS halflives,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM d GROUP BY source, age_days // 90),
+    w AS (
+      SELECT source, CAST(halflives AS BIGINT) AS halflives, n_docs,
+             CAST(1000000 // (CAST(1 AS BIGINT) << halflives)
+                  AS BIGINT) AS w_micro,
+             CAST(n_docs * (1000000 // (CAST(1 AS BIGINT) << halflives))
+                  AS BIGINT) AS mass
+      FROM b)
+    SELECT source, halflives, n_docs, w_micro, mass,
+           CAST(mass * 1000000 // SUM(mass) OVER (PARTITION BY source)
+                AS BIGINT) AS share_ppm
+    FROM w
+    """,
+)
+def q_freshness_weights(spark, sf_dir):
+    """Freshness-decay sampling weights — the temporal mixture knob a
+    pretraining curator turns next to the source mixture
+    (q_mixture_weights) and the token budget (q_token_budget_mixture):
+    stale pages should not sample at the rate of fresh ones. Each
+    document's age (synthesized deterministically: (doc_id*13) mod
+    1460 days — 13 coprime with 1460, so ages sweep the full 4-year
+    range with no dead residue) is bucketed into 90-day half-lives and
+    weighted by EXACT step decay w = 1e6 >> halflives (power-of-two
+    denominators keep every weight, mass and share an exact integer —
+    no float exp(), no cross-engine drift by construction). Per
+    (source, half-life bucket): doc count, per-doc weight, total mass
+    and the bucket's normalized share of its source's sampling mass in
+    ppm — the row the weighted sampler consumes directly.
+
+    Plan/scale: one (source, bucket) hash aggregate — map-side
+    partials, ≤ |sources|·17 output rows at ANY corpus size — then a
+    window over that bounded grain (≤ 17 rows per source partition)
+    for the normalization. The corpus is touched exactly once; the
+    decay math is row-local integer shift arithmetic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = docs.select(
+        F.concat(F.lit("src"), (F.col("doc_id") % 5).cast("string")).alias(
+            "source"
+        ),
+        F.expr("(doc_id * 13) % 1460 DIV 90").alias("halflives"),
+    )
+    b = d.groupBy("source", "halflives").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w_micro = F.expr("1000000L DIV shiftleft(1L, CAST(halflives AS INT))")
+    w = b.select(
+        "source",
+        F.col("halflives").cast("long").alias("halflives"),
+        "n_docs",
+        w_micro.alias("w_micro"),
+        (F.col("n_docs") * w_micro).cast("long").alias("mass"),
+    )
+    return w.select(
+        "source",
+        "halflives",
+        "n_docs",
+        "w_micro",
+        "mass",
+        F.expr(
+            "mass * 1000000L DIV (SUM(mass) OVER (PARTITION BY source))"
+        ).alias("share_ppm"),
+    )

@@ -1742,3 +1742,66 @@ def test_compression_ratio_matches_zlib_reference(spark, tmp_path):
         n, r, c = exp[cls_name]
         assert (n_docs, raw_b, comp_b) == (n, r, c)
         assert mean_ppm == c * 1000000 // r
+
+
+# ---------------------------------------------------------------------------
+# Session-7 ops: sitemap coverage, IP colocation, freshness weights
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_coverage_both_defect_branches_live(spark, tmp_path):
+    """Parity + dead-class discipline: on EVERY host both defect
+    branches fire (odd declared items are never crawled -> missing;
+    the even crawl tail exceeds the declared range -> orphan), and
+    the set identities matched+missing=declared, matched+orphan=
+    crawled hold exactly."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, i, "view", 1.0, "{}") for i in range(80)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_sitemap_coverage")
+    assert s == _oracle_rows(tmp_path, "q_sitemap_coverage")
+    assert len(s) == 40
+    for host, nd, nc, nm, nmiss, norph, cov in s:
+        assert nm + nmiss == nd and nm + norph == nc
+        assert nmiss >= 1 and norph >= 1  # both branches live
+        assert 0 <= cov <= 1000000
+        assert cov == nm * 1000000 // nd
+
+
+def test_ip_colocation_all_three_classes(spark, tmp_path):
+    """Parity + regime coverage: the mega-farm subnet holds every
+    4th host (25 of 97), singleton subnets exist (h>=90, h%4!=0),
+    and the shared-hosting subnets hold 2-3 hosts each; the sorted
+    3-host sample never exceeds 3 entries."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, i, "view", 1.0, "{}") for i in range(97)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_ip_colocation")
+    assert s == _oracle_rows(tmp_path, "q_ip_colocation")
+    by_class = {}
+    for subnet, n, sample, cls in s:
+        by_class.setdefault(cls, []).append((subnet, n))
+        assert 1 <= len(sample.split(",")) <= 3
+    assert ("10.0.99.0/24", 25) in by_class["farm"]
+    assert len(by_class["dedicated"]) == 5  # 90,91,93,94,95
+    assert all(2 <= n <= 3 for _, n in by_class["shared"])
+    assert by_class["shared"]  # the middle regime fires too
+
+
+def test_freshness_weights_exact_decay_and_share(spark, tmp_path):
+    """Parity + exactness: per-bucket weight is the exact power-of-two
+    step decay 1e6 >> k, mass = n * w, and the floored per-source
+    shares sum to within nrows of 1e6 (floor rounding only)."""
+    rows = [
+        (i, "w " * 4, "en", "s", 8) for i in range(400)
+    ]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_freshness_weights")
+    assert s == _oracle_rows(tmp_path, "q_freshness_weights")
+    per_source = {}
+    for source, k, n, w, mass, share in s:
+        assert w == 1000000 >> k
+        assert mass == n * w
+        per_source.setdefault(source, []).append(share)
+    for source, shares in per_source.items():
+        assert 1000000 - len(shares) <= sum(shares) <= 1000000
