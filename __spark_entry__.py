@@ -242,7 +242,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_sitemap_coverage (declare-vs-fetch reconciliation),
 #: q_ip_colocation (/24 shared-hosting clusters) and
 #: q_freshness_weights (exact power-of-two temporal decay) — joins
-#: the same r9 promise.
+#: the same r9 promise, as do q_zipf_fit (integer-lattice rank-
+#: frequency fit) and q_entity_density (capitalization-proxy NER
+#: with the sentence-initial exclusion).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

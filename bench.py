@@ -203,6 +203,8 @@ HEADLINE = [
     "q_sitemap_coverage",
     "q_ip_colocation",
     "q_freshness_weights",
+    "q_zipf_fit",
+    "q_entity_density",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -14636,3 +14636,231 @@ def q_freshness_weights(spark, sf_dir):
             "mass * 1000000L DIV (SUM(mass) OVER (PARTITION BY source))"
         ).alias("share_ppm"),
     )
+
+
+@q(
+    "q_zipf_fit",
+    """
+    WITH tf AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY lang, w),
+    rk AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, w) AS r
+      FROM tf),
+    top AS (SELECT * FROM rk WHERE r <= 64),
+    qt AS (
+      SELECT lang, c, r,
+             CAST(floor(ln(CAST(r AS DOUBLE)) * 1000) AS BIGINT) AS xq,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS yq
+      FROM top),
+    s AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_ranks,
+             CAST(SUM(c) AS BIGINT) AS top_mass,
+             CAST(SUM(xq) AS BIGINT) AS sx,
+             CAST(SUM(yq) AS BIGINT) AS sy,
+             CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+             CAST(SUM(xq * xq) AS BIGINT) AS sxx
+      FROM qt GROUP BY lang)
+    SELECT lang, n_ranks, top_mass,
+           CAST((n_ranks * sxy - sx * sy) * 1000000
+                // (n_ranks * sxx - sx * sx) AS BIGINT) AS slope_micro,
+           CAST((sy * 1000000
+                 - ((n_ranks * sxy - sx * sy) * 1000000
+                    // (n_ranks * sxx - sx * sx)) * sx)
+                // (n_ranks * 1000000) AS BIGINT) AS intercept_milli
+    FROM s
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit — the corpus-health fingerprint: natural
+    text follows freq ∝ rank^s with s ≈ -1, and a slope far from -1
+    flags template farms (too flat: boilerplate tokens everywhere) or
+    degenerate generators (too steep: a handful of tokens dominate).
+    Per language, the top-64 terms by frequency (deterministic ties:
+    count desc, term asc) enter a least-squares fit of log-freq
+    against log-rank — computed ENTIRELY on an integer lattice:
+    each log is milli-quantized once (floor(ln·10³) — same double, same
+    floor in both engines), so every Σx/Σy/Σxy/Σx² is an exact BIGINT
+    and the slope/intercept are exact integer divisions (micro/milli
+    units). No order-dependent float reduce anywhere; the only float
+    op is the per-value ln. Overflow-checked: xq,yq ≤ ~2·10⁴ milli,
+    64 ranks → n·Σxy ≤ ~10¹²; ·10⁶ stays ≪ 2⁶³.
+
+    Plan/scale: one (lang, term) hash aggregate over the exploded
+    corpus (map-side partials — the same tf shape q_tfidf/q_bpe ride),
+    then a per-lang top-64 (rank ≤ k compiles to WindowGroupLimit /
+    group-limit, never a full sort of the vocabulary), then one
+    ≤64-row-per-lang rollup. The corpus is touched once."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w"))
+    top = tf.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= 64
+    )
+    qt = top.select(
+        "lang",
+        "c",
+        F.expr(
+            "CAST(FLOOR(LN(CAST(r AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("xq"),
+        F.expr(
+            "CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("yq"),
+    )
+    s = qt.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_ranks"),
+        F.sum("c").cast("long").alias("top_mass"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    slope = "(n_ranks * sxy - sx * sy) * 1000000 DIV (n_ranks * sxx - sx * sx)"
+    return s.select(
+        "lang",
+        "n_ranks",
+        "top_mass",
+        F.expr(f"CAST({slope} AS BIGINT)").alias("slope_micro"),
+        F.expr(
+            f"CAST((sy * 1000000 - ({slope}) * sx)"
+            " DIV (n_ranks * 1000000) AS BIGINT)"
+        ).alias("intercept_milli"),
+    )
+
+
+_ENTITY_NAMES = (
+    "Alice", "Bob", "Carol", "Dave", "Erin", "Frank", "Grace"
+)
+_ENTITY_CITIES = (
+    "Paris", "Oslo", "Lima", "Quito", "Cairo", "Dakar",
+    "Hanoi", "Kyoto", "Accra", "Bogota", "Tunis"
+)
+
+
+@q(
+    "q_entity_density",
+    """
+    WITH names(nm, ni) AS (
+      SELECT * FROM (VALUES
+        ('Alice', 0), ('Bob', 1), ('Carol', 2), ('Dave', 3),
+        ('Erin', 4), ('Frank', 5), ('Grace', 6)) t),
+    cities(ct, ci) AS (
+      SELECT * FROM (VALUES
+        ('Paris', 0), ('Oslo', 1), ('Lima', 2), ('Quito', 3),
+        ('Cairo', 4), ('Dakar', 5), ('Hanoi', 6), ('Kyoto', 7),
+        ('Accra', 8), ('Bogota', 9), ('Tunis', 10)) t),
+    d AS (
+      SELECT doc_id, source,
+             'The ' || n1.nm || ' report visited ' || c1.ct
+             || ' and NASA . Later ' || n2.nm || ' slept .' AS txt
+      FROM documents
+      JOIN names n1 ON n1.ni = doc_id % 7
+      JOIN names n2 ON n2.ni = (doc_id + 3) % 7
+      JOIN cities c1 ON c1.ci = doc_id % 11),
+    tok AS (
+      SELECT doc_id, source, string_split(txt, ' ') AS toks FROM d),
+    ent AS (
+      SELECT doc_id, source, toks,
+             list_filter(
+               list_transform(toks, (t, i) -> CASE
+                 WHEN regexp_matches(t, '^[A-Z][a-z]+$')
+                      AND NOT regexp_matches(
+                            CASE WHEN i = 1 THEN '.'
+                                 ELSE toks[i - 1] END, '[.!?]$')
+                 THEN t ELSE NULL END),
+               x -> x IS NOT NULL) AS ents
+      FROM tok),
+    flat AS (
+      SELECT source, unnest(ents) AS e FROM ent),
+    base AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+             CAST(SUM(len(ents)) AS BIGINT) AS n_entities
+      FROM ent GROUP BY source),
+    dist AS (
+      SELECT source, CAST(COUNT(DISTINCT e) AS BIGINT)
+               AS n_distinct_entities
+      FROM flat GROUP BY source)
+    SELECT base.source, n_docs, n_tokens, n_entities,
+           CAST(n_entities * 1000000 // n_tokens AS BIGINT)
+             AS entity_ppm,
+           n_distinct_entities
+    FROM base JOIN dist ON base.source = dist.source
+    """,
+)
+def q_entity_density(spark, sf_dir):
+    """Named-entity density audit (capitalization-proxy NER) — the
+    cheap entity signal a curation pipeline uses to prefer
+    information-dense documents before any model-based NER exists: a
+    token counts as an entity mention iff it is Capitalized-with-
+    lowercase-tail AND NOT sentence-initial (the previous token does
+    not end a sentence — the classic trap that makes naive casing
+    counters score 'The' and 'Later' as entities). The rule runs
+    entirely in array land with a shifted-by-one comparison: the
+    position-indexed lambda looks at token i-1 (sentinel '.' at the
+    document start, so position 1 is sentence-initial by definition).
+    The synthesis plants all four branches live per doc: true
+    mid-sentence entities (names/cities), a sentence-initial
+    capitalized decoy after '.', the document-initial 'The', and an
+    all-caps 'NASA' the [A-Z][a-z]+ shape rejects. Per source: doc
+    count, token/entity mass, density ppm, distinct entity strings.
+
+    Plan/scale: tokenization + the entity rule are row-local (no lag
+    window, no per-token explode for the rule itself); the ONLY
+    explode is over the ~3 matched entities per doc for the DISTINCT
+    count, then two source-keyed aggregates joined on the tiny source
+    grain. At 100 TB: one corpus scan + two bounded-output exchanges."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    names = "array(%s)" % ", ".join(f"'{n}'" for n in _ENTITY_NAMES)
+    cities = "array(%s)" % ", ".join(f"'{c}'" for c in _ENTITY_CITIES)
+    txt = F.expr(
+        f"concat('The ', element_at({names}, CAST(doc_id % 7 + 1 AS INT)),"
+        f" ' report visited ',"
+        f" element_at({cities}, CAST(doc_id % 11 + 1 AS INT)),"
+        f" ' and NASA . Later ',"
+        f" element_at({names}, CAST((doc_id + 3) % 7 + 1 AS INT)),"
+        f" ' slept .')"
+    )
+    tok = docs.select(
+        "source", F.split(txt, " ").alias("toks")
+    )
+    ent = tok.withColumn(
+        "ents",
+        F.expr(
+            "filter(zip_with(toks,"
+            " concat(array('.'), slice(toks, 1, size(toks) - 1)),"
+            " (t, p) -> CASE WHEN t RLIKE '^[A-Z][a-z]+$'"
+            "   AND NOT p RLIKE '[.!?]$' THEN t END),"
+            " x -> x IS NOT NULL)"
+        ),
+    )
+    base = ent.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+        F.sum(F.size("ents")).cast("long").alias("n_entities"),
+    )
+    dist = (
+        ent.select("source", F.explode("ents").alias("e"))
+        .groupBy("source")
+        .agg(F.countDistinct("e").cast("long").alias("n_distinct_entities"))
+    )
+    return base.join(dist, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_entities",
+        F.expr("n_entities * 1000000 DIV n_tokens").alias("entity_ppm"),
+        "n_distinct_entities",
+    )

@@ -1805,3 +1805,64 @@ def test_freshness_weights_exact_decay_and_share(spark, tmp_path):
         per_source.setdefault(source, []).append(share)
     for source, shares in per_source.items():
         assert 1000000 - len(shares) <= sum(shares) <= 1000000
+
+
+def test_zipf_fit_matches_python_reference(spark, tmp_path):
+    """Parity + exact python recompute: a hand-built corpus where term
+    k appears floor(120/k) times is near-ideal Zipf; the integer-
+    lattice fit must equal a python recompute on the SAME
+    milli-quantized logs EXACTLY (the whole point of the lattice: no
+    float-summation-order drift), and the slope must sit near -1."""
+    import math
+
+    counts = {f"t{k:02d}": 120 // k for k in range(1, 31)}
+    words = [w for w, c in counts.items() for _ in range(c)]
+    # spread tokens over docs so the tf aggregate actually combines
+    rows = []
+    for i in range(0, len(words), 7):
+        rows.append((i, " ".join(words[i : i + 7]), "en", "s", 1))
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_zipf_fit")
+    assert s == _oracle_rows(tmp_path, "q_zipf_fit")
+    (lang, n_ranks, top_mass, slope_micro, intercept_milli) = s[0]
+    assert lang == "en" and n_ranks == 30
+    assert top_mass == sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    xq = [math.floor(math.log(r) * 1000) for r in range(1, 31)]
+    yq = [math.floor(math.log(c) * 1000) for _, c in ranked]
+    n = 30
+    sx, sy = sum(xq), sum(yq)
+    sxy = sum(a * b for a, b in zip(xq, yq))
+    sxx = sum(a * a for a in xq)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    exp_slope = int(num * 1000000 / den) if num * 1000000 % den == 0 else (
+        num * 1000000 // den if (num >= 0) == (den >= 0)
+        else -((-num * 1000000) // den)
+    )
+    # Spark DIV / DuckDB // both truncate toward zero
+    assert slope_micro == exp_slope
+    assert -1200000 < slope_micro < -800000  # Zipf-ish corpus ≈ -1
+    exp_int = sy * 1000000 - exp_slope * sx
+    exp_int = (
+        exp_int // (n * 1000000)
+        if exp_int >= 0
+        else -((-exp_int) // (n * 1000000))
+    )
+    assert intercept_milli == exp_int
+
+
+def test_entity_density_closed_form(spark, tmp_path):
+    """Parity + closed form: every synthesized doc carries exactly 12
+    tokens and 3 true entities (mid-sentence name, city, post-'Later'
+    name) while the decoys (document-initial 'The', sentence-initial
+    'Later', all-caps 'NASA') never count; with doc_ids covering all
+    residues the distinct-entity set is all 7 names + 11 cities."""
+    rows = [(i, "x", "en", "s", 1) for i in range(77)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_entity_density")
+    assert s == _oracle_rows(tmp_path, "q_entity_density")
+    (source, n_docs, n_tokens, n_entities, ppm, n_distinct) = s[0]
+    assert (source, n_docs) == ("s", 77)
+    assert n_tokens == 77 * 12 and n_entities == 77 * 3
+    assert ppm == 3 * 1000000 // 12
+    assert n_distinct == 7 + 11  # names ∪ cities; decoys excluded
