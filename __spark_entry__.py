@@ -244,7 +244,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_freshness_weights (exact power-of-two temporal decay) — joins
 #: the same r9 promise, as do q_zipf_fit (integer-lattice rank-
 #: frequency fit) and q_entity_density (capitalization-proxy NER
-#: with the sentence-initial exclusion).
+#: with the sentence-initial exclusion). The 12th streaming pipeline
+#: streaming_admission (T-171, the stateful host token-budget
+#: maintainer) is test-verified, outside oracle scope like its
+#: eleven siblings.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -625,3 +625,111 @@ def streaming_capture_diff(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_admission(
+    pages_stream: DataFrame, budget: int = 300
+) -> DataFrame:
+    """Stateful host token-budget admission at ingest (the streaming
+    maintainer of q_host_token_budget's anti-domination rule): as
+    pages stream in, each host's state carries the cumulative token
+    count already SEEN for that host, and a page is admitted iff the
+    tokens before it are still under the budget — running-sum
+    semantics, so the budget-crossing page is kept, exactly the batch
+    rule. Every page emits one row with its admission decision, so
+    the downstream writer can fork kept/rejected sinks without a
+    second pass.
+
+    State is O(1) per host by construction — three counters, no page
+    history — which is the whole point: the batch sibling needs the
+    range-partitioned `_grouped_cumsum` to order 10^8 hosts' running
+    sums, while the stream pays one integer add per page. Ordering:
+    a micro-batch's arrow chunks are concatenated and sorted once by
+    (ts_us, url) before folding, so multi-chunk delivery replays
+    identically to row-at-a-time. ADMISSION ORDER IS INGEST ORDER:
+    a late-arriving page (older warc_ts than already-folded pages)
+    still consumes budget at its ARRIVAL position — with O(1) state
+    an earlier admission cannot be revoked; n_late counts them so
+    the batch sibling (which orders by doc_id, not arrival) can
+    reconcile offline. Tokens of REJECTED pages still advance the
+    seen-counter, mirroring the batch cumsum over all docs (the sum
+    is monotone, so rejection stays permanent in both engines)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        tokens_seen = 0
+        n_seen = 0
+        n_admitted = 0
+        last_us = None
+        n_late = 0
+        if state.exists:
+            tokens_seen, n_seen, n_admitted, last_us, n_late = state.get
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "url"])
+        out = {
+            "url": [],
+            "n_tokens": [],
+            "tokens_before": [],
+            "admitted": [],
+        }
+        for url, ts_us, n_tokens in zip(
+            batch["url"], batch["ts_us"], batch["n_tokens"]
+        ):
+            ts_us, n_tokens = int(ts_us), int(n_tokens)
+            if last_us is not None and ts_us < last_us:
+                n_late += 1
+            else:
+                last_us = ts_us
+            admitted = tokens_seen < budget
+            out["url"].append(url)
+            out["n_tokens"].append(n_tokens)
+            out["tokens_before"].append(tokens_seen)
+            out["admitted"].append(admitted)
+            tokens_seen += n_tokens
+            n_seen += 1
+            n_admitted += int(admitted)
+        state.update((tokens_seen, n_seen, n_admitted, last_us, n_late))
+        yield pd.DataFrame(
+            {
+                "host": key[0],
+                "url": out["url"],
+                "n_tokens": pd.Series(out["n_tokens"], dtype="int64"),
+                "tokens_before": pd.Series(
+                    out["tokens_before"], dtype="int64"
+                ),
+                "admitted": out["admitted"],
+                "host_tokens_seen": tokens_seen,
+                "host_n_seen": n_seen,
+                "host_n_admitted": n_admitted,
+                "host_n_late": n_late,
+            }
+        )
+
+    from readembedability_spark.functions import host_col
+
+    keyed = pages_stream.select(
+        "url",
+        host_col("url").alias("host"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " timestamp'1970-01-01 00:00:00', warc_ts)"
+        ).alias("ts_us"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "host string, url string, n_tokens long, tokens_before long,"
+            " admitted boolean, host_tokens_seen long, host_n_seen long,"
+            " host_n_admitted long, host_n_late long"
+        ),
+        stateStructType=(
+            "tokens_seen long, n_seen long, n_admitted long,"
+            " last_us long, n_late long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -440,6 +440,14 @@ def test_streaming_crawl_delta_converges_to_batch(spark, tmp_path):
             ),
             in_dir / name,
         )
+        # the file source orders micro-batches by MODIFICATION TIME;
+        # files written within the same clock granularity tie and the
+        # tie-break is not the filename — pin strictly increasing
+        # mtimes so batch order is deterministic (b1 < b2 < b3)
+        ts = 1_700_000_000 + int(name[1]) * 60
+        import os as _os
+
+        _os.utime(in_dir / name, (ts, ts))
 
     u = "https://h{}.example.com/p"
     # batch 1: first captures of four urls
@@ -578,6 +586,14 @@ def test_streaming_capture_diff_magnitude_and_late(spark, tmp_path):
             ),
             in_dir / name,
         )
+        # the file source orders micro-batches by MODIFICATION TIME;
+        # files written within the same clock granularity tie and the
+        # tie-break is not the filename — pin strictly increasing
+        # mtimes so batch order is deterministic (b1 < b2 < b3)
+        ts = 1_700_000_000 + int(name[1]) * 60
+        import os as _os
+
+        _os.utime(in_dir / name, (ts, ts))
 
     u = "https://h{}.example.com/p"
     # batch 1: first captures; url4 gets TWO captures in ONE batch
@@ -634,3 +650,129 @@ def test_streaming_capture_diff_magnitude_and_late(spark, tmp_path):
     r4 = final[u.format(4)]
     assert (r4["n_captures"], r4["n_pairs"], r4["n_changed"]) == (2, 1, 1)
     assert r4["last_sim_ppm"] == 500000
+
+
+def test_streaming_admission_budget_rule(spark, tmp_path):
+    """The stateful host token-budget admission over three
+    micro-batches: running-sum semantics (the budget-crossing page is
+    KEPT, everything after is rejected forever), state persists
+    across batches, a multi-page micro-batch folds in (ts, url)
+    order, rejected pages still advance the seen-counter, and a late
+    page is counted but cannot revoke an earlier admission."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from readembedability_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_admission,
+    )
+
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+    hr = timedelta(hours=1)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def batch(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [r[0] for r in rows],
+                    "warc_ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "html": pa.array(
+                        [b"<html/>"] * len(rows), pa.binary()
+                    ),
+                    "text": [" ".join(["w"] * r[2]) for r in rows],
+                    "lang": ["en"] * len(rows),
+                }
+            ),
+            in_dir / name,
+        )
+        # the file source orders micro-batches by MODIFICATION TIME;
+        # files written within the same clock granularity tie and the
+        # tie-break is not the filename — pin strictly increasing
+        # mtimes so batch order is deterministic (b1 < b2 < b3)
+        ts = 1_700_000_000 + int(name[1]) * 60
+        import os as _os
+
+        _os.utime(in_dir / name, (ts, ts))
+
+    ua = "https://ha.example.com/p{}"
+    ub = "https://hb.example.com/p{}"
+    # batch 1: host A starts spending; host B's single page CROSSES
+    # the budget from zero and must be kept
+    batch("b1.parquet", [
+        (ua.format(1), t0, 100),
+        (ua.format(2), t0 + hr, 100),
+        (ub.format(1), t0, 400),
+    ])
+    # batch 2: three host-A pages in ONE batch — the first (by ts)
+    # crosses the budget and is kept, the rest are rejected
+    batch("b2.parquet", [
+        (ua.format(4), t0 + 4 * hr, 50),   # before=350 → rejected
+        (ua.format(3), t0 + 3 * hr, 150),  # before=200 → kept (crosses)
+        (ua.format(5), t0 + 5 * hr, 50),   # before=400 → rejected
+    ])
+    # batch 3: a LATE host-A page (older than the head) — counted
+    # late, still consumes budget position, rejected (budget long gone)
+    batch("b3.parquet", [
+        (ua.format(9), t0 - hr, 10),
+    ])
+    out = streaming_admission(
+        read_pages_stream(spark, str(in_dir), max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("admission")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["url"]: r for r in spark.sql("select * from admission").collect()
+    }
+    assert len(rows) == 7
+    # host B: crossing-from-zero page kept
+    rb = rows[ub.format(1)]
+    assert rb["admitted"] and rb["tokens_before"] == 0
+    # host A batch-1 pages admitted in ts order
+    assert rows[ua.format(1)]["admitted"]
+    assert rows[ua.format(1)]["tokens_before"] == 0
+    assert rows[ua.format(2)]["admitted"]
+    assert rows[ua.format(2)]["tokens_before"] == 100
+    # batch 2 folded in ts order despite file order: p3 kept (crossing)
+    assert rows[ua.format(3)]["admitted"]
+    assert rows[ua.format(3)]["tokens_before"] == 200
+    assert not rows[ua.format(4)]["admitted"]
+    assert rows[ua.format(4)]["tokens_before"] == 350
+    assert not rows[ua.format(5)]["admitted"]
+    assert rows[ua.format(5)]["tokens_before"] == 400
+    # late page: counted late, consumed a position, rejected
+    rl = rows[ua.format(9)]
+    assert not rl["admitted"] and rl["host_n_late"] == 1
+    assert rl["tokens_before"] == 450
+    # final host-A counters: 6 seen, 3 admitted, all tokens counted
+    assert rl["host_n_seen"] == 6 and rl["host_n_admitted"] == 3
+    assert rl["host_tokens_seen"] == 460
+    # batch-rule convergence: replaying the SAME ts-ordered feed
+    # through the batch running-sum rule admits the same url set
+    import pandas as pd
+
+    feed = [
+        (ua.format(1), 100), (ua.format(2), 100), (ua.format(3), 150),
+        (ua.format(4), 50), (ua.format(5), 50),
+    ]
+    seen, admitted_batch = 0, set()
+    for url, n in feed:
+        if seen < 300:
+            admitted_batch.add(url)
+        seen += n
+    admitted_stream = {
+        u for u, r in rows.items()
+        if r["admitted"] and u.startswith("https://ha")
+    }
+    assert admitted_stream == admitted_batch
