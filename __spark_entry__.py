@@ -247,7 +247,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: with the sentence-initial exclusion). The 12th streaming pipeline
 #: streaming_admission (T-171, the stateful host token-budget
 #: maintainer) is test-verified, outside oracle scope like its
-#: eleven siblings.
+#: eleven siblings. The session-8 quality/source batch —
+#: q_readability (T-172, FORCAST reading grade on the quantized
+#: integer lattice) — joins the same r9 slot promise.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

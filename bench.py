@@ -205,6 +205,7 @@ HEADLINE = [
     "q_freshness_weights",
     "q_zipf_fit",
     "q_entity_density",
+    "q_readability",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -1866,3 +1866,28 @@ def test_entity_density_closed_form(spark, tmp_path):
     assert n_tokens == 77 * 12 and n_entities == 77 * 3
     assert ppm == 3 * 1000000 // 12
     assert n_distinct == 7 + 11  # names ∪ cities; decoys excluded
+
+
+def test_readability_forcast_closed_form(spark, tmp_path):
+    """Parity + closed-form FORCAST: all-mono doc grades exactly 5.0
+    (50000 on the lattice), all-disyllable 20.0, a 2/3-mono doc lands
+    exactly on 10.0 (standard band); vowelless tokens read as ONE
+    syllable (the GREATEST floor), and a >=3-vowel-group word counts
+    as complex."""
+    rows = [
+        (0, "the cat sat on the mat", "en", "s", 22),          # all mono
+        (1, "window table order merge paper", "en", "s", 30),  # all 2-syll
+        (2, "cat dog window", "en", "s", 14),                  # 2/3 mono
+        (3, "zz qq window", "en", "s", 12),                    # vowelless=1
+        (4, "operationally cat", "en", "s", 17),               # complex
+    ]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_readability")
+    assert s == _oracle_rows(tmp_path, "q_readability")
+    by_id = {r[0]: r for r in s}
+    assert by_id[0] == (0, 6, 6, 0, 50000, "easy")
+    assert by_id[1] == (1, 5, 0, 0, 200000, "advanced")
+    assert by_id[2] == (2, 3, 2, 0, 100000, "standard")
+    assert by_id[3][2] == 2 and by_id[3][5] == "standard"
+    assert by_id[4][3] == 1  # operationally: 6 vowel groups -> complex
+    assert {r[5] for r in s} == {"easy", "standard", "advanced"}
