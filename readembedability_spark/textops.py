@@ -14954,3 +14954,159 @@ def q_readability(spark, sf_dir):
         .otherwise("easy")
         .alias("band"),
     )
+
+
+@q(
+    "q_license_detect",
+    """
+    WITH pages AS (
+      SELECT event_id, event_id % 53 AS host,
+             CASE event_id % 11
+               WHEN 0 THEN 'Licensed under CC BY-SA 4.0'
+               WHEN 1 THEN 'This work is licensed under a Creative '
+                 || 'Commons Attribution-ShareAlike 3.0 License'
+               WHEN 2 THEN 'Content available under CC BY 4.0'
+               WHEN 3 THEN 'licensed under the creative commons '
+                 || 'attribution 4.0 international license'
+               WHEN 4 THEN 'Copyright (c) 2024 Example Corp. '
+                 || 'All Rights Reserved.'
+               WHEN 5 THEN 'copyright 2023 example.com. all rights reserved'
+               WHEN 6 THEN 'Released under the MIT License'
+               WHEN 7 THEN 'Dedicated to the public domain under CC0 1.0'
+               WHEN 8 THEN 'No known copyright restrictions '
+                 || '(Public Domain Mark)'
+               ELSE 'Contact us | Privacy | Terms'
+             END AS footer
+      FROM events),
+    det AS (
+      SELECT host,
+             CASE
+               WHEN regexp_matches(footer,
+                    '(?i)cc by-sa|attribution-sharealike')
+                 THEN 'cc-by-sa'
+               WHEN regexp_matches(footer,
+                    '(?i)cc by|creative commons attribution')
+                 THEN 'cc-by'
+               WHEN regexp_matches(footer, '(?i)cc0|public domain')
+                 THEN 'public-domain'
+               WHEN regexp_matches(footer, '(?i)all rights reserved')
+                 THEN 'all-rights-reserved'
+               WHEN regexp_matches(footer, '(?i)mit license') THEN 'mit'
+               ELSE 'none' END AS license,
+             CASE WHEN regexp_extract(footer, '([0-9]+\\.[0-9]+)', 1) = ''
+                  THEN 'unversioned'
+                  ELSE regexp_extract(footer, '([0-9]+\\.[0-9]+)', 1)
+             END AS version
+      FROM pages)
+    SELECT license, version,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           license IN ('cc-by-sa', 'cc-by', 'public-domain', 'mit')
+             AS redistributable
+    FROM det GROUP BY license, version
+    """,
+)
+def q_license_detect(spark, sf_dir):
+    """License-phrase detection — the legal admission gate a
+    training-data pipeline runs before any quality filter (only
+    redistributable text can enter an open corpus): page footers
+    (synthesized deterministically per event with NINE wordings so
+    every class has >=2 surface forms, mixed-case variants exercising
+    the (?i) matchers) are classified by a PRECEDENCE-ordered CASE —
+    CC BY-SA strictly before CC BY (the SA wording CONTAINS the BY
+    wording; first-match-wins order is the correctness load-bearing
+    part), then CC0/public-domain, all-rights-reserved, MIT — plus a
+    dotted version extraction ('2024' in a copyright year never
+    matches; empty miss mapped to 'unversioned'). Per (license,
+    version): page count, distinct-host spread (a license claimed by
+    one host farm is a weaker signal than one spread across the web)
+    and the redistributable verdict the admission policy consumes.
+
+    Plan/scale: footer synthesis + both regexp probes are row-local
+    inside whole-stage codegen; ONE hash aggregate on the (license,
+    version) key (map-side partials collapse the per-page rows before
+    the exchange; the distinct-host count rides the same shuffle).
+    Output is bounded by the license alphabet — a broadcast-sized
+    artifact downstream policy joins consume for free."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 11
+    footer = (
+        F.when(m == 0, F.lit("Licensed under CC BY-SA 4.0"))
+        .when(
+            m == 1,
+            F.lit(
+                "This work is licensed under a Creative Commons "
+                "Attribution-ShareAlike 3.0 License"
+            ),
+        )
+        .when(m == 2, F.lit("Content available under CC BY 4.0"))
+        .when(
+            m == 3,
+            F.lit(
+                "licensed under the creative commons attribution 4.0 "
+                "international license"
+            ),
+        )
+        .when(
+            m == 4,
+            F.lit("Copyright (c) 2024 Example Corp. All Rights Reserved."),
+        )
+        .when(
+            m == 5,
+            F.lit("copyright 2023 example.com. all rights reserved"),
+        )
+        .when(m == 6, F.lit("Released under the MIT License"))
+        .when(
+            m == 7,
+            F.lit("Dedicated to the public domain under CC0 1.0"),
+        )
+        .when(
+            m == 8,
+            F.lit("No known copyright restrictions (Public Domain Mark)"),
+        )
+        .otherwise(F.lit("Contact us | Privacy | Terms"))
+    )
+    pages = ev.select(
+        (F.col("event_id") % 53).alias("host"), footer.alias("footer")
+    )
+    lic = (
+        F.when(
+            F.col("footer").rlike("(?i)cc by-sa|attribution-sharealike"),
+            "cc-by-sa",
+        )
+        .when(
+            F.col("footer").rlike("(?i)cc by|creative commons attribution"),
+            "cc-by",
+        )
+        .when(F.col("footer").rlike("(?i)cc0|public domain"), "public-domain")
+        .when(
+            F.col("footer").rlike("(?i)all rights reserved"),
+            "all-rights-reserved",
+        )
+        .when(F.col("footer").rlike("(?i)mit license"), "mit")
+        .otherwise("none")
+    )
+    ver_raw = F.regexp_extract("footer", r"([0-9]+\.[0-9]+)", 1)
+    det = pages.select(
+        "host",
+        lic.alias("license"),
+        F.when(ver_raw == "", "unversioned").otherwise(ver_raw).alias(
+            "version"
+        ),
+    )
+    return (
+        det.groupBy("license", "version")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+        .select(
+            "license",
+            "version",
+            "n_pages",
+            "n_hosts",
+            F.col("license")
+            .isin("cc-by-sa", "cc-by", "public-domain", "mit")
+            .alias("redistributable"),
+        )
+    )

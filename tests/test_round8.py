@@ -1891,3 +1891,34 @@ def test_readability_forcast_closed_form(spark, tmp_path):
     assert by_id[3][2] == 2 and by_id[3][5] == "standard"
     assert by_id[4][3] == 1  # operationally: 6 vowel groups -> complex
     assert {r[5] for r in s} == {"easy", "standard", "advanced"}
+
+
+def test_license_detect_precedence_and_classes(spark, tmp_path):
+    """Parity + dead-class discipline: all six license classes fire,
+    the SA wordings (which CONTAIN the CC-BY wording) classify
+    cc-by-sa — precedence, not pattern exclusivity — versions extract
+    only from dotted numbers (copyright years never match), and the
+    redistributable verdict covers exactly the open classes."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, i, "view", 1.0, "{}") for i in range(33)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_license_detect")
+    assert s == _oracle_rows(tmp_path, "q_license_detect")
+    got = {(r[0], r[1]): r for r in s}
+    assert set(r[0] for r in s) == {
+        "cc-by-sa", "cc-by", "public-domain",
+        "all-rights-reserved", "mit", "none",
+    }
+    # both SA wordings landed on cc-by-sa with their own versions
+    assert got[("cc-by-sa", "4.0")][2] == 3
+    assert got[("cc-by-sa", "3.0")][2] == 3
+    # cc-by has exactly the two BY wordings (nothing leaked from SA)
+    assert got[("cc-by", "4.0")][2] == 6
+    # copyright years are not versions
+    assert got[("all-rights-reserved", "unversioned")][2] == 6
+    assert got[("public-domain", "1.0")][2] == 3
+    assert got[("public-domain", "unversioned")][2] == 3
+    assert got[("mit", "unversioned")][2] == 3
+    assert got[("none", "unversioned")][2] == 6
+    for r in s:
+        assert r[4] == (r[0] in ("cc-by-sa", "cc-by", "public-domain", "mit"))
