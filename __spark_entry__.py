@@ -249,9 +249,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: maintainer) is test-verified, outside oracle scope like its
 #: eleven siblings. The session-8 quality/source batch —
 #: q_readability (T-172, FORCAST reading grade on the quantized
-#: integer lattice) and q_license_detect (T-173, precedence-ordered
-#: license classification + redistributable verdict) — joins the
-#: same r9 slot promise.
+#: integer lattice), q_license_detect (T-173, precedence-ordered
+#: license classification + redistributable verdict) and
+#: q_code_detect (T-174, integer-signal code/mixed/prose
+#: classification) — joins the same r9 slot promise.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -15110,3 +15110,172 @@ def q_license_detect(spark, sf_dir):
             .alias("redistributable"),
         )
     )
+
+
+@q(
+    "q_code_detect",
+    """
+    WITH pages AS (
+      SELECT event_id,
+             CASE event_id % 6
+               WHEN 0 THEN 'def fn0(x):' || chr(10) || '    y = x + 1'
+                 || chr(10) || '    return y' || chr(10) || chr(10)
+                 || 'import os' || chr(10)
+               WHEN 1 THEN 'function fn(x) { return x + 1; }' || chr(10)
+                 || 'var y = fn(2);' || chr(10) || 'console.log(y);'
+               WHEN 2 THEN '#include <stdio.h>' || chr(10)
+                 || 'int main(void) { printf("hi"); return 0; }'
+               WHEN 3 THEN 'the quick brown fox jumps over the lazy dog '
+                 || 'and then rests for a while'
+               WHEN 4 THEN 'web pages carry text that people read every '
+                 || 'day in many languages around the world'
+               ELSE 'the result is computed below' || chr(10)
+                 || '    result = compute(value);' || chr(10)
+                 || 'and then printed for the reader'
+             END AS snippet
+      FROM events),
+    sig AS (
+      SELECT event_id, snippet,
+             len(regexp_extract_all(snippet, '[{}]')) AS n_brace,
+             len(regexp_extract_all(snippet, ';')) AS n_semi,
+             len(regexp_extract_all(snippet,
+                 '\\b(def|function|return|var|import|include|printf|int)\\b'
+                 )) AS n_kw,
+             len(regexp_extract_all(snippet, '\\n {4}')) AS n_indent
+      FROM pages),
+    scored AS (
+      SELECT event_id,
+             3 * n_kw + 2 * (n_brace + n_semi) + n_indent AS score,
+             (3 * n_kw + 2 * (n_brace + n_semi) + n_indent) * 1000000
+               // length(snippet) AS density_ppm
+      FROM sig),
+    cls AS (
+      SELECT CASE WHEN score >= 8 THEN 'code'
+                  WHEN score >= 1 THEN 'mixed'
+                  ELSE 'prose' END AS doc_class,
+             score, density_ppm
+      FROM scored)
+    SELECT doc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score) AS BIGINT) AS total_score,
+           CAST(MAX(score) AS BIGINT) AS max_score,
+           CAST(SUM(density_ppm) // COUNT(*) AS BIGINT)
+             AS mean_density_ppm
+    FROM cls GROUP BY doc_class
+    """,
+)
+def q_code_detect(spark, sf_dir):
+    """Code-fragment detection — the mixture-composition signal a
+    pretraining pipeline needs before setting code-vs-prose sampling
+    weights (and the guard that keeps source listings out of a
+    prose-only corpus): snippets (synthesized per event across SIX
+    shapes — python, javascript, C, two prose sentences, and a
+    prose-with-embedded-statement MIXED page so the middle class is
+    live) are scored by integer signal counts, all row-local regex:
+    braces, statement-final semicolons, language keywords on word
+    boundaries (\\bint\\b never fires inside 'printed'), and
+    4-space-indented lines. score = 3*kw + 2*(braces+semis) + indent;
+    class cut at >=8 code / >=1 mixed — all three classes fire by
+    construction. Per class: doc count, total/max score, and a mean
+    per-char density in exact integer ppm (per-doc floor division,
+    then floor-of-sum — no float ever).
+
+    Plan/scale: synthesis + four regexp counts + the score are one
+    codegen'd projection; ONE hash aggregate on the 3-value class key
+    (map-side partials do all the reduction). Bounded output."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 6
+    snippet = (
+        F.when(
+            m == 0,
+            F.lit(
+                "def fn0(x):\n    y = x + 1\n    return y\n\nimport os\n"
+            ),
+        )
+        .when(
+            m == 1,
+            F.lit(
+                "function fn(x) { return x + 1; }\nvar y = fn(2);\n"
+                "console.log(y);"
+            ),
+        )
+        .when(
+            m == 2,
+            F.lit(
+                '#include <stdio.h>\nint main(void) { printf("hi"); '
+                "return 0; }"
+            ),
+        )
+        .when(
+            m == 3,
+            F.lit(
+                "the quick brown fox jumps over the lazy dog and then "
+                "rests for a while"
+            ),
+        )
+        .when(
+            m == 4,
+            F.lit(
+                "web pages carry text that people read every day in "
+                "many languages around the world"
+            ),
+        )
+        .otherwise(
+            F.lit(
+                "the result is computed below\n"
+                "    result = compute(value);\n"
+                "and then printed for the reader"
+            )
+        )
+    )
+    pages = ev.select(snippet.alias("snippet"))
+    sig = pages.select(
+        "snippet",
+        F.regexp_count("snippet", F.lit("[{}]")).alias("n_brace"),
+        F.regexp_count("snippet", F.lit(";")).alias("n_semi"),
+        F.regexp_count(
+            "snippet",
+            F.lit(
+                r"\b(def|function|return|var|import|include|printf|int)\b"
+            ),
+        ).alias("n_kw"),
+        F.regexp_count("snippet", F.lit(r"\n {4}")).alias("n_indent"),
+    )
+    score = (
+        F.lit(3) * F.col("n_kw")
+        + F.lit(2) * (F.col("n_brace") + F.col("n_semi"))
+        + F.col("n_indent")
+    )
+    scored = sig.select(
+        score.alias("score"),
+        F.expr(
+            "(3 * n_kw + 2 * (n_brace + n_semi) + n_indent) * 1000000"
+            " DIV length(snippet)"
+        ).alias("density_ppm"),
+    )
+    cls = scored.select(
+        F.when(F.col("score") >= 8, "code")
+        .when(F.col("score") >= 1, "mixed")
+        .otherwise("prose")
+        .alias("doc_class"),
+        "score",
+        "density_ppm",
+    )
+    return (
+        cls.groupBy("doc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("score").cast("long").alias("total_score"),
+            F.max("score").cast("long").alias("max_score"),
+            F.sum("density_ppm").alias("dsum"),
+        )
+        .select(
+            "doc_class",
+            "n_docs",
+            "total_score",
+            "max_score",
+            F.expr("dsum DIV n_docs").cast("long").alias(
+                "mean_density_ppm"
+            ),
+        )
+    )

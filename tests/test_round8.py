@@ -1922,3 +1922,24 @@ def test_license_detect_precedence_and_classes(spark, tmp_path):
     assert got[("none", "unversioned")][2] == 6
     for r in s:
         assert r[4] == (r[0] in ("cc-by-sa", "cc-by", "public-domain", "mit"))
+
+
+def test_code_detect_all_classes_closed_form(spark, tmp_path):
+    """Parity + dead-class discipline: python/js/C variants all score
+    as code (kw boundaries verified: \\bint\\b never fires inside
+    'printed'), the embedded-statement page lands in the MIDDLE class,
+    prose scores exactly zero; scores are the closed-form integer
+    signal sums."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, i, "view", 1.0, "{}") for i in range(12)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_code_detect")
+    assert s == _oracle_rows(tmp_path, "q_code_detect")
+    got = {r[0]: r for r in s}
+    assert set(got) == {"code", "mixed", "prose"}
+    # py: 3kw+2ind=11, js: 3kw+2*(2br+3semi)=19, c: 4kw+2*(2br+2semi)=20
+    assert got["code"][1:4] == (6, 2 * (11 + 19 + 20), 20)
+    assert got["mixed"][1:4] == (2, 2 * 3, 3)
+    assert got["prose"][1:4] == (4, 0, 0)
+    assert got["code"][4] > 0 and got["mixed"][4] > 0
+    assert got["prose"][4] == 0
