@@ -252,7 +252,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: integer lattice), q_license_detect (T-173, precedence-ordered
 #: license classification + redistributable verdict) and
 #: q_code_detect (T-174, integer-signal code/mixed/prose
-#: classification) — joins the same r9 slot promise.
+#: classification) and q_tag_histogram (T-175, open/close/unclosed
+#: markup census) — joins the same r9 slot promise.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -208,6 +208,7 @@ HEADLINE = [
     "q_readability",
     "q_license_detect",
     "q_code_detect",
+    "q_tag_histogram",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

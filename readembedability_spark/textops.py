@@ -15279,3 +15279,137 @@ def q_code_detect(spark, sf_dir):
             ),
         )
     )
+
+
+@q(
+    "q_tag_histogram",
+    """
+    WITH pages AS (
+      SELECT event_id,
+             CASE event_id % 5
+               WHEN 0 THEN '<html><body><div class="a"><p>one</p>'
+                 || '<p>two</p><a href="/x">l</a></div></body></html>'
+               WHEN 1 THEN '<html><body><div><img src="/i1.png"/>'
+                 || '<img src="/i2.png"/><br><a href="/g">more</a>'
+                 || '</div></body></html>'
+               WHEN 2 THEN '<html><body><table><tr><td>1</td><td>2</td>'
+                 || '</tr></table></body></html>'
+               WHEN 3 THEN '<html><head><script src="/app.js"></script>'
+                 || '</head><body><p>x</p></body></html>'
+               ELSE '<html><body><div><p>unclosed paragraph'
+                 || '<div>nested</div></body></html>'
+             END AS page
+      FROM events),
+    opens AS (
+      SELECT event_id,
+             unnest(regexp_extract_all(page,
+                    '<([a-z][a-z0-9]*)[^>]*>', 1)) AS tag,
+             1 AS is_open
+      FROM pages),
+    closes AS (
+      SELECT event_id,
+             unnest(regexp_extract_all(page,
+                    '</([a-z][a-z0-9]*)>', 1)) AS tag,
+             0 AS is_open
+      FROM pages),
+    occ AS (SELECT * FROM opens UNION ALL SELECT * FROM closes)
+    SELECT tag,
+           CAST(SUM(is_open) AS BIGINT) AS n_open,
+           CAST(SUM(1 - is_open) AS BIGINT) AS n_close,
+           CAST(SUM(is_open) - SUM(1 - is_open) AS BIGINT) AS n_unclosed,
+           CAST(COUNT(DISTINCT CASE WHEN is_open = 1 THEN event_id END)
+                AS BIGINT) AS n_pages
+    FROM occ GROUP BY tag
+    """,
+)
+def q_tag_histogram(spark, sf_dir):
+    """Markup census — the corpus-shape audit an extraction tier runs
+    before tuning its rules (which structures even exist? how broken
+    is the HTML?): five synthesized page shapes (article, gallery
+    with VOID tags img/br, table, head+script, and a MALFORMED page
+    with an unclosed <p> and unbalanced <div>) are scanned for open
+    tags (`<name ...>` — the `</` form can't match, the name group
+    stops at the first non-[a-z0-9] char, so attributes and
+    self-closing slashes never pollute the key) and close tags
+    separately. Per tag: open/close occurrence counts, the unclosed
+    delta (void tags and truncation damage both surface here — the
+    signal that decides whether a regex or a recovering parser is
+    needed), and how many distinct pages open the tag (ubiquity vs
+    niche markup).
+
+    Plan/scale: both regexp_extract_all probes are row-local; the two
+    occurrence streams union BEFORE the single hash aggregate on tag,
+    so map-side partials collapse per-page fan-out in place — one
+    exchange on a key alphabet bounded by real-world HTML (~100
+    tags). The distinct-page count rides the same shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 5
+    page = (
+        F.when(
+            m == 0,
+            F.lit(
+                '<html><body><div class="a"><p>one</p><p>two</p>'
+                '<a href="/x">l</a></div></body></html>'
+            ),
+        )
+        .when(
+            m == 1,
+            F.lit(
+                '<html><body><div><img src="/i1.png"/>'
+                '<img src="/i2.png"/><br><a href="/g">more</a>'
+                "</div></body></html>"
+            ),
+        )
+        .when(
+            m == 2,
+            F.lit(
+                "<html><body><table><tr><td>1</td><td>2</td>"
+                "</tr></table></body></html>"
+            ),
+        )
+        .when(
+            m == 3,
+            F.lit(
+                '<html><head><script src="/app.js"></script></head>'
+                "<body><p>x</p></body></html>"
+            ),
+        )
+        .otherwise(
+            F.lit(
+                "<html><body><div><p>unclosed paragraph"
+                "<div>nested</div></body></html>"
+            )
+        )
+    )
+    pages = ev.select("event_id", page.alias("page"))
+    opens = pages.select(
+        "event_id",
+        F.explode(
+            F.regexp_extract_all(
+                "page", F.lit("<([a-z][a-z0-9]*)[^>]*>"), F.lit(1)
+            )
+        ).alias("tag"),
+        F.lit(1).alias("is_open"),
+    )
+    closes = pages.select(
+        "event_id",
+        F.explode(
+            F.regexp_extract_all(
+                "page", F.lit("</([a-z][a-z0-9]*)>"), F.lit(1)
+            )
+        ).alias("tag"),
+        F.lit(0).alias("is_open"),
+    )
+    occ = opens.unionAll(closes)
+    return occ.groupBy("tag").agg(
+        F.sum("is_open").cast("long").alias("n_open"),
+        F.sum(F.lit(1) - F.col("is_open")).cast("long").alias("n_close"),
+        (F.sum("is_open") - F.sum(F.lit(1) - F.col("is_open")))
+        .cast("long")
+        .alias("n_unclosed"),
+        F.countDistinct(
+            F.when(F.col("is_open") == 1, F.col("event_id"))
+        )
+        .cast("long")
+        .alias("n_pages"),
+    )

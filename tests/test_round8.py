@@ -1943,3 +1943,30 @@ def test_code_detect_all_classes_closed_form(spark, tmp_path):
     assert got["prose"][1:4] == (4, 0, 0)
     assert got["code"][4] > 0 and got["mixed"][4] > 0
     assert got["prose"][4] == 0
+
+
+def test_tag_histogram_voids_and_malformed(spark, tmp_path):
+    """Parity + closed-form census: void tags (img, br) surface as
+    pure unclosed, the malformed page's dangling <p> and unbalanced
+    <div> show up as +1 unclosed each, attributes/self-closing
+    slashes never pollute the tag key, and </x> never counts as an
+    open."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, i, "view", 1.0, "{}") for i in range(10)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_tag_histogram")
+    assert s == _oracle_rows(tmp_path, "q_tag_histogram")
+    got = {r[0]: r[1:] for r in s}  # tag -> (open, close, unclosed, pages)
+    assert got["html"] == (10, 10, 0, 10)
+    assert got["body"] == (10, 10, 0, 10)
+    assert got["div"] == (8, 6, 2, 6)
+    assert got["p"] == (8, 6, 2, 6)
+    assert got["img"] == (4, 0, 4, 2)   # void, self-closing slash eaten
+    assert got["br"] == (2, 0, 2, 2)    # void, bare
+    assert got["a"] == (4, 4, 0, 4)
+    assert got["td"] == (4, 4, 0, 2)
+    assert got["script"] == (2, 2, 0, 2)
+    assert set(got) == {
+        "html", "body", "div", "p", "a", "img", "br",
+        "table", "tr", "td", "head", "script",
+    }
