@@ -209,6 +209,7 @@ HEADLINE = [
     "q_license_detect",
     "q_code_detect",
     "q_tag_histogram",
+    "q_wet_convert",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

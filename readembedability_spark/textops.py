@@ -15413,3 +15413,119 @@ def q_tag_histogram(spark, sf_dir):
         .cast("long")
         .alias("n_pages"),
     )
+
+
+@q(
+    "q_wet_convert",
+    """
+    WITH html AS (
+      SELECT doc_id, doc_id // 25 AS file_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><style>p{margin:0}</style></head><body><h1>Doc '
+             || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+             || '</p><script>var x = 1 < 2;</script></body></html>' AS h
+      FROM documents),
+    noscript AS (
+      SELECT doc_id, file_id, length(h) AS html_chars,
+             regexp_replace(
+               regexp_replace(h, '<script>.*?</script>', ' ', 'g'),
+               '<style>.*?</style>', ' ', 'g') AS h
+      FROM html),
+    txt AS (
+      SELECT doc_id, file_id, html_chars,
+             trim(regexp_replace(
+               regexp_replace(h, '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS extracted
+      FROM noscript)
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(html_chars) AS BIGINT) AS html_chars,
+           CAST(SUM(length(extracted)) AS BIGINT) AS text_chars,
+           CAST(SUM(length(extracted)) * 1000000 // SUM(html_chars)
+                AS BIGINT) AS yield_ppm,
+           md5(string_agg(md5(extracted), '' ORDER BY md5(extracted)))
+             AS records_digest
+    FROM txt GROUP BY file_id
+    """,
+)
+def q_wet_convert(spark, sf_dir):
+    """WARC->WET text conversion — the step between q_warc_records'
+    framing validation and every text operator in this repo: archived
+    HTML responses (synthesized per doc with head/title/style/script
+    chrome around the text) are converted to plain text the way WET
+    writers do it: script and style blocks are removed FIRST as whole
+    blocks (ordering is the correctness-bearing part — the script
+    body here contains a bare '<' comparison that the generic tag
+    strip would otherwise misread as a tag open and eat code into the
+    output), then remaining tags become spaces, then whitespace
+    collapses. Per WET file (25 records/file, the q_warc_records
+    grain): record count, source vs extracted char mass, the
+    text-yield ppm (the crawl-economics number — how much of the
+    fetched byte budget is trainable text), and the order-independent
+    per-record content digest (md5 over sorted per-record md5s, the
+    q_warc_records idiom) a downstream dedup can reconcile against.
+
+    Plan/scale: the three regexp_replace passes are row-local JVM
+    built-ins inside one codegen'd projection (a real WET job swaps
+    the synthesis for the archive scan and keeps exactly this
+    shape); ONE hash aggregate on file_id — the key the records
+    arrived on, so AQE coalesces the exchange to a near-no-op."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><script>var x = 1 < 2;</script></body></html>"),
+    )
+    html = docs.select(
+        F.expr("doc_id DIV 25").alias("file_id"), h.alias("h")
+    )
+    noscript = html.select(
+        "file_id",
+        F.length("h").alias("html_chars"),
+        F.regexp_replace(
+            F.regexp_replace("h", r"<script>.*?</script>", " "),
+            r"<style>.*?</style>",
+            " ",
+        ).alias("h"),
+    )
+    txt = noscript.select(
+        "file_id",
+        "html_chars",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("h", r"<[^>]*>", " "), r"\s+", " "
+            )
+        ).alias("extracted"),
+    )
+    return (
+        txt.groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.sum("html_chars").cast("long").alias("html_chars"),
+            F.sum(F.length("extracted")).cast("long").alias("text_chars"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(
+                            F.md5(F.col("extracted").cast("binary"))
+                        )
+                    ),
+                    "",
+                ).cast("binary")
+            ).alias("records_digest"),
+        )
+        .select(
+            "file_id",
+            "n_records",
+            "html_chars",
+            "text_chars",
+            F.expr("text_chars * 1000000 DIV html_chars").alias(
+                "yield_ppm"
+            ),
+            "records_digest",
+        )
+    )

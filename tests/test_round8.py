@@ -1970,3 +1970,29 @@ def test_tag_histogram_voids_and_malformed(spark, tmp_path):
         "html", "body", "div", "p", "a", "img", "br",
         "table", "tr", "td", "head", "script",
     }
+
+
+def test_wet_convert_parity_and_script_ordering(spark, tmp_path):
+    """Parity + the ordering property that makes WET conversion
+    correct: the script body's bare '<' comparison must vanish as part
+    of the whole <script> block BEFORE the generic tag strip runs —
+    otherwise '< 2;</script...' would be eaten as one giant "tag" (or
+    code would leak into the text). Extracted text per record is the
+    closed form 'Doc {id} Doc {id} {text}', so yield is exact."""
+    rows = [
+        (i, f"alpha beta gamma {i}", "en", f"s{i % 3}", 17)
+        for i in range(50)
+    ]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_wet_convert")
+    assert s == _oracle_rows(tmp_path, "q_wet_convert")
+    assert [r[0] for r in s] == [0, 1]  # 50 docs / 25 per file
+    for file_id, n, html_chars, text_chars, yield_ppm, digest in s:
+        assert n == 25
+        ids = range(file_id * 25, file_id * 25 + 25)
+        exp_txt = sum(
+            len(f"Doc {i} Doc {i} alpha beta gamma {i}") for i in ids
+        )
+        assert text_chars == exp_txt  # no script/style chars leaked
+        assert yield_ppm == text_chars * 1000000 // html_chars
+        assert len(digest) == 32
