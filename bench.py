@@ -210,6 +210,9 @@ HEADLINE = [
     "q_code_detect",
     "q_tag_histogram",
     "q_wet_convert",
+    "q_soft404_detect",
+    "q_heading_outline",
+    "q_politeness_audit",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

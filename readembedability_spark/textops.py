@@ -15529,3 +15529,378 @@ def q_wet_convert(spark, sf_dir):
             "records_digest",
         )
     )
+
+
+@q(
+    "q_soft404_detect",
+    """
+    WITH pages AS (
+      SELECT event_id, event_id % 13 AS host,
+             CASE event_id % 7
+               WHEN 0 THEN 404 WHEN 6 THEN 410 ELSE 200 END AS status,
+             CASE event_id % 7
+               WHEN 0 THEN '404 Not Found'
+               WHEN 1 THEN 'Page Not Found'
+               WHEN 2 THEN 'Oops'
+               WHEN 3 THEN 'Home'
+               WHEN 4 THEN 'Widgets catalog'
+               WHEN 5 THEN 'About us'
+               ELSE 'Gone'
+             END AS title,
+             CASE event_id % 7
+               WHEN 0 THEN 'The requested URL was not found on this server.'
+               WHEN 1 THEN 'Sorry, the page you are looking for could not '
+                 || 'be found. Try searching our site or browse the '
+                 || 'popular categories below.'
+               WHEN 2 THEN 'Error 404: the page you requested does not '
+                 || 'exist. It may have been moved or deleted.'
+               WHEN 3 THEN 'Welcome!'
+               WHEN 4 THEN 'Our widget catalog lists every widget we '
+                 || 'stock, with specifications, pricing tiers and '
+                 || 'availability for each regional warehouse.'
+               ELSE 'We are a family business serving the region since '
+                 || '1987, with a focus on quality and fair prices for '
+                 || 'every customer who walks through our doors.'
+             END AS body
+      FROM events),
+    cls AS (
+      SELECT host,
+             CASE
+               WHEN status >= 400 THEN 'hard-error'
+               WHEN regexp_matches(title || ' ' || body,
+                    '(?i)not found|does not exist|error 404')
+                 THEN 'soft-404'
+               WHEN length(body) < 40 THEN 'thin'
+               ELSE 'ok' END AS page_class
+      FROM pages)
+    SELECT page_class,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER ()
+                AS BIGINT) AS share_ppm
+    FROM cls GROUP BY page_class
+    """,
+)
+def q_soft404_detect(spark, sf_dir):
+    """Soft-404 detection — the fetch-quality gate a crawl pipeline
+    runs before extraction: an origin that answers 200 with an error
+    page poisons the corpus with millions of identical "not found"
+    boilerplate documents that no status filter catches. Pages are
+    synthesized per event with SEVEN surface forms so every class has
+    >=2 members: true 4xx/410 responses, two soft-404 wordings (one
+    signalled by the <title>, one only in the body — the classifier
+    probes title and body TOGETHER), a thin-but-honest page, and two
+    healthy pages. Classification is a PRECEDENCE-ordered CASE —
+    hard HTTP errors first (a real 404 whose body says "not found"
+    is hard, not soft; order is the correctness-bearing part), then
+    the soft-404 phrase match, then the thin-content floor, else ok.
+    Per class: page count, distinct-host spread (one misconfigured
+    CDN vs a web-wide pattern), and corpus share in ppm.
+
+    Plan/scale: synthesis + regexp + CASE are row-local inside
+    whole-stage codegen; ONE hash aggregate on page_class (map-side
+    partials collapse 10^12 rows to |classes| per task), and the
+    share_ppm window runs over the 4-row class table — driver-sized,
+    not a data shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("event_id") % 7
+    status = F.when(k == 0, 404).when(k == 6, 410).otherwise(200)
+    title = (
+        F.when(k == 0, F.lit("404 Not Found"))
+        .when(k == 1, F.lit("Page Not Found"))
+        .when(k == 2, F.lit("Oops"))
+        .when(k == 3, F.lit("Home"))
+        .when(k == 4, F.lit("Widgets catalog"))
+        .when(k == 5, F.lit("About us"))
+        .otherwise(F.lit("Gone"))
+    )
+    body = (
+        F.when(
+            k == 0,
+            F.lit("The requested URL was not found on this server."),
+        )
+        .when(
+            k == 1,
+            F.lit(
+                "Sorry, the page you are looking for could not be "
+                "found. Try searching our site or browse the popular "
+                "categories below."
+            ),
+        )
+        .when(
+            k == 2,
+            F.lit(
+                "Error 404: the page you requested does not exist. "
+                "It may have been moved or deleted."
+            ),
+        )
+        .when(k == 3, F.lit("Welcome!"))
+        .when(
+            k == 4,
+            F.lit(
+                "Our widget catalog lists every widget we stock, with "
+                "specifications, pricing tiers and availability for "
+                "each regional warehouse."
+            ),
+        )
+        .otherwise(
+            F.lit(
+                "We are a family business serving the region since "
+                "1987, with a focus on quality and fair prices for "
+                "every customer who walks through our doors."
+            )
+        )
+    )
+    pages = ev.select(
+        (F.col("event_id") % 13).alias("host"),
+        status.alias("status"),
+        title.alias("title"),
+        body.alias("body"),
+    )
+    cls = pages.select(
+        "host",
+        F.when(F.col("status") >= 400, "hard-error")
+        .when(
+            F.concat(F.col("title"), F.lit(" "), F.col("body")).rlike(
+                "(?i)not found|does not exist|error 404"
+            ),
+            "soft-404",
+        )
+        .when(F.length("body") < 40, "thin")
+        .otherwise("ok")
+        .alias("page_class"),
+    )
+    agg = cls.groupBy("page_class").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "page_class",
+        "n_pages",
+        "n_hosts",
+        F.expr("n_pages * 1000000").alias("_num"),
+        F.sum("n_pages").over(w).alias("_tot"),
+    ).select(
+        "page_class",
+        "n_pages",
+        "n_hosts",
+        F.expr("_num DIV _tot").cast("long").alias("share_ppm"),
+    )
+
+
+@q(
+    "q_heading_outline",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN '<h1>A</h1><h2>B</h2><h3>C</h3>'
+               WHEN 1 THEN '<h1>A</h1><h1>B</h1><h2>C</h2>'
+               WHEN 2 THEN '<h2>A</h2><h3>B</h3>'
+               WHEN 3 THEN '<h1>A</h1><h3>B</h3>'
+               WHEN 4 THEN '<h1>A</h1><h2>B</h2><h2>C</h2><h4>D</h4>'
+               ELSE ''
+             END AS html
+      FROM documents),
+    lv AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(html, '</h[1-6]>', '', 'g'),
+                            '[^0-9]', '', 'g') AS levels
+      FROM pages),
+    cls AS (
+      SELECT doc_id, levels,
+             length(levels) AS n_headings,
+             length(levels) - length(replace(levels, '1', '')) AS n_h1,
+             length(regexp_replace(levels, '[^456]', '', 'g')) AS n_deep,
+             CASE
+               WHEN levels = '' THEN 'empty'
+               WHEN length(levels)
+                    - length(replace(levels, '1', '')) > 1
+                 THEN 'multi-h1'
+               WHEN regexp_matches(levels, '1[3-6]|2[4-6]|3[56]|46')
+                 THEN 'skip'
+               WHEN length(levels)
+                    - length(replace(levels, '1', '')) = 0
+                 THEN 'headless'
+               ELSE 'clean' END AS outline_class
+      FROM lv)
+    SELECT outline_class,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(n_headings) AS BIGINT) AS n_headings,
+           CAST(SUM(n_h1) AS BIGINT) AS n_h1,
+           CAST(SUM(n_deep) AS BIGINT) AS n_deep
+    FROM cls GROUP BY outline_class
+    """,
+)
+def q_heading_outline(spark, sf_dir):
+    """Heading-outline audit — the document-structure signal the
+    extractor's DOM scorer leans on (a page whose heading tree is
+    sane yields clean section boundaries; a multi-h1 or level-skipping
+    page flags template soup): per page (synthesized with SIX shapes
+    so every class is live) the h1..h6 OPEN tags are reduced to a
+    digit string — close tags are removed FIRST so </h2> does not
+    double-count a level (ordering is the correctness-bearing part;
+    the digit strip alone would read '2' twice per heading). From the
+    digit string, all outline facts are string-local: heading count,
+    h1 count, deep-heading count (h4+), and the level-skip probe as a
+    regexp over ADJACENT digit pairs with gap >= 2 ('1[3-6]|2[4-6]|
+    3[56]|46' — closed alphabet, no array gymnastics). Classes are
+    PRECEDENCE-ordered: empty, multi-h1, skip, headless, clean — a
+    multi-h1 page that also skips levels reports the h1 defect (the
+    one the extractor cares about first).
+
+    Plan/scale: the whole per-page reduction is two regexp_replace
+    passes inside whole-stage codegen; ONE hash aggregate on
+    outline_class — output bounded by the 5-class alphabet."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    html = (
+        F.when(m == 0, F.lit("<h1>A</h1><h2>B</h2><h3>C</h3>"))
+        .when(m == 1, F.lit("<h1>A</h1><h1>B</h1><h2>C</h2>"))
+        .when(m == 2, F.lit("<h2>A</h2><h3>B</h3>"))
+        .when(m == 3, F.lit("<h1>A</h1><h3>B</h3>"))
+        .when(
+            m == 4,
+            F.lit("<h1>A</h1><h2>B</h2><h2>C</h2><h4>D</h4>"),
+        )
+        .otherwise(F.lit(""))
+    )
+    lv = docs.select(
+        F.regexp_replace(
+            F.regexp_replace(html, r"</h[1-6]>", ""), r"[^0-9]", ""
+        ).alias("levels")
+    )
+    n_h1 = F.length("levels") - F.length(
+        F.regexp_replace("levels", "1", "")
+    )
+    cls = lv.select(
+        F.length("levels").alias("n_headings"),
+        n_h1.alias("n_h1"),
+        F.length(F.regexp_replace("levels", "[^456]", "")).alias(
+            "n_deep"
+        ),
+        F.when(F.col("levels") == "", "empty")
+        .when(n_h1 > 1, "multi-h1")
+        .when(F.col("levels").rlike("1[3-6]|2[4-6]|3[56]|46"), "skip")
+        .when(n_h1 == 0, "headless")
+        .otherwise("clean")
+        .alias("outline_class"),
+    )
+    return cls.groupBy("outline_class").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("n_headings").cast("long").alias("n_headings"),
+        F.sum("n_h1").cast("long").alias("n_h1"),
+        F.sum("n_deep").cast("long").alias("n_deep"),
+    )
+
+
+@q(
+    "q_politeness_audit",
+    """
+    WITH fetches AS (
+      SELECT event_id % 13 AS host, ts, event_id,
+             CASE (event_id % 13) % 3
+               WHEN 0 THEN 1000 WHEN 1 THEN 2800 ELSE 4000
+             END * CAST(1000000 AS BIGINT) AS delay_us
+      FROM events),
+    gaps AS (
+      SELECT host, delay_us,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY host
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM fetches),
+    agg AS (
+      SELECT host,
+             CAST(COUNT(*) AS BIGINT) AS n_fetches,
+             CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+             CAST(COALESCE(SUM(CASE WHEN gap_us < delay_us
+                                    THEN 1 END), 0) AS BIGINT)
+               AS n_violations,
+             CAST(MIN(gap_us) // 1000 AS BIGINT) AS min_gap_ms
+      FROM gaps GROUP BY host)
+    SELECT host, n_fetches, n_gaps, n_violations, min_gap_ms,
+           CAST(CASE WHEN n_gaps = 0 THEN 0
+                     ELSE n_violations * 1000000 // n_gaps END
+                AS BIGINT) AS violation_ppm,
+           CASE
+             WHEN n_gaps = 0 THEN 'unknown'
+             WHEN n_violations * 2 > n_gaps THEN 'rude'
+             WHEN n_violations > 0 THEN 'mixed'
+             ELSE 'polite' END AS politeness
+    FROM agg
+    """,
+)
+def q_politeness_audit(spark, sf_dir):
+    """Crawl-politeness audit — the compliance ledger a fetcher owes
+    every origin: per host (events keyed to 13 hosts; per-host
+    crawl-delay derived from the host id so three delay tiers are
+    live), consecutive fetch gaps come from a lag window ordered by
+    (ts, event_id) — the event_id tiebreak makes same-instant fetches
+    deterministic (same-timestamp rows would otherwise make the gap
+    engine-order-dependent), and a same-instant pair yields gap 0,
+    the maximal violation. A gap below the host's crawl-delay is a
+    violation; the report carries fetch/gap/violation counts, the
+    worst (minimum) observed gap in ms, the violation rate in ppm
+    (integer DIV — exact across engines), and a three-way verdict
+    (majority-violating hosts are 'rude', any violation 'mixed',
+    else 'polite'; gapless single-fetch hosts 'unknown' rather than
+    falsely polite).
+
+    Plan/scale: the window partitions on host — the SAME key the
+    final aggregate groups on, so the whole audit is ONE exchange;
+    AQE coalesces the bounded per-host output. At 10^12 fetch
+    records the per-host log is exactly the politeness evidence a
+    crawler must retain, and the first gap of each partition being
+    NULL (not a wraparound vs the previous host) is what COUNT(gap)
+    vs COUNT(*) accounts for."""
+    ev = _t(spark, sf_dir, "events")
+    tier = (F.col("event_id") % 13) % 3
+    delay_s = (
+        F.when(tier == 0, 1000).when(tier == 1, 2800).otherwise(4000)
+    )
+    fetches = ev.select(
+        (F.col("event_id") % 13).alias("host"),
+        "ts",
+        "event_id",
+        (delay_s.cast("long") * 1000000).alias("delay_us"),
+    )
+    gaps = fetches.select(
+        "host",
+        "delay_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "lag(ts) OVER (PARTITION BY host ORDER BY ts, event_id), "
+            "ts)"
+        ).alias("gap_us"),
+    )
+    agg = gaps.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("gap_us") < F.col("delay_us"), 1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_violations"),
+        F.expr("MIN(gap_us) DIV 1000").cast("long").alias("min_gap_ms"),
+    )
+    return agg.select(
+        "host",
+        "n_fetches",
+        "n_gaps",
+        "n_violations",
+        "min_gap_ms",
+        F.when(F.col("n_gaps") == 0, F.lit(0))
+        .otherwise(F.expr("n_violations * 1000000 DIV n_gaps"))
+        .cast("long")
+        .alias("violation_ppm"),
+        F.when(F.col("n_gaps") == 0, "unknown")
+        .when(F.col("n_violations") * 2 > F.col("n_gaps"), "rude")
+        .when(F.col("n_violations") > 0, "mixed")
+        .otherwise("polite")
+        .alias("politeness"),
+    )

@@ -1996,3 +1996,78 @@ def test_wet_convert_parity_and_script_ordering(spark, tmp_path):
         assert text_chars == exp_txt  # no script/style chars leaked
         assert yield_ppm == text_chars * 1000000 // html_chars
         assert len(digest) == 32
+
+
+def test_soft404_detect_class_precedence(spark, tmp_path):
+    """14 pages = two full rotations of the 7 surface forms: a real
+    404 whose body ALSO says 'not found' classifies hard-error (status
+    precedence beats the phrase), the title-only and body-only soft-404
+    wordings both land in soft-404, the short-but-honest page is thin,
+    and share_ppm is the exact integer division of each class count."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, i, "view", 1.0, "{}") for i in range(14)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_soft404_detect")
+    assert s == _oracle_rows(tmp_path, "q_soft404_detect")
+    got = {r[0]: r[1:] for r in s}
+    # ids {0,6,7,13} are 4xx/410 (13 -> kind 6); hosts {0,6,7} (13%13=0)
+    assert got["hard-error"] == (4, 3, 4 * 1000000 // 14)
+    assert got["soft-404"] == (4, 4, 4 * 1000000 // 14)
+    assert got["thin"] == (2, 2, 2 * 1000000 // 14)
+    assert got["ok"] == (4, 4, 4 * 1000000 // 14)
+    assert set(got) == {"hard-error", "soft-404", "thin", "ok"}
+
+
+def test_heading_outline_classes(spark, tmp_path):
+    """Two full rotations of the six page shapes: every class live,
+    close tags never double-count a level (n_headings is the OPEN-tag
+    count), a page with one h1 that jumps 2->4 is 'skip' not 'clean',
+    a multi-h1 page wins over its own skip, and deep counts only h4+."""
+    rows = [(i, f"t {i}", "en", "s", 3) for i in range(12)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_heading_outline")
+    assert s == _oracle_rows(tmp_path, "q_heading_outline")
+    got = {r[0]: r[1:] for r in s}  # class -> (pages, headings, h1, deep)
+    assert got["clean"] == (2, 6, 2, 0)
+    assert got["multi-h1"] == (2, 6, 4, 0)
+    assert got["headless"] == (2, 4, 0, 0)
+    assert got["skip"] == (4, 12, 4, 2)   # shapes 3 (1->3) and 4 (2->4)
+    assert got["empty"] == (2, 0, 0, 0)
+    assert set(got) == {"clean", "multi-h1", "headless", "skip", "empty"}
+
+
+def test_politeness_audit_boundaries(spark, tmp_path):
+    """Hosts at the verdict edges: all-gaps-above-delay (polite),
+    exactly-half violating (mixed, not rude — strict majority rule),
+    all violating (rude), a single-fetch host (unknown, NULL min gap,
+    ppm 0 rather than a division blowup), and a same-instant pair
+    whose event_id tiebreak makes the zero gap deterministic (rude)."""
+    t0 = _dt.datetime(2026, 1, 1)
+    sec = _dt.timedelta(seconds=1)
+    rows = []
+    # host 0, tier 0 (delay 1000 s): gaps 2000 s, 2000 s -> polite
+    rows += [(0, t0, 0, "view", 1.0, "{}"),
+             (13, t0 + 2000 * sec, 0, "view", 1.0, "{}"),
+             (26, t0 + 4000 * sec, 0, "view", 1.0, "{}")]
+    # host 1, tier 1 (delay 2800 s): gaps 1000 s, 5000 s -> 1/2 = mixed
+    rows += [(1, t0, 0, "view", 1.0, "{}"),
+             (14, t0 + 1000 * sec, 0, "view", 1.0, "{}"),
+             (27, t0 + 6000 * sec, 0, "view", 1.0, "{}")]
+    # host 2, tier 2 (delay 4000 s): gaps 1000 s, 2000 s -> 2/2 = rude
+    rows += [(2, t0, 0, "view", 1.0, "{}"),
+             (15, t0 + 1000 * sec, 0, "view", 1.0, "{}"),
+             (28, t0 + 3000 * sec, 0, "view", 1.0, "{}")]
+    # host 3: single fetch -> unknown
+    rows += [(3, t0, 0, "view", 1.0, "{}")]
+    # host 4, tier 1: two fetches at the SAME instant -> gap 0 -> rude
+    rows += [(4, t0, 0, "view", 1.0, "{}"),
+             (17, t0, 0, "view", 1.0, "{}")]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_politeness_audit")
+    assert s == _oracle_rows(tmp_path, "q_politeness_audit")
+    got = {r[0]: r[1:] for r in s}
+    assert got[0] == (3, 2, 0, 2000 * 1000, 0, "polite")
+    assert got[1] == (3, 2, 1, 1000 * 1000, 500000, "mixed")
+    assert got[2] == (3, 2, 2, 1000 * 1000, 1000000, "rude")
+    assert got[3] == (1, 0, 0, None, 0, "unknown")
+    assert got[4] == (2, 1, 1, 0, 1000000, "rude")
