@@ -213,6 +213,9 @@ HEADLINE = [
     "q_soft404_detect",
     "q_heading_outline",
     "q_politeness_audit",
+    "q_tracker_census",
+    "q_url_params_census",
+    "q_title_templates",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -15904,3 +15904,302 @@ def q_politeness_audit(spark, sf_dir):
         .otherwise("polite")
         .alias("politeness"),
     )
+
+
+@q(
+    "q_tracker_census",
+    """
+    WITH trackers(script_host, category) AS (
+      VALUES ('analytics.example-metrics.com', 'analytics'),
+             ('pixel.socialgraph.example', 'social'),
+             ('tags.tagmanager.example', 'tag-manager'),
+             ('stats.counter.example', 'analytics')),
+    pages AS (
+      SELECT event_id, event_id % 11 AS host,
+             [CASE event_id % 5
+                WHEN 0 THEN 'analytics.example-metrics.com'
+                WHEN 1 THEN 'pixel.socialgraph.example'
+                WHEN 2 THEN 'tags.tagmanager.example'
+                WHEN 3 THEN 'cdn.example.com'
+                ELSE 'static.example.org' END,
+              CASE event_id % 3
+                WHEN 0 THEN 'stats.counter.example'
+                WHEN 1 THEN 'cdn.example.com'
+                ELSE 'self' END] AS script_hosts
+      FROM events),
+    scripts AS (
+      SELECT event_id, host, unnest(script_hosts) AS script_host
+      FROM pages),
+    joined AS (
+      SELECT s.event_id, s.host,
+             COALESCE(t.category, 'first-party') AS category
+      FROM scripts s LEFT JOIN trackers t USING (script_host))
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n_scripts,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM joined GROUP BY category
+    """,
+)
+def q_tracker_census(spark, sf_dir):
+    """Third-party tracker census — the privacy/chrome signal an
+    extraction tier reads off <script src> hostnames: pages carry two
+    script slots each (synthesized with 5+3 surface forms so every
+    tracker category, a benign CDN, and inline 'self' scripts are all
+    live), exploded to one row per script tag and classified against
+    a TRACKER DIMENSION — the canonical broadcast-join shape: the
+    known-tracker list is curated and tiny (thousands of rows at
+    web scale) while the script-tag table is 10^12, so the dim ships
+    to every executor and the probe never shuffles. Unmatched hosts
+    fall to 'first-party' via the LEFT join (an inner join would
+    silently drop the baseline the tracker share is measured against).
+    Per category: script-tag count, distinct pages carrying it, and
+    distinct-host spread.
+
+    Plan/scale: explode is row-local (2 slots/page, no blow-up);
+    BroadcastHashJoin (no exchange on the fact side); ONE hash
+    aggregate on category with two distinct counts riding the same
+    shuffle (expand mode) over the bounded category alphabet."""
+    ev = _t(spark, sf_dir, "events")
+    trackers = spark.createDataFrame(
+        [
+            ("analytics.example-metrics.com", "analytics"),
+            ("pixel.socialgraph.example", "social"),
+            ("tags.tagmanager.example", "tag-manager"),
+            ("stats.counter.example", "analytics"),
+        ],
+        "script_host string, category string",
+    )
+    a = F.col("event_id") % 5
+    b = F.col("event_id") % 3
+    slot_a = (
+        F.when(a == 0, F.lit("analytics.example-metrics.com"))
+        .when(a == 1, F.lit("pixel.socialgraph.example"))
+        .when(a == 2, F.lit("tags.tagmanager.example"))
+        .when(a == 3, F.lit("cdn.example.com"))
+        .otherwise(F.lit("static.example.org"))
+    )
+    slot_b = (
+        F.when(b == 0, F.lit("stats.counter.example"))
+        .when(b == 1, F.lit("cdn.example.com"))
+        .otherwise(F.lit("self"))
+    )
+    scripts = ev.select(
+        "event_id",
+        (F.col("event_id") % 11).alias("host"),
+        F.explode(F.array(slot_a, slot_b)).alias("script_host"),
+    )
+    joined = scripts.join(
+        F.broadcast(trackers), "script_host", "left"
+    ).select(
+        "event_id",
+        "host",
+        F.coalesce(F.col("category"), F.lit("first-party")).alias(
+            "category"
+        ),
+    )
+    return joined.groupBy("category").agg(
+        F.count("*").cast("long").alias("n_scripts"),
+        F.countDistinct("event_id").cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+
+
+@q(
+    "q_url_params_census",
+    """
+    WITH urls AS (
+      SELECT event_id,
+             CASE event_id % 6
+               WHEN 0 THEN 'utm_source=news&utm_medium=email&id=42'
+               WHEN 1 THEN 'gclid=abc123&page=2'
+               WHEN 2 THEN 'fbclid=xyz&ref=home'
+               WHEN 3 THEN 'q=widgets&sort=price'
+               WHEN 4 THEN 'sessionid=s19&q=gadgets'
+               ELSE '' END AS qs
+      FROM events),
+    params AS (
+      SELECT event_id,
+             string_split(unnest(string_split(qs, '&')), '=')[1] AS param
+      FROM urls WHERE qs <> ''),
+    cls AS (
+      SELECT event_id, param,
+             CASE
+               WHEN param LIKE 'utm\\_%' ESCAPE '\\'
+                 OR param IN ('gclid', 'fbclid', 'msclkid')
+                 THEN 'tracking'
+               WHEN param IN ('sessionid', 'phpsessid', 'sid')
+                 THEN 'session'
+               ELSE 'functional' END AS param_class
+      FROM params)
+    SELECT param, param_class,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(*) * 1000000
+                // (SELECT COUNT(*) FROM events) AS BIGINT)
+             AS carry_ppm
+    FROM cls GROUP BY param, param_class
+    """,
+)
+def q_url_params_census(spark, sf_dir):
+    """URL query-parameter census — the evidence table behind
+    `q_url_normalize`'s strip rules: before a normalizer may delete
+    utm_* from 10^12 urls it must show those params never carry
+    routing information, and the census is that audit. Query strings
+    (six surface forms; one url has NO query string and must
+    contribute zero param rows, not an empty-string param) are split
+    on '&', exploded to one row per parameter, and the NAME (text
+    before '=') is classified: tracking (utm_ prefix — the LIKE
+    escape matters, '_' is a wildcard — plus the click-id family),
+    session tokens, else functional. Per (param, class): url count
+    and carriage rate in ppm of ALL urls (including query-less ones —
+    the denominator a strip-rule's blast radius is quoted against).
+
+    Plan/scale: split+explode are row-local (bounded 3 params/url);
+    ONE hash aggregate on the bounded param alphabet; the ppm
+    denominator is a broadcast-sized scalar (count of the input),
+    not a second pass over exploded rows."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 6
+    qs = (
+        F.when(m == 0, F.lit("utm_source=news&utm_medium=email&id=42"))
+        .when(m == 1, F.lit("gclid=abc123&page=2"))
+        .when(m == 2, F.lit("fbclid=xyz&ref=home"))
+        .when(m == 3, F.lit("q=widgets&sort=price"))
+        .when(m == 4, F.lit("sessionid=s19&q=gadgets"))
+        .otherwise(F.lit(""))
+    )
+    urls = ev.select("event_id", qs.alias("qs"))
+    total = urls.agg(F.count("*").cast("long").alias("_tot"))
+    params = (
+        urls.where(F.col("qs") != "")
+        .select(
+            "event_id",
+            F.explode(F.split("qs", "&")).alias("kv"),
+        )
+        .select(
+            "event_id",
+            F.split("kv", "=").getItem(0).alias("param"),
+        )
+    )
+    cls = params.select(
+        "param",
+        F.when(
+            F.col("param").startswith("utm_")
+            | F.col("param").isin("gclid", "fbclid", "msclkid"),
+            "tracking",
+        )
+        .when(
+            F.col("param").isin("sessionid", "phpsessid", "sid"),
+            "session",
+        )
+        .otherwise("functional")
+        .alias("param_class"),
+    )
+    return (
+        cls.groupBy("param", "param_class")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "param",
+            "param_class",
+            "n_urls",
+            F.expr("n_urls * 1000000 DIV _tot")
+            .cast("long")
+            .alias("carry_ppm"),
+        )
+    )
+
+
+@q(
+    "q_title_templates",
+    """
+    WITH pages AS (
+      SELECT event_id, event_id % 13 AS host,
+             CASE WHEN event_id % 9 < 4
+               THEN CASE event_id % 9
+                      WHEN 0 THEN 'Home'
+                      WHEN 1 THEN 'Products'
+                      WHEN 2 THEN 'Contact us'
+                      ELSE 'About' END
+                    || ' | Site ' || CAST(event_id % 13 AS VARCHAR)
+               ELSE 'Article ' || CAST(event_id AS VARCHAR)
+                    || ' | Site ' || CAST(event_id % 13 AS VARCHAR)
+             END AS title
+      FROM events),
+    per_title AS (
+      SELECT host, title, COUNT(*) AS n
+      FROM pages GROUP BY host, title)
+    SELECT host,
+           CAST(SUM(n) AS BIGINT) AS n_pages,
+           CAST(COUNT(*) AS BIGINT) AS n_titles,
+           CAST(COALESCE(SUM(CASE WHEN n >= 5 THEN 1 END), 0)
+                AS BIGINT) AS n_template_titles,
+           CAST(COALESCE(SUM(CASE WHEN n >= 5 THEN n END), 0)
+                AS BIGINT) AS template_pages,
+           CAST(COALESCE(SUM(CASE WHEN n >= 5 THEN n END), 0)
+                * 1000000 // SUM(n) AS BIGINT) AS template_ppm
+    FROM per_title GROUP BY host
+    """,
+)
+def q_title_templates(spark, sf_dir):
+    """Duplicate-title template detection — the de-boilerplate signal
+    for <title>: a host where thousands of pages share one title
+    ('Home | Site 7') is serving navigation chrome, and a dedup that
+    keys on title alone would eat real articles there. Pages carry
+    four template titles per host plus unique per-page article titles
+    (both branches live by construction: the template arm depends
+    only on (kind, host), the unique arm embeds the page id). The
+    audit is a TWO-LEVEL aggregation: count pages per (host, title),
+    then per host roll up page/title counts, titles reused by >= 5
+    pages (the template threshold), the page mass behind them, and
+    the template share in ppm (integer DIV, exact across engines).
+
+    Plan/scale: the first aggregate shuffles on (host, title) —
+    map-side partials collapse the per-page rows; the second
+    aggregate's key is a PREFIX of the first's, so at 10^12 rows the
+    heavy exchange happens once on the wide key and the host rollup
+    reshuffles only the already-collapsed per-title table (bounded
+    by distinct titles, not pages). Skew note: a viral template
+    title concentrates in one (host, title) group but partials cap
+    the per-task state at distinct-key count."""
+    ev = _t(spark, sf_dir, "events")
+    kind = F.col("event_id") % 9
+    host = F.col("event_id") % 13
+    tpl = (
+        F.when(kind == 0, F.lit("Home"))
+        .when(kind == 1, F.lit("Products"))
+        .when(kind == 2, F.lit("Contact us"))
+        .otherwise(F.lit("About"))
+    )
+    title = F.when(
+        kind < 4,
+        F.concat(tpl, F.lit(" | Site "), host.cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("Article "),
+            F.col("event_id").cast("string"),
+            F.lit(" | Site "),
+            host.cast("string"),
+        )
+    )
+    pages = ev.select(host.alias("host"), title.alias("title"))
+    per_title = pages.groupBy("host", "title").agg(
+        F.count("*").alias("n")
+    )
+    is_tpl = F.col("n") >= 5
+    return per_title.groupBy("host").agg(
+        F.sum("n").cast("long").alias("n_pages"),
+        F.count("*").cast("long").alias("n_titles"),
+        F.coalesce(F.sum(F.when(is_tpl, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_template_titles"),
+        F.coalesce(F.sum(F.when(is_tpl, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("template_pages"),
+        F.expr(
+            "COALESCE(SUM(CASE WHEN n >= 5 THEN n END), 0) "
+            "* 1000000 DIV SUM(n)"
+        )
+        .cast("long")
+        .alias("template_ppm"),
+    )

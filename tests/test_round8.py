@@ -2071,3 +2071,70 @@ def test_politeness_audit_boundaries(spark, tmp_path):
     assert got[2] == (3, 2, 2, 1000 * 1000, 1000000, "rude")
     assert got[3] == (1, 0, 0, None, 0, "unknown")
     assert got[4] == (2, 1, 1, 0, 1000000, "rude")
+
+
+def test_tracker_census_broadcast_classes(spark, tmp_path):
+    """15 pages = one full rotation of both script slots (lcm(5,3)):
+    every tracker category is live, two distinct tracker hosts fold
+    into the one 'analytics' category, unmatched CDNs and inline
+    'self' scripts survive the LEFT join as first-party, and page
+    counts are DISTINCT events (a page with two analytics scripts
+    counts once)."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, i, "view", 1.0, "{}") for i in range(15)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_tracker_census")
+    assert s == _oracle_rows(tmp_path, "q_tracker_census")
+    got = {r[0]: r[1:] for r in s}  # category -> (scripts, pages, hosts)
+    assert got["analytics"] == (8, 7, 7)
+    assert got["social"] == (3, 3, 3)
+    assert got["tag-manager"] == (3, 3, 3)
+    assert got["first-party"] == (16, 12, 10)
+    assert sum(r[1] for r in s) == 30  # 15 pages x 2 script slots
+
+
+def test_url_params_census_classes(spark, tmp_path):
+    """Two rotations of the six query-string shapes: the query-less
+    url contributes ZERO param rows (split of '' must not yield an
+    empty param), utm_ prefix matching is literal (the LIKE escape),
+    'q' appearing in two shapes folds into one row, and carry_ppm is
+    measured against ALL urls including query-less ones."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, i, "view", 1.0, "{}") for i in range(12)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_url_params_census")
+    assert s == _oracle_rows(tmp_path, "q_url_params_census")
+    got = {(r[0], r[1]): (r[2], r[3]) for r in s}
+    assert got[("utm_source", "tracking")] == (2, 2 * 1000000 // 12)
+    assert got[("utm_medium", "tracking")] == (2, 2 * 1000000 // 12)
+    assert got[("gclid", "tracking")] == (2, 166666)
+    assert got[("fbclid", "tracking")] == (2, 166666)
+    assert got[("sessionid", "session")] == (2, 166666)
+    assert got[("q", "functional")] == (4, 4 * 1000000 // 12)
+    assert got[("id", "functional")] == (2, 166666)
+    assert len(s) == 10
+    assert sum(v[0] for v in got.values()) == 22  # kind-5 urls add none
+
+
+def test_title_templates_threshold(spark, tmp_path):
+    """Template threshold is >= 5 pages sharing a title WITHIN a host:
+    five copies qualify, four do not; a host's unique article titles
+    count toward n_titles but never toward template mass; ppm is the
+    integer share of the host's own pages."""
+    t0 = _dt.datetime(2026, 1, 1)
+    ids = (
+        [0, 117, 234, 351, 468]   # host 0, 'Home | Site 0' x5 -> template
+        + [13]                    # host 0, unique 'Article 13 | Site 0'
+        + [1, 118]                # host 1, 'Products | Site 1' x2
+        + [54, 171, 288, 405]     # host 2, 'Home | Site 2' x4 -> below
+        + [4]                     # host 4, unique article
+    )
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in ids]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_title_templates")
+    assert s == _oracle_rows(tmp_path, "q_title_templates")
+    got = {r[0]: r[1:] for r in s}
+    assert got[0] == (6, 2, 1, 5, 5 * 1000000 // 6)
+    assert got[1] == (2, 1, 0, 0, 0)
+    assert got[2] == (4, 1, 0, 0, 0)
+    assert got[4] == (1, 1, 0, 0, 0)
