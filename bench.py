@@ -216,6 +216,9 @@ HEADLINE = [
     "q_tracker_census",
     "q_url_params_census",
     "q_title_templates",
+    "q_gibberish_detect",
+    "q_citation_density",
+    "q_bandwidth_apportion",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

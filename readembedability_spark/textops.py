@@ -16203,3 +16203,319 @@ def q_title_templates(spark, sf_dir):
         .cast("long")
         .alias("template_ppm"),
     )
+
+
+@q(
+    "q_gibberish_detect",
+    """
+    WITH shaped AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 1 THEN '### $$$ %% ^^ && ** (()) !!'
+               WHEN 2 THEN 'zxqwrtplkjhgfds zxqwrtplkjhgfds'
+               WHEN 3 THEN 'rhythms myths glyphs nymphs'
+               WHEN 5 THEN ''
+               ELSE text END AS body
+      FROM documents),
+    feat AS (
+      SELECT doc_id, lower(body) AS t, length(body) AS n_chars
+      FROM shaped),
+    sig AS (
+      SELECT doc_id, n_chars,
+             length(regexp_replace(t, '[^a-z]', '', 'g')) AS n_letters,
+             length(regexp_replace(t, '[^aeiou]', '', 'g')) AS n_vowels,
+             regexp_matches(t, '[bcdfghjklmnpqrstvwxz]{7,}') AS has_run7,
+             length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS n_symbols
+      FROM feat),
+    cls AS (
+      SELECT doc_id, n_chars, has_run7,
+             CASE WHEN n_letters = 0 THEN 0
+                  ELSE n_vowels * 1000000 // n_letters END AS vowel_ppm,
+             CASE
+               WHEN n_chars = 0 THEN 'empty'
+               WHEN n_letters > 0
+                    AND (n_vowels * 1000000 // n_letters < 200000
+                         OR has_run7)
+                 THEN 'gibberish'
+               WHEN n_letters = 0
+                    OR n_symbols * 1000000 // n_chars > 300000
+                 THEN 'symbol-heavy'
+               ELSE 'clean' END AS text_class
+      FROM sig)
+    SELECT text_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(vowel_ppm) // COUNT(*) AS BIGINT)
+             AS mean_vowel_ppm,
+           CAST(COALESCE(SUM(CASE WHEN has_run7 THEN 1 END), 0)
+                AS BIGINT) AS n_run7
+    FROM cls GROUP BY text_class
+    """,
+)
+def q_gibberish_detect(spark, sf_dir):
+    """Gibberish detection — the cheapest quality gate a training-data
+    pipeline runs after language-ID: keyboard mash, encoding debris
+    and base64 blobs all share a phonotactic signature (too few vowels
+    among letters, or an impossible consonant run) that no stopword
+    or perplexity model is needed to catch. Documents carry six
+    shapes (real corpus text for the clean arm, an all-symbol page, a
+    consonant-mash page, a vowel-less-but-real-words page — the
+    documented false positive of the vowel rule, 'rhythms myths' —
+    and an empty page). Signals are pure letter arithmetic: vowel ppm
+    among LETTERS (not chars — symbol pages must not dilute the
+    ratio), a 7+ consonant-run probe, and symbol ppm among chars.
+    Classes are PRECEDENCE-ordered: empty, gibberish (letters exist
+    but vowels < 20% or a run fires), symbol-heavy (no letters at
+    all, or symbols > 30%), clean. Per class: doc count, char mass,
+    mean per-doc vowel ppm (floor-of-sum — no float), run count.
+
+    Plan/scale: every signal is a regexp_replace length difference
+    inside one codegen'd projection; ONE hash aggregate on the
+    4-class alphabet."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    body = (
+        F.when(m == 1, F.lit("### $$$ %% ^^ && ** (()) !!"))
+        .when(m == 2, F.lit("zxqwrtplkjhgfds zxqwrtplkjhgfds"))
+        .when(m == 3, F.lit("rhythms myths glyphs nymphs"))
+        .when(m == 5, F.lit(""))
+        .otherwise(F.col("text"))
+    )
+    feat = docs.select(
+        F.lower(body).alias("t"), F.length(body).alias("n_chars")
+    )
+    sig = feat.select(
+        "n_chars",
+        F.length(F.regexp_replace("t", "[^a-z]", "")).alias("n_letters"),
+        F.length(F.regexp_replace("t", "[^aeiou]", "")).alias(
+            "n_vowels"
+        ),
+        F.col("t").rlike("[bcdfghjklmnpqrstvwxz]{7,}").alias(
+            "has_run7"
+        ),
+        F.length(F.regexp_replace("t", "[a-z0-9 ]", "")).alias(
+            "n_symbols"
+        ),
+    )
+    cls = sig.select(
+        "n_chars",
+        "has_run7",
+        F.when(F.col("n_letters") == 0, F.lit(0))
+        .otherwise(F.expr("n_vowels * 1000000 DIV n_letters"))
+        .alias("vowel_ppm"),
+        F.when(F.col("n_chars") == 0, "empty")
+        .when(
+            (F.col("n_letters") > 0)
+            & (
+                (F.expr("n_vowels * 1000000 DIV n_letters") < 200000)
+                | F.col("has_run7")
+            ),
+            "gibberish",
+        )
+        .when(
+            (F.col("n_letters") == 0)
+            | (F.expr("n_symbols * 1000000 DIV n_chars") > 300000),
+            "symbol-heavy",
+        )
+        .otherwise("clean")
+        .alias("text_class"),
+    )
+    return cls.groupBy("text_class").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.expr("SUM(vowel_ppm) DIV COUNT(*)")
+        .cast("long")
+        .alias("mean_vowel_ppm"),
+        F.coalesce(F.sum(F.when(F.col("has_run7"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_run7"),
+    )
+
+
+@q(
+    "q_citation_density",
+    """
+    WITH shaped AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'As shown in [1] and [2], results improve '
+                 || 'with scale [3]. References: 1. Smith 2. Jones'
+               WHEN 1 THEN text || ' [4]'
+               WHEN 3 THEN 'See [12] [13] [14] [15] plus the notes'
+               WHEN 4 THEN 'References and further reading'
+               ELSE text END AS body
+      FROM documents),
+    sig AS (
+      SELECT doc_id, length(body) AS n_chars,
+             length(regexp_extract_all(body, '\\[[0-9]+\\]'))
+               AS n_markers,
+             regexp_matches(body, '(?i)\\breferences\\b') AS has_refs
+      FROM shaped),
+    cls AS (
+      SELECT n_chars, n_markers,
+             CASE
+               WHEN n_markers > 0 AND has_refs THEN 'cited+refs'
+               WHEN n_markers > 0 THEN 'cited'
+               WHEN has_refs THEN 'refs-only'
+               ELSE 'uncited' END AS cite_class
+      FROM sig)
+    SELECT cite_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_markers) AS BIGINT) AS n_markers,
+           CAST(MAX(n_markers) AS BIGINT) AS max_markers,
+           CAST(SUM(n_markers) * 1000000 // SUM(n_chars) AS BIGINT)
+             AS density_ppm
+    FROM cls GROUP BY cite_class
+    """,
+)
+def q_citation_density(spark, sf_dir):
+    """Citation-density audit — the scholarly-register signal a
+    corpus mixer uses to upweight referenced writing (and the guard
+    against reference-list-only pages that carry citations' trappings
+    with none of their prose): bracketed numeric markers '[12]' are
+    counted per document (regexp_extract_all length — '[12]' is ONE
+    marker, not two digits) and combined with a word-bounded
+    'references' section probe into four classes: cited+refs (the
+    scholarly shape), cited (wiki-style inline markers, no
+    bibliography), refs-only (the orphan bibliography page), uncited.
+    Five document shapes keep every class live, with real corpus text
+    as the uncited baseline — verified free of brackets and the
+    'references' token, so synthesis cannot bleed between classes.
+    Per class: doc count, marker mass, the densest page's marker
+    count, and marker density in ppm of char mass (floor DIV, exact
+    across engines).
+
+    Plan/scale: the marker count and section probe are row-local
+    regexps in one codegen'd projection; ONE hash aggregate on the
+    4-class alphabet."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    body = (
+        F.when(
+            m == 0,
+            F.lit(
+                "As shown in [1] and [2], results improve with "
+                "scale [3]. References: 1. Smith 2. Jones"
+            ),
+        )
+        .when(m == 1, F.concat(F.col("text"), F.lit(" [4]")))
+        .when(m == 3, F.lit("See [12] [13] [14] [15] plus the notes"))
+        .when(m == 4, F.lit("References and further reading"))
+        .otherwise(F.col("text"))
+    )
+    sig = docs.select(
+        F.length(body).alias("n_chars"),
+        F.size(
+            F.regexp_extract_all(body, F.lit(r"\[[0-9]+\]"), F.lit(0))
+        ).alias("n_markers"),
+        body.rlike(r"(?i)\breferences\b").alias("has_refs"),
+    )
+    cls = sig.select(
+        "n_chars",
+        "n_markers",
+        F.when(
+            (F.col("n_markers") > 0) & F.col("has_refs"), "cited+refs"
+        )
+        .when(F.col("n_markers") > 0, "cited")
+        .when(F.col("has_refs"), "refs-only")
+        .otherwise("uncited")
+        .alias("cite_class"),
+    )
+    return cls.groupBy("cite_class").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_markers").cast("long").alias("n_markers"),
+        F.max("n_markers").cast("long").alias("max_markers"),
+        F.expr("SUM(n_markers) * 1000000 DIV SUM(n_chars)")
+        .cast("long")
+        .alias("density_ppm"),
+    )
+
+
+@q(
+    "q_bandwidth_apportion",
+    """
+    WITH mass AS (
+      SELECT event_id % 13 AS host,
+             CAST(COUNT(*) AS BIGINT) AS mass
+      FROM events GROUP BY host),
+    tot AS (
+      SELECT host, mass,
+             SUM(mass) OVER () AS total,
+             mass * 10000 // SUM(mass) OVER () AS base_quota,
+             mass * 10000 % SUM(mass) OVER () AS rem
+      FROM mass),
+    ranked AS (
+      SELECT host, mass, base_quota,
+             10000 - SUM(base_quota) OVER () AS n_extra,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk
+      FROM tot)
+    SELECT host, mass,
+           CAST(base_quota AS BIGINT) AS base_quota,
+           CAST(CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base_quota
+                + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked
+    """,
+)
+def q_bandwidth_apportion(spark, sf_dir):
+    """Fetch-budget apportionment — the scheduler step between
+    `q_crawl_plan`'s priorities and the fetcher fleet: a global
+    budget of 10000 fetch slots is divided across hosts proportional
+    to observed demand using the LARGEST-REMAINDER method (Hamilton
+    apportionment): every host gets floor(mass * B / total), and the
+    leftover slots — exactly B - sum(floors), fewer than the host
+    count — go one each to the hosts with the largest division
+    remainders, ties broken by host id so the allocation is a pure
+    function of the input (a float-share rounding would both drift
+    across engines and fail to sum to B; the integer method sums
+    EXACTLY to the budget by construction, which is the property a
+    fleet dispatcher needs).
+
+    Plan/scale: demand is ONE hash aggregate on host; everything
+    after operates on the bounded per-host table (13 rows here,
+    ~10^7 at web scale) — the unpartitioned windows are driver-sized
+    by then, and at 10^7 hosts the same algebra runs as one more
+    agg + broadcast of the two scalars (total, n_extra). The
+    remainder rank is the only global sort and it sorts hosts, not
+    fetches."""
+    ev = _t(spark, sf_dir, "events")
+    mass = ev.groupBy((F.col("event_id") % 13).alias("host")).agg(
+        F.count("*").cast("long").alias("mass")
+    )
+    w = Window.partitionBy()
+    tot = mass.select(
+        "host",
+        "mass",
+        F.sum("mass").over(w).alias("total"),
+    ).select(
+        "host",
+        "mass",
+        F.expr("mass * 10000 DIV total").alias("base_quota"),
+        F.expr("mass * 10000 % total").alias("rem"),
+    )
+    ranked = tot.select(
+        "host",
+        "mass",
+        "base_quota",
+        (F.lit(10000) - F.sum("base_quota").over(w)).alias("n_extra"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("host")))
+        .alias("rk"),
+    )
+    return ranked.select(
+        "host",
+        "mass",
+        F.col("base_quota").cast("long").alias("base_quota"),
+        F.when(F.col("rk") <= F.col("n_extra"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("extra"),
+        (
+            F.col("base_quota")
+            + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )

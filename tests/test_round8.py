@@ -2138,3 +2138,79 @@ def test_title_templates_threshold(spark, tmp_path):
     assert got[1] == (2, 1, 0, 0, 0)
     assert got[2] == (4, 1, 0, 0, 0)
     assert got[4] == (1, 1, 0, 0, 0)
+
+
+def test_gibberish_detect_classes(spark, tmp_path):
+    """Two rotations of the six text shapes with a controlled clean
+    sentence: vowel ratio is measured among LETTERS (the all-symbol
+    page reports ppm 0 but classifies symbol-heavy, not gibberish,
+    because it has no letters), the consonant-run probe fires only on
+    the mash shape (y is not a consonant for 'rhythms'), and the
+    empty page short-circuits every ratio."""
+    clean = "the quick brown fox jumps over a lazy dog"
+    rows = [(i, clean, "en", "s", len(clean)) for i in range(12)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_gibberish_detect")
+    assert s == _oracle_rows(tmp_path, "q_gibberish_detect")
+    got = {r[0]: r[1:] for r in s}  # class -> (docs, chars, vppm, run7)
+    letters = sum(c.isalpha() for c in clean)
+    vowels = sum(c in "aeiou" for c in clean)
+    vppm = vowels * 1000000 // letters
+    assert got["clean"] == (4, 4 * len(clean), vppm, 0)
+    assert got["gibberish"][0] == 4      # mash x2 + vowel-less x2
+    assert got["gibberish"][2] == 0      # zero vowels in both shapes
+    assert got["gibberish"][3] == 2      # run7 fires only on the mash
+    assert got["symbol-heavy"] == (2, 2 * 27, 0, 0)
+    assert got["empty"] == (2, 0, 0, 0)
+
+
+def test_citation_density_classes(spark, tmp_path):
+    """Two rotations of the five shapes over a bracket-free baseline:
+    '[12]' counts as ONE marker, the inline-marker shape without a
+    bibliography is 'cited', the bibliography-without-markers page is
+    'refs-only', and density is floor(total markers * 1e6 / chars)."""
+    base = "plain body with no citations"
+    rows = [(i, base, "en", "s", len(base)) for i in range(10)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_citation_density")
+    assert s == _oracle_rows(tmp_path, "q_citation_density")
+    got = {r[0]: r[1:] for r in s}
+    sch = ("As shown in [1] and [2], results improve with scale [3]. "
+           "References: 1. Smith 2. Jones")
+    see = "See [12] [13] [14] [15] plus the notes"
+    wiki = base + " [4]"
+    refs = "References and further reading"
+    assert got["cited+refs"] == (
+        2, 6, 3, 6 * 1000000 // (2 * len(sch)))
+    assert got["cited"] == (
+        4, 10, 4, 10 * 1000000 // (2 * len(see) + 2 * len(wiki)))
+    assert got["refs-only"] == (2, 0, 0, 0)
+    assert got["uncited"] == (2, 0, 0, 0)
+
+
+def test_bandwidth_apportion_sums_to_budget(spark, tmp_path):
+    """Hamilton apportionment invariants: quotas sum EXACTLY to the
+    10000-slot budget; with three equal hosts the 9999-floor leaves
+    one extra slot that the host-id tiebreak gives to host 0; with
+    shares that divide evenly there are zero extras."""
+    t0 = _dt.datetime(2026, 1, 1)
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    # A: three equal hosts -> base 3333 each, one remainder slot
+    _write_events(a, [(i, t0, 0, "view", 1.0, "{}") for i in range(3)])
+    s = _spark_rows(spark, a, "q_bandwidth_apportion")
+    assert s == _oracle_rows(a, "q_bandwidth_apportion")
+    got = {r[0]: r[1:] for r in s}
+    assert got[0] == (1, 3333, 1, 3334)   # tie on remainder -> host 0
+    assert got[1] == (1, 3333, 0, 3333)
+    assert got[2] == (1, 3333, 0, 3333)
+    assert sum(r[4] for r in s) == 10000
+    # B: masses 7/2/1 of 10 -> exact division, no extras
+    ids = [0, 13, 26, 39, 52, 65, 78, 1, 14, 2]
+    _write_events(b, [(i, t0, 0, "view", 1.0, "{}") for i in ids])
+    s = _spark_rows(spark, b, "q_bandwidth_apportion")
+    assert s == _oracle_rows(b, "q_bandwidth_apportion")
+    got = {r[0]: r[1:] for r in s}
+    assert got[0] == (7, 7000, 0, 7000)
+    assert got[1] == (2, 2000, 0, 2000)
+    assert got[2] == (1, 1000, 0, 1000)
