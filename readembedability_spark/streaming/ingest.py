@@ -733,3 +733,120 @@ def streaming_admission(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_politeness(
+    pages_stream: DataFrame, delay_us: int = 1_000_000
+) -> DataFrame:
+    """Stateful crawl-politeness monitor (the streaming maintainer of
+    q_politeness_audit's per-host compliance ledger): as fetches
+    stream in, each host's state carries the LAST applied fetch
+    timestamp plus five counters, and every micro-batch emits the
+    host's updated ledger — fetch/gap/violation counts, the worst
+    (minimum) observed gap, the violation rate in ppm, and the same
+    three-way verdict the batch audit computes (strict-majority
+    'rude', any-violation 'mixed', else 'polite'; a host that has
+    never shown a gap is 'unknown'). The delay is a single parameter
+    here; a production monitor would join the per-host robots
+    crawl-delay dimension (q_robots_crawl_debt's source) broadcast
+    onto the stream before keying.
+
+    State is O(1) per host by construction — one timestamp and five
+    longs, no fetch history — so the monitor holds 10^8 hosts in
+    executor memory while the batch sibling re-sorts every fetch into
+    a lag window. Ordering: a micro-batch's arrow chunks are
+    concatenated and sorted once by (ts_us, url) before folding, so
+    multi-chunk delivery replays identically to row-at-a-time; a
+    SAME-INSTANT pair is a zero gap (the maximal violation), exactly
+    the batch rule's (ts, id)-tiebreak semantics. LATE DATA: with
+    O(1) state a fetch older than the head cannot be spliced between
+    two already-folded fetches, so it is counted in n_late and never
+    contributes a gap — offline reconciliation is exactly what the
+    batch sibling is for."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        last_us = None
+        n_fetches = 0
+        n_gaps = 0
+        n_violations = 0
+        min_gap_us = None
+        n_late = 0
+        if state.exists:
+            (
+                last_us,
+                n_fetches,
+                n_gaps,
+                n_violations,
+                min_gap_us,
+                n_late,
+            ) = state.get
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "url"])
+        for ts_us in batch["ts_us"]:
+            ts_us = int(ts_us)
+            n_fetches += 1
+            if last_us is not None and ts_us < last_us:
+                n_late += 1
+                continue
+            if last_us is not None:
+                gap = ts_us - last_us
+                n_gaps += 1
+                if gap < delay_us:
+                    n_violations += 1
+                if min_gap_us is None or gap < min_gap_us:
+                    min_gap_us = gap
+            last_us = ts_us
+        state.update(
+            (last_us, n_fetches, n_gaps, n_violations, min_gap_us, n_late)
+        )
+        if n_gaps == 0:
+            verdict, ppm = "unknown", 0
+        else:
+            ppm = n_violations * 1000000 // n_gaps
+            if n_violations * 2 > n_gaps:
+                verdict = "rude"
+            elif n_violations > 0:
+                verdict = "mixed"
+            else:
+                verdict = "polite"
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n_fetches": [n_fetches],
+                "n_gaps": [n_gaps],
+                "n_violations": [n_violations],
+                "n_late": [n_late],
+                "min_gap_ms": [
+                    None if min_gap_us is None else min_gap_us // 1000
+                ],
+                "violation_ppm": [ppm],
+                "politeness": [verdict],
+            }
+        )
+
+    from readembedability_spark.functions import host_col
+
+    keyed = pages_stream.select(
+        host_col("url").alias("host"),
+        "url",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " timestamp'1970-01-01 00:00:00', warc_ts)"
+        ).alias("ts_us"),
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "host string, n_fetches long, n_gaps long,"
+            " n_violations long, n_late long, min_gap_ms long,"
+            " violation_ppm long, politeness string"
+        ),
+        stateStructType=(
+            "last_us long, n_fetches long, n_gaps long,"
+            " n_violations long, min_gap_us long, n_late long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -776,3 +776,138 @@ def test_streaming_admission_budget_rule(spark, tmp_path):
         if r["admitted"] and u.startswith("https://ha")
     }
     assert admitted_stream == admitted_batch
+
+
+def test_streaming_politeness_verdicts_and_late(spark, tmp_path):
+    """The stateful politeness ledger over two micro-batches: hosts at
+    every verdict edge (all-gaps-above-delay, exactly-half violating,
+    all violating, single fetch, same-instant pair -> zero gap), plus
+    a LATE fetch that must count in n_late without contributing a gap
+    or regressing the head; the final rows must match a batch
+    lag-window replay over the same files for every on-time host."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from readembedability_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_politeness,
+    )
+
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+    ms = timedelta(milliseconds=1)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def batch(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [r[0] for r in rows],
+                    "warc_ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "html": pa.array(
+                        [b"<html/>"] * len(rows), pa.binary()
+                    ),
+                    "text": ["x"] * len(rows),
+                    "lang": ["en"] * len(rows),
+                }
+            ),
+            in_dir / name,
+        )
+        ts = 1_700_000_000 + int(name[1]) * 60
+        import os as _os
+
+        _os.utime(in_dir / name, (ts, ts))
+
+    def u(host, p):
+        return f"https://{host}.example.com/{p}"
+
+    # delay is the default 1_000_000 us = 1000 ms
+    batch("b1.parquet", [
+        (u("polite", "a"), t0),
+        (u("polite", "b"), t0 + 2000 * ms),
+        (u("mixed", "a"), t0),
+        (u("mixed", "b"), t0 + 500 * ms),       # violation
+        (u("rude", "a"), t0),
+        (u("rude", "b"), t0 + 300 * ms),        # violation
+        (u("solo", "a"), t0),
+        (u("tie", "a"), t0),
+        (u("tie", "b"), t0),                    # same instant -> gap 0
+    ])
+    batch("b2.parquet", [
+        (u("polite", "c"), t0 + 4000 * ms),
+        (u("polite", "z"), t0 - 1000 * ms),     # LATE: behind the head
+        (u("mixed", "c"), t0 + 5500 * ms),      # gap 5000 ms, on time
+        (u("rude", "c"), t0 + 700 * ms),        # violation again
+    ])
+    out = streaming_politeness(
+        read_pages_stream(spark, str(in_dir), max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("politeness")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        r["host"]: r
+        for r in spark.sql(
+            """select * from politeness a
+               where n_fetches = (select max(n_fetches)
+                                  from politeness b
+                                  where b.host = a.host)"""
+        ).collect()
+    }
+    pol = final["polite.example.com"]
+    assert (pol["n_fetches"], pol["n_gaps"], pol["n_violations"]) == (4, 2, 0)
+    assert pol["n_late"] == 1                  # the stale z fetch
+    assert pol["min_gap_ms"] == 2000
+    assert pol["politeness"] == "polite"
+    mix = final["mixed.example.com"]
+    assert (mix["n_gaps"], mix["n_violations"]) == (2, 1)
+    assert mix["violation_ppm"] == 500000
+    assert mix["politeness"] == "mixed"        # half is NOT a majority
+    rude = final["rude.example.com"]
+    assert (rude["n_gaps"], rude["n_violations"]) == (2, 2)
+    assert rude["min_gap_ms"] == 300
+    assert rude["politeness"] == "rude"
+    solo = final["solo.example.com"]
+    assert (solo["n_gaps"], solo["min_gap_ms"]) == (0, None)
+    assert solo["politeness"] == "unknown"
+    tie = final["tie.example.com"]
+    assert tie["min_gap_ms"] == 0              # same-instant pair
+    assert tie["politeness"] == "rude"
+    # batch lag-window replay agrees on every on-time host
+    from readembedability_spark.functions import host_col
+
+    caps = spark.read.parquet(str(in_dir)).select(
+        host_col("url").alias("host"), "url", "warc_ts"
+    )
+    w = Window.partitionBy("host").orderBy("warc_ts", "url")
+    gaps = caps.select(
+        "host",
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(warc_ts) OVER "
+            "(PARTITION BY host ORDER BY warc_ts, url), warc_ts)"
+        ).alias("gap_us"),
+    )
+    replay = gaps.groupBy("host").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.coalesce(
+            F.sum(F.when(F.col("gap_us") < 1_000_000, 1)), F.lit(0)
+        ).alias("n_violations"),
+    )
+    for r in replay.collect():
+        if final[r["host"]]["n_late"] == 0:
+            assert final[r["host"]]["n_gaps"] == r["n_gaps"], r
+            assert (
+                final[r["host"]]["n_violations"] == r["n_violations"]
+            ), r
