@@ -219,6 +219,9 @@ HEADLINE = [
     "q_gibberish_detect",
     "q_citation_density",
     "q_bandwidth_apportion",
+    "q_https_migration",
+    "q_image_alt_coverage",
+    "q_ndcg_eval",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

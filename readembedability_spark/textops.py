@@ -16519,3 +16519,386 @@ def q_bandwidth_apportion(spark, sf_dir):
         .cast("long")
         .alias("quota"),
     )
+
+
+@q(
+    "q_https_migration",
+    """
+    WITH caps AS (
+      SELECT event_id, ts,
+             CASE WHEN event_id % 997 = 0 THEN 101 + event_id
+                  ELSE event_id % 101 END AS url_id,
+             event_id // 101 AS k
+      FROM events),
+    sch AS (
+      SELECT event_id, ts, url_id,
+             CASE url_id % 5
+               WHEN 0 THEN 0
+               WHEN 1 THEN 1
+               WHEN 2 THEN CASE WHEN k >= 1 + url_id % 7
+                                THEN 1 ELSE 0 END
+               WHEN 3 THEN CASE WHEN k < 1 + url_id % 7
+                                THEN 1 ELSE 0 END
+               ELSE k % 2 END AS is_https
+      FROM caps),
+    spans AS (
+      SELECT url_id, url_id % 11 AS host, is_https,
+             first_value(is_https) OVER (
+               PARTITION BY url_id ORDER BY ts, event_id)
+               AS first_https,
+             first_value(is_https) OVER (
+               PARTITION BY url_id ORDER BY ts DESC, event_id DESC)
+               AS last_https
+      FROM sch),
+    per_url AS (
+      SELECT url_id, MAX(host) AS host,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(is_https) AS BIGINT) AS n_https,
+             MAX(first_https) AS first_https,
+             MAX(last_https) AS last_https
+      FROM spans GROUP BY url_id),
+    cls AS (
+      SELECT *,
+             CASE
+               WHEN n = 1 THEN 'single'
+               WHEN first_https = 0 AND last_https = 1 THEN 'migrated'
+               WHEN first_https = 1 AND last_https = 0 THEN 'regressed'
+               WHEN first_https = 1 AND n_https = n THEN 'https-stable'
+               WHEN first_https = 0 AND n_https = 0 THEN 'http-stable'
+               ELSE 'flapping' END AS scheme_class
+      FROM per_url)
+    SELECT scheme_class,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(n) AS BIGINT) AS n_captures,
+           CAST(SUM(n_https) AS BIGINT) AS n_https_captures,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM cls GROUP BY scheme_class
+    """,
+)
+def q_https_migration(spark, sf_dir):
+    """HTTPS-migration audit — the transport-security trajectory of a
+    url across its capture history (the signal a recrawl scheduler
+    uses to retire http:// variants and a canonicalizer uses to pick
+    the surviving scheme): per url the FIRST and LAST observed scheme
+    come from two first_value windows over the same (url) partition —
+    ascending and descending (ts, event_id) order, the id tiebreak
+    making same-instant captures deterministic — and the url's class
+    is read off the endpoints plus the https capture count: single
+    (one capture — no trajectory), migrated (http->https), regressed
+    (https->http, the incident worth alerting on), https-/http-stable
+    (endpoints agree AND the interior never flapped), else flapping.
+    Urls are synthesized with FIVE scheme behaviors driven by the
+    capture index and a per-url migration point (1 + url%7) — not by
+    event parity, which a fixed recrawl stride silently freezes (the
+    dead-class trap: stride 101 preserves parity, so first==last
+    always) — plus a sparse unique-url arm for 'single'. Per class:
+    url count, capture mass, https capture mass, distinct-host
+    spread.
+
+    Plan/scale: both windows share ONE hash partitioning on url_id
+    (two sorts, one exchange) and the per-url aggregate groups on the
+    SAME key — the whole audit is one shuffle of the capture table;
+    the class rollup then collapses the bounded per-url table."""
+    ev = _t(spark, sf_dir, "events")
+    url_id = F.when(
+        F.col("event_id") % 997 == 0, F.lit(101) + F.col("event_id")
+    ).otherwise(F.col("event_id") % 101)
+    k = F.expr("event_id DIV 101")
+    point = F.lit(1) + url_id % 7
+    ck = url_id % 5
+    is_https = (
+        F.when(ck == 0, F.lit(0))
+        .when(ck == 1, F.lit(1))
+        .when(ck == 2, F.when(k >= point, 1).otherwise(0))
+        .when(ck == 3, F.when(k < point, 1).otherwise(0))
+        .otherwise(k % 2)
+    )
+    caps = ev.select(
+        url_id.alias("url_id"),
+        "ts",
+        "event_id",
+        is_https.cast("long").alias("is_https"),
+    )
+    asc = Window.partitionBy("url_id").orderBy("ts", "event_id")
+    desc = Window.partitionBy("url_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    spans = caps.select(
+        "url_id",
+        (F.col("url_id") % 11).alias("host"),
+        "is_https",
+        F.first("is_https").over(asc).alias("first_https"),
+        F.first("is_https").over(desc).alias("last_https"),
+    )
+    per_url = spans.groupBy("url_id").agg(
+        F.max("host").alias("host"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("is_https").cast("long").alias("n_https"),
+        F.max("first_https").alias("first_https"),
+        F.max("last_https").alias("last_https"),
+    )
+    cls = per_url.select(
+        "host",
+        "n",
+        "n_https",
+        F.when(F.col("n") == 1, "single")
+        .when(
+            (F.col("first_https") == 0) & (F.col("last_https") == 1),
+            "migrated",
+        )
+        .when(
+            (F.col("first_https") == 1) & (F.col("last_https") == 0),
+            "regressed",
+        )
+        .when(
+            (F.col("first_https") == 1)
+            & (F.col("n_https") == F.col("n")),
+            "https-stable",
+        )
+        .when(
+            (F.col("first_https") == 0) & (F.col("n_https") == 0),
+            "http-stable",
+        )
+        .otherwise("flapping")
+        .alias("scheme_class"),
+    )
+    return cls.groupBy("scheme_class").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum("n").cast("long").alias("n_captures"),
+        F.sum("n_https").cast("long").alias("n_https_captures"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+
+
+@q(
+    "q_image_alt_coverage",
+    """
+    WITH pages AS (
+      SELECT event_id, event_id % 11 AS host,
+             CASE event_id % 5
+               WHEN 0 THEN '<p>intro</p><img src="a.jpg" '
+                 || 'alt="chart of quarterly results">'
+               WHEN 1 THEN '<img src="b.jpg" alt="">'
+               WHEN 2 THEN '<img src="c.jpg">'
+               WHEN 3 THEN '<img src="d.jpg" alt="image">'
+               ELSE '<p>text only, no figures</p>' END AS html
+      FROM events),
+    sig AS (
+      SELECT host,
+             CASE WHEN html NOT LIKE '%<img%' THEN 'no-image'
+                  WHEN NOT regexp_matches(html, '<img[^>]*\\salt=')
+                    THEN 'alt-missing'
+                  WHEN regexp_extract(html,
+                       '<img[^>]*\\salt="([^"]*)"', 1) = ''
+                    THEN 'alt-empty'
+                  WHEN regexp_extract(html,
+                       '<img[^>]*\\salt="([^"]*)"', 1)
+                       IN ('image', 'photo', 'picture', 'img')
+                    THEN 'alt-placeholder'
+                  ELSE 'alt-ok' END AS alt_class
+      FROM pages)
+    SELECT alt_class,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER ()
+                AS BIGINT) AS share_ppm
+    FROM sig GROUP BY alt_class
+    """,
+)
+def q_image_alt_coverage(spark, sf_dir):
+    """Image alt-text coverage — the accessibility census an
+    extraction tier reports alongside the markup histogram (alt text
+    is also the only caption signal an image-text pairing pipeline
+    gets for free, so its quality tiers double as multimodal training
+    yield): pages carry five shapes — descriptive alt, EMPTY alt
+    (decorative by convention — distinct from missing: the author
+    opted out deliberately), missing alt, placeholder alt ('image':
+    present but useless to both a screen reader and a captioner),
+    and no image at all. Classification is PRECEDENCE-ordered with
+    attribute-boundary care: the alt probe requires a preceding
+    space inside the SAME tag ('<img[^>]*\\salt=') so a src value
+    containing 'alt=' can never satisfy it, and emptiness/placeholder
+    are judged on the captured attribute VALUE, not substring luck.
+    Per class: page count, distinct-host spread, corpus share ppm.
+
+    Plan/scale: probe + CASE are row-local in whole-stage codegen;
+    ONE hash aggregate on the 5-class alphabet; the share window
+    runs over the bounded class table."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 5
+    html = (
+        F.when(
+            m == 0,
+            F.lit(
+                '<p>intro</p><img src="a.jpg" '
+                'alt="chart of quarterly results">'
+            ),
+        )
+        .when(m == 1, F.lit('<img src="b.jpg" alt="">'))
+        .when(m == 2, F.lit('<img src="c.jpg">'))
+        .when(m == 3, F.lit('<img src="d.jpg" alt="image">'))
+        .otherwise(F.lit("<p>text only, no figures</p>"))
+    )
+    pages = ev.select(
+        (F.col("event_id") % 11).alias("host"), html.alias("html")
+    )
+    alt_val = F.regexp_extract("html", r'<img[^>]*\salt="([^"]*)"', 1)
+    sig = pages.select(
+        "host",
+        F.when(~F.col("html").contains("<img"), "no-image")
+        .when(~F.col("html").rlike(r"<img[^>]*\salt="), "alt-missing")
+        .when(alt_val == "", "alt-empty")
+        .when(
+            alt_val.isin("image", "photo", "picture", "img"),
+            "alt-placeholder",
+        )
+        .otherwise("alt-ok")
+        .alias("alt_class"),
+    )
+    agg = sig.groupBy("alt_class").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "alt_class",
+        "n_pages",
+        "n_hosts",
+        F.expr("n_pages * 1000000").alias("_num"),
+        F.sum("n_pages").over(w).alias("_tot"),
+    ).select(
+        "alt_class",
+        "n_pages",
+        "n_hosts",
+        F.expr("_num DIV _tot").cast("long").alias("share_ppm"),
+    )
+
+
+@q(
+    "q_ndcg_eval",
+    """
+    WITH run AS (
+      SELECT doc_id AS qid, unnest(generate_series(1, 5)) AS rk
+      FROM documents WHERE doc_id % 10 = 0),
+    graded AS (
+      SELECT qid, rk,
+             GREATEST(0, 3 - (qid // 10 + rk) % 5) AS rel,
+             CASE rk WHEN 1 THEN 1000 WHEN 2 THEN 630 WHEN 3 THEN 500
+                     WHEN 4 THEN 431 ELSE 386 END AS disc
+      FROM run),
+    ideal AS (
+      SELECT qid, rel, disc,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rel DESC, rk) AS ideal_rk
+      FROM graded),
+    contrib AS (
+      SELECT qid, rel * disc AS dcg_part,
+             rel * CASE ideal_rk WHEN 1 THEN 1000 WHEN 2 THEN 630
+                                 WHEN 3 THEN 500 WHEN 4 THEN 431
+                                 ELSE 386 END AS idcg_part
+      FROM ideal),
+    per_q AS (
+      SELECT qid,
+             CAST(SUM(dcg_part) AS BIGINT) AS dcg_milli,
+             CAST(SUM(idcg_part) AS BIGINT) AS idcg_milli,
+             CAST(SUM(dcg_part) * 1000000 // SUM(idcg_part) AS BIGINT)
+               AS ndcg_ppm
+      FROM contrib GROUP BY qid)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT) AS mean_ndcg_ppm,
+           CAST(MIN(ndcg_ppm) AS BIGINT) AS min_ndcg_ppm,
+           CAST(MAX(ndcg_ppm) AS BIGINT) AS max_ndcg_ppm,
+           CAST(COALESCE(SUM(CASE WHEN ndcg_ppm = 1000000 THEN 1 END),
+                         0) AS BIGINT) AS n_perfect
+    FROM per_q
+    """,
+)
+def q_ndcg_eval(spark, sf_dir):
+    """Graded-relevance NDCG@5 — the ranking-quality metric that MRR
+    (q_bm25_eval) cannot express: MRR only knows WHERE the one right
+    answer landed; NDCG scores how well the whole top-5 ordering
+    respects a 0-3 relevance scale. Everything runs on an exact
+    integer lattice: the log2 position discounts are the MILLI table
+    [1000, 630, 500, 431, 386] (floor(1000/log2(r+1)) — a float
+    discount would drift across engines), graded runs are synthesized
+    per (query, rank) as a ROTATION of the grade multiset {3,2,1,0,0}
+    — every query carries all four grades (IDCG is the constant 4760
+    milli, never zero), one rotation in five descends perfectly, and
+    DCG is the discount-weighted grade sum. The IDEAL ordering comes
+    from a row_number over (rel DESC, rank) — the rank tiebreak makes
+    equal grades deterministic WITHOUT changing IDCG (equal grades
+    are interchangeable under any discount). The corpus report:
+    query count, mean/min/max NDCG ppm, and the count of
+    perfectly-ordered queries (live by the rotation construction).
+
+    Plan/scale: the 5-row fan-out is generated INSIDE the row
+    (explode of a literal sequence — no join); the ideal-rank window
+    and the per-query aggregate share ONE hash partitioning on qid;
+    the final rollup collapses the bounded per-query table."""
+    docs = _t(spark, sf_dir, "documents")
+    run = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("rk"),
+        )
+    )
+    disc = (
+        F.when(F.col("rk") == 1, 1000)
+        .when(F.col("rk") == 2, 630)
+        .when(F.col("rk") == 3, 500)
+        .when(F.col("rk") == 4, 431)
+        .otherwise(386)
+    )
+    graded = run.select(
+        "qid",
+        "rk",
+        F.greatest(
+            F.lit(0), F.lit(3) - F.expr("(qid DIV 10 + rk) % 5")
+        ).alias("rel"),
+        disc.alias("disc"),
+    )
+    ideal = graded.select(
+        "qid",
+        "rel",
+        "disc",
+        F.row_number()
+        .over(
+            Window.partitionBy("qid").orderBy(
+                F.col("rel").desc(), F.col("rk")
+            )
+        )
+        .alias("ideal_rk"),
+    )
+    idisc = (
+        F.when(F.col("ideal_rk") == 1, 1000)
+        .when(F.col("ideal_rk") == 2, 630)
+        .when(F.col("ideal_rk") == 3, 500)
+        .when(F.col("ideal_rk") == 4, 431)
+        .otherwise(386)
+    )
+    contrib = ideal.select(
+        "qid",
+        (F.col("rel") * F.col("disc")).alias("dcg_part"),
+        (F.col("rel") * idisc).alias("idcg_part"),
+    )
+    per_q = contrib.groupBy("qid").agg(
+        F.sum("dcg_part").cast("long").alias("dcg_milli"),
+        F.sum("idcg_part").cast("long").alias("idcg_milli"),
+        F.expr("SUM(dcg_part) * 1000000 DIV SUM(idcg_part)")
+        .cast("long")
+        .alias("ndcg_ppm"),
+    )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.expr("SUM(ndcg_ppm) DIV COUNT(*)")
+        .cast("long")
+        .alias("mean_ndcg_ppm"),
+        F.min("ndcg_ppm").cast("long").alias("min_ndcg_ppm"),
+        F.max("ndcg_ppm").cast("long").alias("max_ndcg_ppm"),
+        F.coalesce(
+            F.sum(F.when(F.col("ndcg_ppm") == 1000000, 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_perfect"),
+    )

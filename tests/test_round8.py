@@ -2214,3 +2214,77 @@ def test_bandwidth_apportion_sums_to_budget(spark, tmp_path):
     assert got[0] == (7, 7000, 0, 7000)
     assert got[1] == (2, 2000, 0, 2000)
     assert got[2] == (1, 1000, 0, 1000)
+
+
+def test_https_migration_trajectories(spark, tmp_path):
+    """One url per scheme behavior, three captures each with strictly
+    increasing timestamps: endpoints classify migrated/regressed even
+    when the interior flaps; a url whose endpoints agree but whose
+    interior dipped is 'flapping', not stable; the sparse unique-url
+    arm lands in 'single' with no trajectory."""
+    t0 = _dt.datetime(2026, 1, 1)
+    sec = _dt.timedelta(seconds=1)
+    ids = [5, 106, 207,      # url 5: ck 0 -> http-stable
+           6, 107, 208,      # url 6: ck 1 -> https-stable
+           7, 108, 209,      # url 7: ck 2, point 1 -> 0,1,1 migrated
+           8, 109, 210,      # url 8: ck 3, point 2 -> 1,1,0 regressed
+           9, 110, 211,      # url 9: ck 4 -> 0,1,0 flapping
+           997]              # singles arm: url 1098, one capture
+    rows = [(i, t0 + i * sec, 0, "view", 1.0, "{}") for i in ids]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_https_migration")
+    assert s == _oracle_rows(tmp_path, "q_https_migration")
+    got = {r[0]: r[1:] for r in s}  # class -> (urls, caps, https, hosts)
+    assert got["http-stable"] == (1, 3, 0, 1)
+    assert got["https-stable"] == (1, 3, 3, 1)
+    assert got["migrated"] == (1, 3, 2, 1)
+    assert got["regressed"] == (1, 3, 2, 1)
+    assert got["flapping"] == (1, 3, 1, 1)
+    # url 1098: ck 3, point 1 + 1098 % 7 = 7, k = 9 -> http capture
+    assert got["single"] == (1, 1, 0, 1)
+    assert set(got) == {"http-stable", "https-stable", "migrated",
+                        "regressed", "flapping", "single"}
+
+
+def test_image_alt_coverage_classes(spark, tmp_path):
+    """Two rotations of the five page shapes: empty alt (deliberate
+    opt-out) is distinct from missing alt, the placeholder value is
+    judged on the captured attribute, imageless pages land in
+    no-image, and shares are exact integer ppm of all pages."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, i, "view", 1.0, "{}") for i in range(10)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_image_alt_coverage")
+    assert s == _oracle_rows(tmp_path, "q_image_alt_coverage")
+    got = {r[0]: r[1:] for r in s}
+    for cls in ("alt-ok", "alt-empty", "alt-missing",
+                "alt-placeholder", "no-image"):
+        assert got[cls] == (2, 2, 200000), cls
+
+
+def test_ndcg_eval_rotation_lattice(spark, tmp_path):
+    """Five queries = the full grade-rotation cycle: every query has
+    the same {3,2,1,0,0} multiset so IDCG is the constant 4760 milli;
+    the perfectly-descending rotation scores exactly 1000000 ppm; the
+    mean/min are the exact integer values recomputed in python."""
+    rows = [(i, "t", "en", "s", 1) for i in range(50)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_ndcg_eval")
+    assert s == _oracle_rows(tmp_path, "q_ndcg_eval")
+    disc = {1: 1000, 2: 630, 3: 500, 4: 431, 5: 386}
+    ppms = []
+    for qp in range(5):  # qids 0,10,20,30,40 -> q' = 0..4
+        rels = [max(0, 3 - (qp + r) % 5) for r in range(1, 6)]
+        dcg = sum(rel * disc[r] for r, rel in enumerate(rels, 1))
+        idcg = sum(
+            rel * disc[r]
+            for r, rel in enumerate(sorted(rels, reverse=True), 1)
+        )
+        assert idcg == 4760
+        ppms.append(dcg * 1000000 // idcg)
+    (n_q, mean_ppm, min_ppm, max_ppm, n_perfect) = s[0]
+    assert n_q == 5
+    assert mean_ppm == sum(ppms) // 5
+    assert min_ppm == min(ppms)
+    assert max_ppm == 1000000 and 1000000 in ppms
+    assert n_perfect == 1
