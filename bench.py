@@ -222,6 +222,9 @@ HEADLINE = [
     "q_https_migration",
     "q_image_alt_coverage",
     "q_ndcg_eval",
+    "q_robots_precedence",
+    "q_crawl_trap_detect",
+    "q_warc_revisit",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

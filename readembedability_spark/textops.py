@@ -16902,3 +16902,370 @@ def q_ndcg_eval(spark, sf_dir):
         .cast("long")
         .alias("n_perfect"),
     )
+
+
+@q(
+    "q_robots_precedence",
+    """
+    WITH rules(g, pattern, is_allow) AS (
+      VALUES (0, '/private/', 0),
+             (0, '/private/public/', 1),
+             (0, '/tmp', 0),
+             (1, '/', 0),
+             (1, '/articles/', 1)),
+    urls AS (
+      SELECT event_id, (event_id // 6) % 3 AS g,
+             CASE event_id % 6
+               WHEN 0 THEN '/private/a'
+               WHEN 1 THEN '/private/public/x'
+               WHEN 2 THEN '/articles/2024/one'
+               WHEN 3 THEN '/index.html'
+               WHEN 4 THEN '/tmp/x'
+               ELSE '/private' END AS path
+      FROM events),
+    matched AS (
+      SELECT u.event_id, u.g, u.path, r.pattern, r.is_allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.event_id
+               ORDER BY length(r.pattern) DESC, r.is_allow DESC,
+                        r.pattern) AS rk
+      FROM urls u JOIN rules r
+        ON u.g = r.g AND starts_with(u.path, r.pattern)),
+    verdicts AS (
+      SELECT u.event_id, u.g,
+             COALESCE(m.pattern, '(default)') AS rule,
+             CASE WHEN m.pattern IS NULL OR m.is_allow = 1
+                  THEN 'allowed' ELSE 'blocked' END AS verdict
+      FROM urls u LEFT JOIN matched m
+        ON u.event_id = m.event_id AND m.rk = 1)
+    SELECT g, verdict, rule,
+           CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM verdicts GROUP BY g, verdict, rule
+    """,
+)
+def q_robots_precedence(spark, sf_dir):
+    """Robots longest-match precedence (RFC 9309 §2.2.2) — the rule
+    the simple prefix-gate in q_frontier_robots does not model: when
+    SEVERAL rules match a url, the one with the LONGEST pattern wins,
+    and on equal length Allow beats Disallow. The synthesized
+    rulesets exercise exactly the published examples: a Disallow
+    '/private/' overridden by a longer Allow '/private/public/' (so
+    '/private/public/x' is allowed while '/private/a' is blocked), a
+    blanket Disallow '/' pierced by Allow '/articles/', an empty
+    ruleset (default allowed), and the prefix-boundary probe:
+    '/private' does NOT match the '/private/' rule (prefix match is
+    literal — one char short) and falls through to default-allowed.
+    The ruleset key derives from event_id DIV 6, not a second modulus
+    of the same id — %3 of an id already keyed %6 freezes each path
+    shape to one ruleset (the dead-class trap) and the Allow
+    overrides would never fire. Winner selection is a row_number
+    over (pattern length DESC,
+    is_allow DESC, pattern) — fully deterministic. Per (ruleset,
+    verdict, winning rule): url count, with unmatched urls surfacing
+    as '(default)' rather than vanishing (the LEFT join is the
+    correctness-bearing part: an inner join would silently drop every
+    url the ruleset does not mention).
+
+    Plan/scale: the rules table is the curated-dimension broadcast
+    shape (a real pipeline ships millions of host rulesets, still
+    dimension-sized vs 10^12 urls); the only exchange is the
+    per-url window, keyed on the url itself — maximally spread, no
+    skew; the rollup collapses onto the bounded rule alphabet."""
+    ev = _t(spark, sf_dir, "events")
+    rules = spark.createDataFrame(
+        [
+            (0, "/private/", 0),
+            (0, "/private/public/", 1),
+            (0, "/tmp", 0),
+            (1, "/", 0),
+            (1, "/articles/", 1),
+        ],
+        "g long, pattern string, is_allow int",
+    )
+    m = F.col("event_id") % 6
+    path = (
+        F.when(m == 0, F.lit("/private/a"))
+        .when(m == 1, F.lit("/private/public/x"))
+        .when(m == 2, F.lit("/articles/2024/one"))
+        .when(m == 3, F.lit("/index.html"))
+        .when(m == 4, F.lit("/tmp/x"))
+        .otherwise(F.lit("/private"))
+    )
+    urls = ev.select(
+        "event_id",
+        (F.expr("event_id DIV 6") % 3).alias("g"),
+        path.alias("path"),
+    )
+    matched = (
+        urls.join(F.broadcast(rules), "g")
+        .where(F.expr("startswith(path, pattern)"))
+        .select(
+            "event_id",
+            "pattern",
+            "is_allow",
+            F.row_number()
+            .over(
+                Window.partitionBy("event_id").orderBy(
+                    F.length("pattern").desc(),
+                    F.col("is_allow").desc(),
+                    F.col("pattern"),
+                )
+            )
+            .alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+    )
+    verdicts = urls.join(matched, "event_id", "left").select(
+        "g",
+        F.coalesce(F.col("pattern"), F.lit("(default)")).alias("rule"),
+        F.when(
+            F.col("pattern").isNull() | (F.col("is_allow") == 1),
+            "allowed",
+        )
+        .otherwise("blocked")
+        .alias("verdict"),
+    )
+    return verdicts.groupBy("g", "verdict", "rule").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+
+
+@q(
+    "q_crawl_trap_detect",
+    """
+    WITH urls AS (
+      SELECT event_id, event_id % 11 AS host,
+             CASE event_id % 6
+               WHEN 0 THEN '/blog/2024/03/15/post'
+               WHEN 1 THEN '/a/b/c/d/e/f/g/h/i/j'
+               WHEN 2 THEN '/cat/x/cat/y/cat/z'
+               WHEN 3 THEN '/list?page=250'
+               WHEN 4 THEN '/articles/how-to-crawl'
+               ELSE '/' END AS path
+      FROM events),
+    seg AS (
+      SELECT event_id,
+             unnest(string_split(path, '/')) AS s
+      FROM urls),
+    mult AS (
+      SELECT event_id, CAST(MAX(n) AS BIGINT) AS max_mult,
+             CAST(COUNT(*) AS BIGINT) AS n_segments
+      FROM (SELECT event_id, s, COUNT(*) AS n
+            FROM seg WHERE s <> '' GROUP BY event_id, s)
+      GROUP BY event_id),
+    cls AS (
+      SELECT u.host,
+             CASE
+               WHEN regexp_matches(u.path,
+                    '/[0-9]{4}/[0-9]{2}/[0-9]{2}')
+                 THEN 'calendar-trap'
+               WHEN COALESCE(m.n_segments, 0) > 8 THEN 'depth-trap'
+               WHEN COALESCE(m.max_mult, 0) >= 3 THEN 'repeat-trap'
+               WHEN CASE
+                      WHEN regexp_extract(u.path,
+                           'page=([0-9]+)', 1) = '' THEN 0
+                      ELSE CAST(regexp_extract(u.path,
+                           'page=([0-9]+)', 1) AS BIGINT) END >= 100
+                 THEN 'deep-pagination'
+               ELSE 'clean' END AS trap_class
+      FROM urls u LEFT JOIN mult m USING (event_id))
+    SELECT trap_class,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER ()
+                AS BIGINT) AS share_ppm
+    FROM cls GROUP BY trap_class
+    """,
+)
+def q_crawl_trap_detect(spark, sf_dir):
+    """Crawler-trap detection — the frontier guard against url spaces
+    that are infinite by construction (calendar archives, session
+    mazes, self-linking category loops): each url is probed for four
+    trap signatures in PRECEDENCE order — a /YYYY/MM/DD calendar
+    segment (the unbounded-date archive), pathological segment depth
+    (> 8), a path segment repeating >= 3 times (the category loop —
+    counted by explode + group, NOT a regexp backreference, which
+    RE2-family engines refuse), and deep pagination (page= >= 100;
+    missing page= maps to 0, never a cast error). The root path '/'
+    must classify clean: splitting it yields only empty segments,
+    which are excluded BEFORE counting so the empty string never
+    becomes a 'repeated segment'. Per class: url count, distinct-host
+    spread, corpus share ppm.
+
+    Plan/scale: the calendar/pagination probes are row-local; the
+    multiplicity signal costs one explode plus two aggregates keyed
+    on the url — maximally-spread keys, bounded fan-out (path depth),
+    with map-side partials collapsing each url's segments inside the
+    scan task; the final rollup is on the 5-class alphabet."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 6
+    path = (
+        F.when(m == 0, F.lit("/blog/2024/03/15/post"))
+        .when(m == 1, F.lit("/a/b/c/d/e/f/g/h/i/j"))
+        .when(m == 2, F.lit("/cat/x/cat/y/cat/z"))
+        .when(m == 3, F.lit("/list?page=250"))
+        .when(m == 4, F.lit("/articles/how-to-crawl"))
+        .otherwise(F.lit("/"))
+    )
+    urls = ev.select(
+        "event_id",
+        (F.col("event_id") % 11).alias("host"),
+        path.alias("path"),
+    )
+    mult = (
+        urls.select(
+            "event_id", F.explode(F.split("path", "/")).alias("s")
+        )
+        .where(F.col("s") != "")
+        .groupBy("event_id", "s")
+        .agg(F.count("*").alias("n"))
+        .groupBy("event_id")
+        .agg(
+            F.max("n").cast("long").alias("max_mult"),
+            F.count("*").cast("long").alias("n_segments"),
+        )
+    )
+    page_no = F.regexp_extract("path", r"page=([0-9]+)", 1)
+    cls = urls.join(mult, "event_id", "left").select(
+        "host",
+        F.when(
+            F.col("path").rlike("/[0-9]{4}/[0-9]{2}/[0-9]{2}"),
+            "calendar-trap",
+        )
+        .when(F.coalesce("n_segments", F.lit(0)) > 8, "depth-trap")
+        .when(F.coalesce("max_mult", F.lit(0)) >= 3, "repeat-trap")
+        .when(
+            F.when(page_no == "", F.lit(0))
+            .otherwise(page_no.cast("long"))
+            >= 100,
+            "deep-pagination",
+        )
+        .otherwise("clean")
+        .alias("trap_class"),
+    )
+    agg = cls.groupBy("trap_class").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "trap_class",
+        "n_urls",
+        "n_hosts",
+        F.expr("n_urls * 1000000").alias("_num"),
+        F.sum("n_urls").over(w).alias("_tot"),
+    ).select(
+        "trap_class",
+        "n_urls",
+        "n_hosts",
+        F.expr("_num DIV _tot").cast("long").alias("share_ppm"),
+    )
+
+
+@q(
+    "q_warc_revisit",
+    """
+    WITH caps AS (
+      SELECT event_id, event_id % 101 AS url_id,
+             md5(CAST('v' ||
+                 CAST(CASE WHEN (event_id % 101) % 4 = 0
+                      THEN event_id // 101
+                      ELSE (event_id // 101) // 8 END AS VARCHAR)
+                 || '-' || CAST(event_id % 101 AS VARCHAR)
+                 AS VARCHAR)) AS digest,
+             500 + ((event_id % 101) * 37
+                    + CASE WHEN (event_id % 101) % 4 = 0
+                           THEN event_id // 101
+                           ELSE (event_id // 101) // 8 END) % 300
+               AS payload_bytes
+      FROM events),
+    per_digest AS (
+      SELECT url_id, digest,
+             CAST(COUNT(*) AS BIGINT) AS n_captures,
+             CAST(MIN(event_id) AS BIGINT) AS first_capture,
+             CAST(MAX(payload_bytes) AS BIGINT) AS payload_bytes
+      FROM caps GROUP BY url_id, digest),
+    per_url AS (
+      SELECT url_id,
+             CAST(SUM(n_captures) AS BIGINT) AS n_captures,
+             CAST(COUNT(*) AS BIGINT) AS n_stored,
+             CAST(SUM(n_captures) - COUNT(*) AS BIGINT) AS n_revisit,
+             CAST(SUM((n_captures - 1) * payload_bytes) AS BIGINT)
+               AS bytes_saved
+      FROM per_digest GROUP BY url_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(n_captures) AS BIGINT) AS n_captures,
+           CAST(SUM(n_stored) AS BIGINT) AS n_stored,
+           CAST(SUM(n_revisit) AS BIGINT) AS n_revisit,
+           CAST(SUM(n_revisit) * 1000000 // SUM(n_captures) AS BIGINT)
+             AS revisit_ppm,
+           CAST(SUM(bytes_saved) AS BIGINT) AS bytes_saved
+    FROM per_url
+    """,
+)
+def q_warc_revisit(spark, sf_dir):
+    """WARC revisit-record economics — the archive-side dedup that
+    `response` vs `revisit` record types encode (WARC/1.1 §6.7): when
+    a recrawl returns payload bytes whose digest the archive has
+    already stored FOR THAT URL, the writer stores a pointer record
+    instead of the body. Captures are synthesized per (url, capture
+    index) with two change cadences — fast-changing urls (every
+    capture a fresh digest: nothing to save) and slow-changing urls
+    (digest advances every 8th capture: 7/8 of fetches are revisits)
+    — so both economics regimes are live. Per (url, digest): capture
+    count and first-capture id (the record every revisit points to);
+    per url: stored vs revisit split; globally: the revisit rate in
+    ppm and the payload bytes the revisit mechanism saves (each
+    digest's body stored once, its other captures cost ~0).
+
+    Plan/scale: ONE hash aggregate on (url, digest) — the natural
+    arrival key of a per-url-sorted archive scan, so map-side
+    partials collapse the capture stream before the exchange; the
+    per-url and global rollups collapse bounded tables. The digest
+    is md5 in BOTH engines — the idiom every dedup op here shares."""
+    ev = _t(spark, sf_dir, "events")
+    url_id = F.col("event_id") % 101
+    k = F.expr("event_id DIV 101")
+    ver = F.when(url_id % 4 == 0, k).otherwise(F.expr("(event_id DIV 101) DIV 8"))
+    caps = ev.select(
+        "event_id",
+        url_id.alias("url_id"),
+        F.md5(
+            F.concat(
+                F.lit("v"),
+                ver.cast("string"),
+                F.lit("-"),
+                url_id.cast("string"),
+            ).cast("binary")
+        ).alias("digest"),
+        (F.lit(500) + (url_id * 37 + ver) % 300).alias(
+            "payload_bytes"
+        ),
+    )
+    per_digest = caps.groupBy("url_id", "digest").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.min("event_id").cast("long").alias("first_capture"),
+        F.max("payload_bytes").cast("long").alias("payload_bytes"),
+    )
+    per_url = per_digest.groupBy("url_id").agg(
+        F.sum("n_captures").cast("long").alias("n_captures"),
+        F.count("*").cast("long").alias("n_stored"),
+        (F.sum("n_captures") - F.count("*"))
+        .cast("long")
+        .alias("n_revisit"),
+        F.sum(
+            (F.col("n_captures") - 1) * F.col("payload_bytes")
+        )
+        .cast("long")
+        .alias("bytes_saved"),
+    )
+    return per_url.agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum("n_captures").cast("long").alias("n_captures"),
+        F.sum("n_stored").cast("long").alias("n_stored"),
+        F.sum("n_revisit").cast("long").alias("n_revisit"),
+        F.expr("SUM(n_revisit) * 1000000 DIV SUM(n_captures)")
+        .cast("long")
+        .alias("revisit_ppm"),
+        F.sum("bytes_saved").cast("long").alias("bytes_saved"),
+    )

@@ -2288,3 +2288,64 @@ def test_ndcg_eval_rotation_lattice(spark, tmp_path):
     assert min_ppm == min(ppms)
     assert max_ppm == 1000000 and 1000000 in ppms
     assert n_perfect == 1
+
+
+def test_robots_precedence_longest_match(spark, tmp_path):
+    """18 urls = every path shape under every ruleset: the longer
+    Allow overrides the shorter Disallow ('/private/public/x' is
+    allowed inside a disallowed subtree), the blanket Disallow '/' is
+    pierced only by '/articles/', '/private' (no trailing slash) does
+    NOT match the '/private/' rule and falls to default, and the
+    empty ruleset allows everything."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(18)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_robots_precedence")
+    assert s == _oracle_rows(tmp_path, "q_robots_precedence")
+    got = {(r[0], r[1], r[2]): r[3] for r in s}
+    assert got[(0, "blocked", "/private/")] == 1
+    assert got[(0, "allowed", "/private/public/")] == 1
+    assert got[(0, "blocked", "/tmp")] == 1
+    assert got[(0, "allowed", "(default)")] == 3  # incl. bare /private
+    assert got[(1, "allowed", "/articles/")] == 1
+    assert got[(1, "blocked", "/")] == 5
+    assert got[(2, "allowed", "(default)")] == 6
+    assert len(got) == 7
+
+
+def test_crawl_trap_detect_classes(spark, tmp_path):
+    """Two rotations of the six url shapes: the calendar date pattern
+    wins precedence, depth counts non-empty segments only (the root
+    path '/' is clean, never a repeated-empty-segment trap), the
+    category loop is caught by multiplicity (no regexp backreference),
+    and page=250 crosses the deep-pagination floor."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(12)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_crawl_trap_detect")
+    assert s == _oracle_rows(tmp_path, "q_crawl_trap_detect")
+    got = {r[0]: r[1:] for r in s}
+    assert got["calendar-trap"] == (2, 2, 2 * 1000000 // 12)
+    assert got["depth-trap"] == (2, 2, 166666)
+    assert got["repeat-trap"] == (2, 2, 166666)
+    assert got["deep-pagination"] == (2, 2, 166666)
+    assert got["clean"] == (4, 4, 4 * 1000000 // 12)
+
+
+def test_warc_revisit_economics(spark, tmp_path):
+    """One fast-changing url (every capture a fresh digest — zero
+    revisits) and one slow-changing url (nine captures, digest
+    advances at the eighth — seven revisits): stored/revisit splits,
+    the ppm rate, and bytes saved = (captures-1) x the digest's
+    payload, all exact integers."""
+    t0 = _dt.datetime(2026, 1, 1)
+    ids = [4 + 101 * k for k in range(3)] + [5 + 101 * k for k in range(9)]
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in ids]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_warc_revisit")
+    assert s == _oracle_rows(tmp_path, "q_warc_revisit")
+    (n_urls, n_caps, n_stored, n_revisit, ppm, saved) = s[0]
+    assert (n_urls, n_caps) == (2, 12)
+    assert (n_stored, n_revisit) == (5, 7)   # 3 fresh + (1 + 1 slow)
+    assert ppm == 7 * 1000000 // 12
+    assert saved == 7 * (500 + (5 * 37 + 0) % 300)  # slow url, ver 0
