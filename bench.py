@@ -225,6 +225,9 @@ HEADLINE = [
     "q_robots_precedence",
     "q_crawl_trap_detect",
     "q_warc_revisit",
+    "q_content_length_audit",
+    "q_link_rot",
+    "q_cms_fingerprint",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

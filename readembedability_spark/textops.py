@@ -17269,3 +17269,296 @@ def q_warc_revisit(spark, sf_dir):
         .alias("revisit_ppm"),
         F.sum("bytes_saved").cast("long").alias("bytes_saved"),
     )
+
+
+@q(
+    "q_content_length_audit",
+    """
+    WITH resp AS (
+      SELECT event_id, event_id % 11 AS host,
+             CASE event_id % 5
+               WHEN 0 THEN 1200 WHEN 1 THEN 1200 WHEN 2 THEN 1200
+               WHEN 3 THEN -1 ELSE 0 END AS declared,
+             CASE event_id % 5
+               WHEN 0 THEN 1200   -- exact
+               WHEN 1 THEN 800    -- truncated
+               WHEN 2 THEN 1350   -- overlong
+               WHEN 3 THEN 900    -- undeclared
+               ELSE 0 END AS actual
+      FROM events),
+    cls AS (
+      SELECT host, declared, actual,
+             CASE
+               WHEN declared < 0 THEN 'undeclared'
+               WHEN actual = declared AND actual = 0 THEN 'empty'
+               WHEN actual = declared THEN 'exact'
+               WHEN actual < declared THEN 'truncated'
+               ELSE 'overlong' END AS length_class
+      FROM resp)
+    SELECT length_class,
+           CAST(COUNT(*) AS BIGINT) AS n_responses,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(SUM(actual) AS BIGINT) AS actual_bytes,
+           CAST(COALESCE(SUM(CASE WHEN declared >= 0
+                                  THEN declared - actual END), 0)
+                AS BIGINT) AS byte_deficit
+    FROM cls GROUP BY length_class
+    """,
+)
+def q_content_length_audit(spark, sf_dir):
+    """Content-Length reconciliation — the transfer-integrity gate
+    between the fetcher and every byte-counting operator downstream
+    (a truncated body silently shortens documents; an overlong one
+    signals a framing bug or trailing garbage): responses are
+    synthesized with five regimes — exact, truncated (connection
+    dropped mid-body), overlong, undeclared (no header, sentinel -1
+    rather than a NULL that arithmetic would swallow), and the
+    EMPTY-but-exact page (declared 0, got 0 — correct, not
+    truncated; the zero-byte probe is the ordering-bearing branch:
+    'actual = declared' must be tested before the < comparison can
+    label it). Per class: response count, host spread, delivered
+    byte mass, and the byte deficit (declared - actual, summed only
+    where a declaration exists — overlong contributes NEGATIVE
+    deficit, netting the framing error budget).
+
+    Plan/scale: row-local CASE in codegen; ONE hash aggregate on the
+    5-class alphabet."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 5
+    declared = (
+        F.when(m == 3, F.lit(-1))
+        .when(m == 4, F.lit(0))
+        .otherwise(F.lit(1200))
+    )
+    actual = (
+        F.when(m == 0, F.lit(1200))
+        .when(m == 1, F.lit(800))
+        .when(m == 2, F.lit(1350))
+        .when(m == 3, F.lit(900))
+        .otherwise(F.lit(0))
+    )
+    resp = ev.select(
+        (F.col("event_id") % 11).alias("host"),
+        declared.alias("declared"),
+        actual.alias("actual"),
+    )
+    cls = resp.select(
+        "host",
+        "declared",
+        "actual",
+        F.when(F.col("declared") < 0, "undeclared")
+        .when(
+            (F.col("actual") == F.col("declared"))
+            & (F.col("actual") == 0),
+            "empty",
+        )
+        .when(F.col("actual") == F.col("declared"), "exact")
+        .when(F.col("actual") < F.col("declared"), "truncated")
+        .otherwise("overlong")
+        .alias("length_class"),
+    )
+    return cls.groupBy("length_class").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum("actual").cast("long").alias("actual_bytes"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("declared") >= 0,
+                    F.col("declared") - F.col("actual"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("byte_deficit"),
+    )
+
+
+@q(
+    "q_link_rot",
+    """
+    WITH links AS (
+      SELECT event_id % 23 AS src_host,
+             'd' || CAST((event_id * 7) % 200 AS VARCHAR) AS dst
+      FROM events),
+    status AS (
+      SELECT 'd' || CAST(t AS VARCHAR) AS dst,
+             CASE t % 10 WHEN 7 THEN 404 WHEN 8 THEN 410
+                         WHEN 9 THEN 500 ELSE 200 END AS status
+      FROM (SELECT unnest(generate_series(0, 199)) AS t)),
+    joined AS (
+      SELECT l.src_host, s.status >= 400 AS rotten
+      FROM links l JOIN status s USING (dst))
+    SELECT src_host,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COALESCE(SUM(CASE WHEN rotten THEN 1 END), 0)
+                AS BIGINT) AS n_rotten,
+           CAST(COALESCE(SUM(CASE WHEN rotten THEN 1 END), 0)
+                * 1000000 // COUNT(*) AS BIGINT) AS rot_ppm
+    FROM joined GROUP BY src_host
+    """,
+)
+def q_link_rot(spark, sf_dir):
+    """Link-rot audit — the outlink-health ledger that decides which
+    pages need re-extraction (a page whose citations died carries
+    less verifiable weight) and which dst urls deserve archive
+    backfill: the outlink fact table (one row per link, synthesized
+    with a x7 stride so each source host spreads its links across
+    the whole target space) joins the per-target STATUS dimension
+    (200 targets, 30% dead across three failure modes) and rolls up
+    per source host: link count, rotten count, rot rate in ppm.
+
+    Plan/scale: the status side is the latest-capture-status rollup
+    of the crawl table — at 10^12 links vs 10^9 targets this is the
+    canonical BIG-fact/SMALLER-dim join; here the dim is
+    generate_series-sized so Catalyst broadcasts it (no exchange on
+    the link side), and at true scale the same plan pre-buckets BOTH
+    tables on dst so the join is co-partitioned and shuffle-free;
+    the per-host rollup is ONE hash aggregate whose map-side
+    partials collapse links inside the scan task."""
+    ev = _t(spark, sf_dir, "events")
+    links = ev.select(
+        (F.col("event_id") % 23).alias("src_host"),
+        F.concat(
+            F.lit("d"), ((F.col("event_id") * 7) % 200).cast("string")
+        ).alias("dst"),
+    )
+    status = spark.range(0, 200).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("dst"),
+        F.when(F.col("id") % 10 == 7, 404)
+        .when(F.col("id") % 10 == 8, 410)
+        .when(F.col("id") % 10 == 9, 500)
+        .otherwise(200)
+        .alias("status"),
+    )
+    joined = links.join(F.broadcast(status), "dst").select(
+        "src_host", (F.col("status") >= 400).alias("rotten")
+    )
+    return joined.groupBy("src_host").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.coalesce(F.sum(F.when(F.col("rotten"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_rotten"),
+        F.expr(
+            "COALESCE(SUM(CASE WHEN rotten THEN 1 END), 0)"
+            " * 1000000 DIV COUNT(*)"
+        )
+        .cast("long")
+        .alias("rot_ppm"),
+    )
+
+
+@q(
+    "q_cms_fingerprint",
+    """
+    WITH pages AS (
+      SELECT event_id, event_id % 11 AS host,
+             CASE event_id % 7
+               WHEN 0 THEN '<meta name="generator" '
+                 || 'content="WordPress 6.4.2">'
+               WHEN 1 THEN '<meta name="generator" '
+                 || 'content="WordPress 5.9">'
+               WHEN 2 THEN '<meta name="generator" '
+                 || 'content="Drupal 10 (https://www.drupal.org)">'
+               WHEN 3 THEN '<meta name="generator" '
+                 || 'content="Hugo 0.121.0">'
+               WHEN 4 THEN '<meta name="generator" content="Wix.com">'
+               WHEN 5 THEN '<meta name="viewport" '
+                 || 'content="width=device-width">'
+               ELSE '' END AS head
+      FROM events),
+    gen AS (
+      SELECT host,
+             regexp_extract(head,
+               'name="generator" content="([^"]*)"', 1) AS raw
+      FROM pages),
+    parsed AS (
+      SELECT host,
+             CASE WHEN raw = '' THEN '(none)'
+                  ELSE regexp_extract(raw, '^([A-Za-z.]+)', 1)
+             END AS product,
+             CASE WHEN regexp_extract(raw,
+                       ' ([0-9]+(\\.[0-9]+)*)', 1) = ''
+                  THEN '(unversioned)'
+                  ELSE regexp_extract(raw,
+                       ' ([0-9]+(\\.[0-9]+)*)', 1) END AS version
+      FROM gen)
+    SELECT product, version,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM parsed GROUP BY product, version
+    """,
+)
+def q_cms_fingerprint(spark, sf_dir):
+    """CMS fingerprinting — the tech census an extraction tier uses
+    to route pages to per-platform rules (WordPress article markup is
+    predictable; Wix is a JS shell) and a security survey uses to
+    find stale fleets: the <meta name="generator"> value is captured
+    as a whole, then split into PRODUCT (leading word — the '.com'
+    in 'Wix.com' stays in the product token, which is why the product
+    charset includes dots) and VERSION (first space-prefixed dotted
+    number — the space anchor keeps 'Drupal 10' yielding '10' while
+    the url in the same value never matches; version-less generators
+    map to '(unversioned)', generator-less pages to '(none)', both
+    surviving as first-class rows rather than dropped nulls). Pages
+    carry seven shapes: two WordPress versions (same product, two
+    version rows), versioned Drupal-with-url and Hugo, unversioned
+    Wix, a non-generator meta (the name= anchor must not match
+    viewport), and an empty head. Per (product, version): page count
+    and distinct-host spread.
+
+    Plan/scale: two row-local regexp captures in codegen; ONE hash
+    aggregate on the bounded (product, version) alphabet."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 7
+    head = (
+        F.when(
+            m == 0,
+            F.lit('<meta name="generator" content="WordPress 6.4.2">'),
+        )
+        .when(
+            m == 1,
+            F.lit('<meta name="generator" content="WordPress 5.9">'),
+        )
+        .when(
+            m == 2,
+            F.lit(
+                '<meta name="generator" '
+                'content="Drupal 10 (https://www.drupal.org)">'
+            ),
+        )
+        .when(
+            m == 3,
+            F.lit('<meta name="generator" content="Hugo 0.121.0">'),
+        )
+        .when(
+            m == 4,
+            F.lit('<meta name="generator" content="Wix.com">'),
+        )
+        .when(
+            m == 5,
+            F.lit('<meta name="viewport" content="width=device-width">'),
+        )
+        .otherwise(F.lit(""))
+    )
+    gen = ev.select(
+        (F.col("event_id") % 11).alias("host"),
+        F.regexp_extract(
+            head, r'name="generator" content="([^"]*)"', 1
+        ).alias("raw"),
+    )
+    ver_raw = F.regexp_extract("raw", r" ([0-9]+(\.[0-9]+)*)", 1)
+    parsed = gen.select(
+        "host",
+        F.when(F.col("raw") == "", "(none)")
+        .otherwise(F.regexp_extract("raw", r"^([A-Za-z.]+)", 1))
+        .alias("product"),
+        F.when(ver_raw == "", "(unversioned)")
+        .otherwise(ver_raw)
+        .alias("version"),
+    )
+    return parsed.groupBy("product", "version").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )

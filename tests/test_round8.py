@@ -2349,3 +2349,61 @@ def test_warc_revisit_economics(spark, tmp_path):
     assert (n_stored, n_revisit) == (5, 7)   # 3 fresh + (1 + 1 slow)
     assert ppm == 7 * 1000000 // 12
     assert saved == 7 * (500 + (5 * 37 + 0) % 300)  # slow url, ver 0
+
+
+def test_content_length_audit_classes(spark, tmp_path):
+    """Two rotations of the five transfer regimes: the zero-byte page
+    with a declared 0 is 'empty', never 'truncated' (the equality
+    branch precedes the comparison), the undeclared sentinel is
+    excluded from the deficit, and overlong responses net a NEGATIVE
+    deficit against truncation."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(10)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_content_length_audit")
+    assert s == _oracle_rows(tmp_path, "q_content_length_audit")
+    got = {r[0]: r[1:] for r in s}
+    assert got["exact"] == (2, 2, 2400, 0)
+    assert got["truncated"] == (2, 2, 1600, 800)
+    assert got["overlong"] == (2, 2, 2700, -300)
+    assert got["undeclared"] == (2, 2, 1800, 0)
+    assert got["empty"] == (2, 2, 0, 0)
+
+
+def test_link_rot_join_and_rate(spark, tmp_path):
+    """A full pass of the 200-target space from one source host: the
+    x7 stride visits every target exactly once, so the rot rate is
+    exactly the dimension's 30% dead share; a second host with a
+    partial link set gets its own independent rate."""
+    t0 = _dt.datetime(2026, 1, 1)
+    # host 0: event_ids 0, 23, 46, ... 23*k covers k*161 % 200 ... use
+    # 200 events all with event_id % 23 == 0 -> ids 23*k for k<200
+    ids = [23 * k for k in range(200)]
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in ids]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_link_rot")
+    assert s == _oracle_rows(tmp_path, "q_link_rot")
+    got = {r[0]: r[1:] for r in s}
+    # dst = (23k*7) % 200 = 161k % 200; gcd(161,200)=1 -> all targets
+    assert got[0] == (200, 60, 60 * 1000000 // 200)
+
+
+def test_cms_fingerprint_parsing(spark, tmp_path):
+    """One rotation of the seven head shapes: the generator anchor
+    never matches a viewport meta, 'Wix.com' keeps its dot in the
+    product token, the Drupal url never pollutes the version (space
+    anchor), and version-less/generator-less pages survive as
+    first-class rows."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(7)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_cms_fingerprint")
+    assert s == _oracle_rows(tmp_path, "q_cms_fingerprint")
+    got = {(r[0], r[1]): r[2] for r in s}
+    assert got[("WordPress", "6.4.2")] == 1
+    assert got[("WordPress", "5.9")] == 1
+    assert got[("Drupal", "10")] == 1
+    assert got[("Hugo", "0.121.0")] == 1
+    assert got[("Wix.com", "(unversioned)")] == 1
+    assert got[("(none)", "(unversioned)")] == 2  # viewport + empty
+    assert len(got) == 6
