@@ -15795,6 +15795,53 @@ def q_heading_outline(spark, sf_dir):
     )
 
 
+def politeness_from(fetches, tiebreak="event_id"):
+    """Shared politeness-ledger core (q_politeness_audit's exact
+    plan), reused by jobs/compliance_run.py over real fetch logs:
+    ``fetches`` carries (host, ts, <tiebreak>, delay_us); gaps come
+    from a lag window ordered by (ts, tiebreak) — the window
+    partitions on host, the SAME key the final aggregate groups on,
+    so the whole ledger is ONE exchange. Returns one row per host:
+    fetch/gap/violation counts, worst gap in ms, violation ppm
+    (integer DIV) and the polite/mixed/rude/unknown verdict."""
+    gaps = fetches.select(
+        "host",
+        "delay_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"lag(ts) OVER (PARTITION BY host ORDER BY ts, {tiebreak}),"
+            " ts)"
+        ).alias("gap_us"),
+    )
+    agg = gaps.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.coalesce(
+            F.sum(F.when(F.col("gap_us") < F.col("delay_us"), 1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_violations"),
+        F.expr("MIN(gap_us) DIV 1000").cast("long").alias("min_gap_ms"),
+    )
+    return agg.select(
+        "host",
+        "n_fetches",
+        "n_gaps",
+        "n_violations",
+        "min_gap_ms",
+        F.when(F.col("n_gaps") == 0, F.lit(0))
+        .otherwise(F.expr("n_violations * 1000000 DIV n_gaps"))
+        .cast("long")
+        .alias("violation_ppm"),
+        F.when(F.col("n_gaps") == 0, "unknown")
+        .when(F.col("n_violations") * 2 > F.col("n_gaps"), "rude")
+        .when(F.col("n_violations") > 0, "mixed")
+        .otherwise("polite")
+        .alias("politeness"),
+    )
+
+
 @q(
     "q_politeness_audit",
     """
@@ -15866,44 +15913,7 @@ def q_politeness_audit(spark, sf_dir):
         "event_id",
         (delay_s.cast("long") * 1000000).alias("delay_us"),
     )
-    gaps = fetches.select(
-        "host",
-        "delay_us",
-        F.expr(
-            "timestampdiff(MICROSECOND, "
-            "lag(ts) OVER (PARTITION BY host ORDER BY ts, event_id), "
-            "ts)"
-        ).alias("gap_us"),
-    )
-    agg = gaps.groupBy("host").agg(
-        F.count("*").cast("long").alias("n_fetches"),
-        F.count("gap_us").cast("long").alias("n_gaps"),
-        F.coalesce(
-            F.sum(
-                F.when(F.col("gap_us") < F.col("delay_us"), 1)
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_violations"),
-        F.expr("MIN(gap_us) DIV 1000").cast("long").alias("min_gap_ms"),
-    )
-    return agg.select(
-        "host",
-        "n_fetches",
-        "n_gaps",
-        "n_violations",
-        "min_gap_ms",
-        F.when(F.col("n_gaps") == 0, F.lit(0))
-        .otherwise(F.expr("n_violations * 1000000 DIV n_gaps"))
-        .cast("long")
-        .alias("violation_ppm"),
-        F.when(F.col("n_gaps") == 0, "unknown")
-        .when(F.col("n_violations") * 2 > F.col("n_gaps"), "rude")
-        .when(F.col("n_violations") > 0, "mixed")
-        .otherwise("polite")
-        .alias("politeness"),
-    )
+    return politeness_from(fetches, tiebreak="event_id")
 
 
 @q(
@@ -16904,6 +16914,49 @@ def q_ndcg_eval(spark, sf_dir):
     )
 
 
+def robots_verdicts_from(urls, rules, uid="event_id"):
+    """Shared RFC 9309 longest-match core (q_robots_precedence's
+    exact plan), reused by jobs/compliance_run.py over real fetch
+    logs: ``urls`` carries (<uid>, g, path), ``rules`` is the
+    broadcast-sized (g, pattern, is_allow) dimension. The winning
+    rule per url is a row_number over (pattern length DESC, is_allow
+    DESC, pattern) — longest match wins, Allow beats Disallow on
+    ties; urls no rule mentions survive the LEFT join as
+    '(default)' allowed. The only exchange is the per-url winner
+    window, keyed on the url itself — maximally spread, no skew."""
+    matched = (
+        urls.join(F.broadcast(rules), "g")
+        .where(F.expr("startswith(path, pattern)"))
+        .select(
+            uid,
+            "pattern",
+            "is_allow",
+            F.row_number()
+            .over(
+                Window.partitionBy(uid).orderBy(
+                    F.length("pattern").desc(),
+                    F.col("is_allow").desc(),
+                    F.col("pattern"),
+                )
+            )
+            .alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+    )
+    return urls.join(matched, uid, "left").select(
+        uid,
+        "g",
+        "path",
+        F.coalesce(F.col("pattern"), F.lit("(default)")).alias("rule"),
+        F.when(
+            F.col("pattern").isNull() | (F.col("is_allow") == 1),
+            "allowed",
+        )
+        .otherwise("blocked")
+        .alias("verdict"),
+    )
+
+
 @q(
     "q_robots_precedence",
     """
@@ -16996,35 +17049,7 @@ def q_robots_precedence(spark, sf_dir):
         (F.expr("event_id DIV 6") % 3).alias("g"),
         path.alias("path"),
     )
-    matched = (
-        urls.join(F.broadcast(rules), "g")
-        .where(F.expr("startswith(path, pattern)"))
-        .select(
-            "event_id",
-            "pattern",
-            "is_allow",
-            F.row_number()
-            .over(
-                Window.partitionBy("event_id").orderBy(
-                    F.length("pattern").desc(),
-                    F.col("is_allow").desc(),
-                    F.col("pattern"),
-                )
-            )
-            .alias("rk"),
-        )
-        .where(F.col("rk") == 1)
-    )
-    verdicts = urls.join(matched, "event_id", "left").select(
-        "g",
-        F.coalesce(F.col("pattern"), F.lit("(default)")).alias("rule"),
-        F.when(
-            F.col("pattern").isNull() | (F.col("is_allow") == 1),
-            "allowed",
-        )
-        .otherwise("blocked")
-        .alias("verdict"),
-    )
+    verdicts = robots_verdicts_from(urls, rules, uid="event_id")
     return verdicts.groupBy("g", "verdict", "rule").agg(
         F.count("*").cast("long").alias("n_urls")
     )

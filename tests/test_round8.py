@@ -2407,3 +2407,63 @@ def test_cms_fingerprint_parsing(spark, tmp_path):
     assert got[("Wix.com", "(unversioned)")] == 1
     assert got[("(none)", "(unversioned)")] == 2  # viewport + empty
     assert len(got) == 6
+
+
+def test_compliance_run_job_composes(spark, tmp_path, monkeypatch, capsys):
+    """jobs/compliance_run.py over the synthetic fetch log: written
+    verdicts match an independent recompute through the SAME shared
+    core the gate query uses, the politeness ledger maps each delay
+    tier to exactly its designed verdict (the alternating 11/39 s
+    cadence), and the work list's debt is 2 x blocked + violations
+    with the stats line agreeing with the written tables."""
+    import importlib
+    import json as json_
+    import sys as sys_
+
+    sys_.path.insert(
+        0, str(__import__("pathlib").Path(__file__).resolve().parent.parent
+               / "jobs")
+    )
+    cj = importlib.import_module("compliance_run")
+    out = tmp_path / "compliance"
+    monkeypatch.setattr(
+        sys_, "argv",
+        ["compliance_run.py", "--fetches", "600", "--output", str(out)],
+    )
+    cj.main()
+    stats = json_.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["fetches"] == 600
+    assert stats["hosts"] == 25
+    v = spark.read.parquet(str(out / "verdicts"))
+    # written verdicts == independent recompute via the shared core
+    from readembedability_spark.textops import robots_verdicts_from
+
+    log = cj.synth_fetch_log(spark, 600)
+    exp = {
+        r["fetch_id"]: (r["rule"], r["verdict"])
+        for r in robots_verdicts_from(
+            log.select("fetch_id", "g", "path"),
+            cj.rulesets(spark),
+            uid="fetch_id",
+        ).collect()
+    }
+    got = {r["fetch_id"]: (r["rule"], r["verdict"]) for r in v.collect()}
+    assert got == exp
+    assert stats["blocked_fetches"] == sum(
+        1 for _, verdict in got.values() if verdict == "blocked"
+    )
+    # ledger: delay tier -> verdict, exactly
+    led = {r["host"]: r for r in
+           spark.read.parquet(str(out / "ledger")).collect()}
+    assert len(led) == 25
+    for h, r in led.items():
+        tier = int(h[1:].split(".")[0]) % 3
+        assert r["politeness"] == ("polite", "mixed", "rude")[tier], h
+        if tier == 2:
+            assert r["violation_ppm"] == 1000000
+    # work list: debt = 2 x blocked + violations; stats agree
+    wl = spark.read.parquet(str(out / "work_list")).collect()
+    for r in wl:
+        assert r["debt"] == 2 * r["n_blocked"] + r["n_violations"]
+    assert stats["total_debt"] == sum(r["debt"] for r in wl)
+    assert stats["worst_debt"] == max(r["debt"] for r in wl)
