@@ -17121,7 +17121,11 @@ def q_crawl_trap_detect(spark, sf_dir):
     multiplicity signal costs one explode plus two aggregates keyed
     on the url — maximally-spread keys, bounded fan-out (path depth),
     with map-side partials collapsing each url's segments inside the
-    scan task; the final rollup is on the 5-class alphabet."""
+    scan task. host/path ride through the explode pipeline as
+    widened (functionally dependent) keys, so the audit is
+    JOIN-FREE — the join-back alternative broadcasts at test scale
+    but sort-merges two 10^12-row branches at web scale; the final
+    rollup is on the 5-class alphabet."""
     ev = _t(spark, sf_dir, "events")
     m = F.col("event_id") % 6
     path = (
@@ -17137,21 +17141,36 @@ def q_crawl_trap_detect(spark, sf_dir):
         (F.col("event_id") % 11).alias("host"),
         path.alias("path"),
     )
+    # host and path ride THROUGH the explode pipeline (functionally
+    # dependent on event_id, so widening the keys is free) — the
+    # alternative join of urls back onto the multiplicity table is
+    # broadcast at test scale but a sort-merge of two 10^12-row
+    # branches at web scale; empty segments survive to here so the
+    # root path '/' keeps its row, then drop out of both signals
+    sig = F.when(F.col("s") != "", F.col("n"))
     mult = (
         urls.select(
-            "event_id", F.explode(F.split("path", "/")).alias("s")
+            "event_id",
+            "host",
+            "path",
+            F.explode(F.split("path", "/")).alias("s"),
         )
-        .where(F.col("s") != "")
-        .groupBy("event_id", "s")
+        .groupBy("event_id", "host", "path", "s")
         .agg(F.count("*").alias("n"))
-        .groupBy("event_id")
+        .groupBy("event_id", "host", "path")
         .agg(
-            F.max("n").cast("long").alias("max_mult"),
-            F.count("*").cast("long").alias("n_segments"),
+            F.coalesce(F.max(sig), F.lit(0))
+            .cast("long")
+            .alias("max_mult"),
+            F.coalesce(
+                F.sum(F.when(F.col("s") != "", 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_segments"),
         )
     )
     page_no = F.regexp_extract("path", r"page=([0-9]+)", 1)
-    cls = urls.join(mult, "event_id", "left").select(
+    cls = mult.select(
         "host",
         F.when(
             F.col("path").rlike("/[0-9]{4}/[0-9]{2}/[0-9]{2}"),

@@ -130,3 +130,99 @@ def test_surt_index_single_keyed_aggregate(spark):
     assert n_shuffles <= 2, plan[:2000]
     reads = [line for line in plan.splitlines() if "ReadSchema" in line]
     assert reads and all("props" not in r and "value" not in r for r in reads)
+
+
+def _op_counts(p: str):
+    import re
+
+    return {
+        k: len(re.findall(rf"^\(\d+\) {k}\s*$", p, re.M))
+        for k in (
+            "Exchange",
+            "BroadcastExchange",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "Window",
+        )
+    }
+
+
+def test_politeness_single_exchange(spark):
+    """The politeness ledger is ONE exchange end-to-end: the lag
+    window partitions on host and the final aggregate groups on the
+    same key, so the aggregate rides the window's partitioning; no
+    joins anywhere."""
+    from readembedability_spark.textops import REGISTRY
+
+    df = REGISTRY["q_politeness_audit"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    c = _op_counts(_plan(df))
+    assert c["Exchange"] == 1 and c["Window"] == 1
+    assert c["SortMergeJoin"] == 0 and c["BroadcastHashJoin"] == 0
+
+
+def test_link_rot_broadcasts_the_dim(spark):
+    """The link-rot join must broadcast the status dimension — no
+    shuffle on the 10^12-row link side for the join; the only
+    hash exchange is the per-host rollup."""
+    from readembedability_spark.textops import REGISTRY
+
+    df = REGISTRY["q_link_rot"].spark(spark, "/root/testdata/sf0.001")
+    c = _op_counts(_plan(df))
+    assert c["BroadcastHashJoin"] == 1 and c["SortMergeJoin"] == 0
+    assert c["Exchange"] == 1  # per-host aggregate only
+
+
+def test_robots_precedence_broadcasts_rules(spark):
+    """The ruleset dimension must broadcast (never shuffle the url
+    side for it); the remaining exchanges serve the per-url winner
+    window and the final rollup."""
+    from readembedability_spark.textops import REGISTRY
+
+    df = REGISTRY["q_robots_precedence"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    c = _op_counts(_plan(df))
+    assert c["BroadcastHashJoin"] >= 1
+    assert c["Window"] == 1
+    assert c["Exchange"] <= 3
+
+
+def test_https_migration_windows_share_partitioning(spark):
+    """Both first/last scheme windows and the per-url aggregate run
+    on ONE url_id partitioning (a second url-keyed exchange would
+    double the heavy shuffle); the remaining exchanges belong to the
+    bounded class rollup's distinct-count expansion."""
+    from readembedability_spark.textops import REGISTRY
+
+    df = REGISTRY["q_https_migration"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    p = _plan(df)
+    c = _op_counts(p)
+    assert c["Window"] == 2 and c["SortMergeJoin"] == 0
+    assert c["Exchange"] == 3  # url_id once + 2-phase distinct rollup
+    # exactly ONE exchange hashes on the capture-heavy url key
+    import re
+
+    url_exchanges = [
+        m
+        for m in re.findall(r"Arguments: hashpartitioning\(([^,]+)[,)]", p)
+        if m.startswith("url_id")
+    ]
+    assert len(url_exchanges) == 1, url_exchanges
+
+
+def test_crawl_trap_detect_join_free(spark):
+    """The trap audit must stay JOIN-FREE: host/path ride through the
+    explode pipeline as widened keys instead of joining the
+    multiplicity table back onto the urls (broadcast at test scale,
+    a 10^12-row sort-merge at web scale)."""
+    from readembedability_spark.textops import REGISTRY
+
+    df = REGISTRY["q_crawl_trap_detect"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    c = _op_counts(_plan(df))
+    assert c["SortMergeJoin"] == 0 and c["BroadcastHashJoin"] == 0
