@@ -253,7 +253,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: license classification + redistributable verdict) and
 #: q_code_detect (T-174, integer-signal code/mixed/prose
 #: classification) and q_tag_histogram (T-175, open/close/unclosed
-#: markup census) — joins the same r9 slot promise.
+#: markup census) — joins the same r9 slot promise. The session-9
+#: web-ops batch — q_wet_convert (T-176 WARC→WET conversion),
+#: q_soft404_detect, q_heading_outline, q_politeness_audit
+#: (T-177..179), q_tracker_census, q_url_params_census,
+#: q_title_templates (T-180..182), q_gibberish_detect,
+#: q_citation_density, q_bandwidth_apportion (T-183..185),
+#: q_https_migration, q_image_alt_coverage, q_ndcg_eval
+#: (T-187..189), q_robots_precedence, q_crawl_trap_detect,
+#: q_warc_revisit (T-190..192) and q_content_length_audit,
+#: q_link_rot, q_cms_fingerprint (T-193..195) — is parity-tested
+#: every round by tests/test_oracle_parity.py plus per-op boundary
+#: probes in tests/test_round8.py and joins the same r9 promise;
+#: the 13th streaming pipeline streaming_politeness (T-186) and the
+#: compliance job (T-196) are test-verified outside oracle scope.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

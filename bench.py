@@ -228,6 +228,9 @@ HEADLINE = [
     "q_content_length_audit",
     "q_link_rot",
     "q_cms_fingerprint",
+    "q_countmin_sketch",
+    "q_paywall_detect",
+    "q_embedding_norm_audit",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -17606,3 +17606,356 @@ def q_cms_fingerprint(spark, sf_dir):
         F.count("*").cast("long").alias("n_pages"),
         F.countDistinct("host").cast("long").alias("n_hosts"),
     )
+
+
+@q(
+    "q_countmin_sketch",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    tf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok WHERE w <> '' GROUP BY w),
+    cells AS (
+      SELECT i.i,
+             CAST('0x' || substr(md5(w), i.i * 8 + 1, 8) AS BIGINT)
+               % 64 AS cell,
+             CAST(SUM(n) AS BIGINT) AS v
+      FROM tf CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+      GROUP BY 1, 2),
+    top AS (SELECT w, n FROM tf ORDER BY n DESC, w LIMIT 8),
+    probe AS (
+      SELECT t.w, t.n, MIN(c.v) AS est
+      FROM top t
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+      JOIN cells c
+        ON c.i = i.i
+       AND c.cell = CAST('0x' || substr(md5(t.w), i.i * 8 + 1, 8)
+                         AS BIGINT) % 64
+      GROUP BY t.w, t.n)
+    SELECT w AS token, n AS exact_n,
+           CAST(est AS BIGINT) AS cms_est,
+           CAST(est - n AS BIGINT) AS overestimate
+    FROM probe
+    """,
+)
+def q_countmin_sketch(spark, sf_dir):
+    """Count-min sketch audit — the fixed-memory heavy-hitter
+    structure a streaming ingest keeps when the exact term table no
+    longer fits (d=4 rows x w=64 counters here; the real deployment
+    scales w, never the algebra): each row hashes every token into a
+    counter via a DIGEST SLICE (8 hex chars of md5 per row — four
+    independent 32-bit hashes from one digest, the repo's
+    cross-engine hash idiom), a token's estimate is the MIN over its
+    four cells, and the audit compares that estimate against exact
+    counts for the top-8 heavy hitters. The estimate NEVER
+    underestimates (each cell contains the token's own mass plus
+    collisions) — the per-row overestimate column is the collision
+    mass, the number a capacity planner reads to size w. Build-side
+    trick: cells are summed from the AGGREGATED (token, n) table,
+    not the raw token stream — mathematically identical to the
+    streaming build (addition commutes) but the 4x fan-out touches
+    only distinct tokens.
+
+    Plan/scale: one hash aggregate on token (the only heavy
+    exchange; map-side partials collapse the stream in the scan),
+    then the 4-slot fan-out and 256-cell sketch are
+    dimension-sized; the probe joins top-8 against the broadcast
+    sketch."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+    def hash_i(col, i):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col(col).cast("binary")), i * 8 + 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        )
+
+    def slots(col):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), hash_i(col, i).alias("cell")
+                    )
+                    for i in range(4)
+                ]
+            )
+        )
+
+    cells = (
+        tf.select("n", slots("w").alias("s"))
+        .select("n", F.col("s.i").alias("i"), F.col("s.cell").alias("cell"))
+        .groupBy("i", "cell")
+        .agg(F.sum("n").cast("long").alias("v"))
+    )
+    top = tf.orderBy(F.col("n").desc(), "w").limit(8)
+    probe = (
+        top.select("w", "n", slots("w").alias("s"))
+        .select("w", "n", F.col("s.i").alias("i"), F.col("s.cell").alias("cell"))
+        .join(F.broadcast(cells), ["i", "cell"])
+        .groupBy("w", "n")
+        .agg(F.min("v").alias("est"))
+    )
+    return probe.select(
+        F.col("w").alias("token"),
+        F.col("n").alias("exact_n"),
+        F.col("est").cast("long").alias("cms_est"),
+        (F.col("est") - F.col("n")).cast("long").alias("overestimate"),
+    )
+
+
+@q(
+    "q_paywall_detect",
+    """
+    WITH pages AS (
+      SELECT event_id, event_id % 11 AS host,
+             CASE event_id % 6
+               WHEN 0 THEN '<script type="application/ld+json">'
+                 || '{"isAccessibleForFree": false}</script>'
+                 || '<p>Preview…</p>'
+               WHEN 1 THEN '<script type="application/ld+json">'
+                 || '{"isAccessibleForFree": true}</script>'
+                 || '<p>Subscribe to continue reading our weekly '
+                 || 'digest — or not; the article is free.</p>'
+               WHEN 2 THEN '<p>Subscribe to continue reading this '
+                 || 'article.</p>'
+               WHEN 3 THEN '<p>Sign in or subscribe to continue.</p>'
+               WHEN 4 THEN '<p>Please accept cookies to view this '
+                 || 'content.</p>'
+               ELSE '<p>Plain article body, fully readable.</p>'
+             END AS html
+      FROM events),
+    cls AS (
+      SELECT host,
+             CASE
+               WHEN regexp_matches(html,
+                    '"isAccessibleForFree"\\s*:\\s*false')
+                 THEN 'paywall-declared'
+               WHEN regexp_matches(html,
+                    '"isAccessibleForFree"\\s*:\\s*true')
+                 THEN 'free-declared'
+               WHEN regexp_matches(html,
+                    '(?i)subscribe to continue|to continue reading')
+                 THEN 'paywall-phrase'
+               WHEN regexp_matches(html,
+                    '(?i)accept (all )?cookies to (view|continue)')
+                 THEN 'consent-wall'
+               ELSE 'free' END AS access_class
+      FROM pages)
+    SELECT access_class,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER ()
+                AS BIGINT) AS share_ppm
+    FROM cls GROUP BY access_class
+    """,
+)
+def q_paywall_detect(spark, sf_dir):
+    """Paywall / consent-wall detection — the access-rights gate a
+    training-data pipeline runs next to the license detector: a
+    paywalled preview contributes a truncated, upsell-polluted
+    document, and schema.org's isAccessibleForFree is the one
+    DECLARED signal that beats any phrase heuristic. Classification
+    is PRECEDENCE-ordered: the JSON-LD declaration first in both
+    polarities — a page declaring true stays 'free-declared' even
+    though its newsletter upsell contains the subscribe phrase (the
+    precedence probe; phrase-first ordering would misclassify it) —
+    then the subscribe/continue-reading phrase family, then the
+    cookie consent-wall (a different remediation: consent walls are
+    fetchable with a consent cookie, paywalls are not), else free.
+    Six page shapes keep every class live. Per class: page count,
+    distinct-host spread, corpus share ppm.
+
+    Plan/scale: three regexp probes in one codegen'd projection; ONE
+    hash aggregate on the 5-class alphabet; share window over the
+    bounded class table."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 6
+    html = (
+        F.when(
+            m == 0,
+            F.lit(
+                '<script type="application/ld+json">'
+                '{"isAccessibleForFree": false}</script>'
+                "<p>Preview…</p>"
+            ),
+        )
+        .when(
+            m == 1,
+            F.lit(
+                '<script type="application/ld+json">'
+                '{"isAccessibleForFree": true}</script>'
+                "<p>Subscribe to continue reading our weekly digest "
+                "— or not; the article is free.</p>"
+            ),
+        )
+        .when(
+            m == 2,
+            F.lit("<p>Subscribe to continue reading this article.</p>"),
+        )
+        .when(m == 3, F.lit("<p>Sign in or subscribe to continue.</p>"))
+        .when(
+            m == 4,
+            F.lit("<p>Please accept cookies to view this content.</p>"),
+        )
+        .otherwise(F.lit("<p>Plain article body, fully readable.</p>"))
+    )
+    pages = ev.select(
+        (F.col("event_id") % 11).alias("host"), html.alias("html")
+    )
+    cls = pages.select(
+        "host",
+        F.when(
+            F.col("html").rlike(r'"isAccessibleForFree"\s*:\s*false'),
+            "paywall-declared",
+        )
+        .when(
+            F.col("html").rlike(r'"isAccessibleForFree"\s*:\s*true'),
+            "free-declared",
+        )
+        .when(
+            F.col("html").rlike(
+                "(?i)subscribe to continue|to continue reading"
+            ),
+            "paywall-phrase",
+        )
+        .when(
+            F.col("html").rlike(
+                "(?i)accept (all )?cookies to (view|continue)"
+            ),
+            "consent-wall",
+        )
+        .otherwise("free")
+        .alias("access_class"),
+    )
+    agg = cls.groupBy("access_class").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "access_class",
+        "n_pages",
+        "n_hosts",
+        F.expr("n_pages * 1000000").alias("_num"),
+        F.sum("n_pages").over(w).alias("_tot"),
+    ).select(
+        "access_class",
+        "n_pages",
+        "n_hosts",
+        F.expr("_num DIV _tot").cast("long").alias("share_ppm"),
+    )
+
+
+@q(
+    "q_embedding_norm_audit",
+    """
+    WITH lat AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+               AS q
+      FROM embeddings),
+    shaped AS (
+      SELECT vec_id, label,
+             CASE vec_id % 7
+               WHEN 0 THEN list_transform(q, e -> CAST(0 AS BIGINT))
+               WHEN 1 THEN list_transform(q, e -> abs(e) // 1000)
+               WHEN 2 THEN list_transform(q, e -> e * 3)
+               ELSE q END AS q
+      FROM lat),
+    norms AS (
+      SELECT vec_id, label,
+             CAST(list_sum(list_transform(q, e -> e * e)) AS BIGINT)
+               AS sqnorm
+      FROM shaped),
+    cls AS (
+      SELECT label, sqnorm,
+             CASE
+               WHEN sqnorm = 0 THEN 'zero'
+               WHEN sqnorm < 1000000 THEN 'tiny'
+               WHEN sqnorm > 400000000 THEN 'huge'
+               ELSE 'normal' END AS norm_class
+      FROM norms)
+    SELECT norm_class,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+           CAST(MIN(sqnorm) AS BIGINT) AS min_sqnorm,
+           CAST(MAX(sqnorm) AS BIGINT) AS max_sqnorm
+    FROM cls GROUP BY norm_class
+    """,
+)
+def q_embedding_norm_audit(spark, sf_dir):
+    """Embedding-norm health audit — the vector-quality gate an ANN
+    index build runs before trusting cosine math: an all-zero vector
+    makes cosine undefined, a near-zero one amplifies quantization
+    noise into random neighbors, and an unnormalized outlier
+    dominates every inner product. Norms are computed ENTIRELY on
+    the floor(x*1e4) integer lattice (the q_embedding_drift /
+    q_embedding_quantize idiom — a float sum-of-squares would drift
+    across engines in the 4th decimal): per vector the squared norm
+    is the BIGINT sum of squared lattice elements, and three defect
+    regimes are synthesized as INTEGER transforms of the lattice
+    (zeroed, abs//1000 shrunk — abs first, because integer division
+    of negatives rounds differently across engines — and x3
+    amplified) so zero/tiny/huge are all live alongside the real
+    unit-norm corpus. Per class: vector count, label spread, and the
+    exact min/max squared norms.
+
+    Plan/scale: the lattice transform and norm fold are row-local
+    higher-order functions (no explode — the array never leaves the
+    row); ONE hash aggregate on the 4-class alphabet."""
+    emb = _t(spark, sf_dir, "embeddings")
+    lat = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+        ).alias("q"),
+    )
+    shaped = lat.select(
+        "vec_id",
+        "label",
+        F.when(
+            F.col("vec_id") % 7 == 0,
+            F.expr("transform(q, e -> CAST(0 AS BIGINT))"),
+        )
+        .when(
+            F.col("vec_id") % 7 == 1,
+            F.expr("transform(q, e -> abs(e) DIV 1000)"),
+        )
+        .when(F.col("vec_id") % 7 == 2, F.expr("transform(q, e -> e * 3)"))
+        .otherwise(F.col("q"))
+        .alias("q"),
+    )
+    norms = shaped.select(
+        "label",
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, e) -> acc + e * e)")
+        .alias("sqnorm"),
+    )
+    cls = norms.select(
+        "label",
+        "sqnorm",
+        F.when(F.col("sqnorm") == 0, "zero")
+        .when(F.col("sqnorm") < 1000000, "tiny")
+        .when(F.col("sqnorm") > 400000000, "huge")
+        .otherwise("normal")
+        .alias("norm_class"),
+    )
+    return cls.groupBy("norm_class").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+        F.min("sqnorm").cast("long").alias("min_sqnorm"),
+        F.max("sqnorm").cast("long").alias("max_sqnorm"),
+    )

@@ -2467,3 +2467,86 @@ def test_compliance_run_job_composes(spark, tmp_path, monkeypatch, capsys):
         assert r["debt"] == 2 * r["n_blocked"] + r["n_violations"]
     assert stats["total_debt"] == sum(r["debt"] for r in wl)
     assert stats["worst_debt"] == max(r["debt"] for r in wl)
+
+
+def test_countmin_sketch_exact_recompute(spark, tmp_path):
+    """300 singleton tokens + one heavy hitter: the sketch is
+    recomputed exactly in python (same md5 digest slices, same 4x64
+    geometry), the estimate equals the python min-over-rows for every
+    reported token, and it NEVER underestimates. With ~4.7 tokens per
+    cell the heavy hitter's collision mass is visible, exercising the
+    overestimate column the sf corpus leaves at zero."""
+    import hashlib as _hl
+
+    rows = [(i, f"w{i:03d} common", "en", "s", 10) for i in range(300)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_countmin_sketch")
+    assert s == _oracle_rows(tmp_path, "q_countmin_sketch")
+    # python replica
+    tf = {"common": 300}
+    for i in range(300):
+        tf[f"w{i:03d}"] = 1
+
+    def cell(w, i):
+        return int(_hl.md5(w.encode()).hexdigest()[i * 8:(i + 1) * 8], 16) % 64
+
+    cells = {}
+    for w, n in tf.items():
+        for i in range(4):
+            cells[(i, cell(w, i))] = cells.get((i, cell(w, i)), 0) + n
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    exp = sorted(
+        (w, n, min(cells[(i, cell(w, i))] for i in range(4)))
+        for w, n in top
+    )
+    got = sorted((r[0], r[1], r[2]) for r in s)
+    assert got == [tuple(e) for e in exp]
+    for _, n, est in got:
+        assert est >= n
+    # the heavy hitter's cells all carry collision mass here
+    common = [r for r in s if r[0] == "common"][0]
+    assert common[3] == common[2] - 300 >= 0
+
+
+def test_paywall_detect_declaration_precedence(spark, tmp_path):
+    """Two rotations of the six page shapes: a page DECLARING
+    isAccessibleForFree true stays free-declared even though its
+    newsletter upsell contains the subscribe phrase (declaration
+    beats phrase in both polarities); both phrase wordings fold into
+    paywall-phrase; the consent wall is its own remediation class."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, i, "view", 1.0, "{}") for i in range(12)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_paywall_detect")
+    assert s == _oracle_rows(tmp_path, "q_paywall_detect")
+    got = {r[0]: r[1:] for r in s}
+    assert got["paywall-declared"] == (2, 2, 166666)
+    assert got["free-declared"] == (2, 2, 166666)
+    assert got["paywall-phrase"] == (4, 4, 333333)
+    assert got["consent-wall"] == (2, 2, 166666)
+    assert got["free"] == (2, 2, 166666)
+
+
+def test_embedding_norm_audit_lattice(spark, tmp_path):
+    """Hand-built vectors on the integer lattice: the zeroed arm is
+    exactly 0, the shrunk arm takes abs BEFORE integer division (a
+    -0.55 element floors to -5500 on the lattice and must shrink to
+    5, not split -5/-6 across engines), the amplified arm triples
+    lattice values, and negative elements square away in the normal
+    arm."""
+    rows = [
+        (0, [0.5, 0.5, 0.5, 0.5], 0),       # -> zeroed
+        (1, [-0.55, 0.5, 0.5, 0.5], 1),     # -> tiny via abs//1000
+        (2, [0.5, 0.5, 0.5, 0.5], 2),       # -> huge via x3
+        (3, [-0.5, -0.5, -0.5, -0.5], 3),   # normal, negative elems
+        (4, [0.5, 0.5, 0.5, 0.5], 4),       # normal
+    ]
+    _write_embeddings(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_embedding_norm_audit")
+    assert s == _oracle_rows(tmp_path, "q_embedding_norm_audit")
+    got = {r[0]: r[1:] for r in s}
+    assert got["zero"] == (1, 1, 0, 0)
+    # q = [-5500, 5000, 5000, 5000] -> abs//1000 = [5, 5, 5, 5]
+    assert got["tiny"] == (1, 1, 100, 100)
+    assert got["huge"] == (1, 1, 4 * 15000 ** 2, 4 * 15000 ** 2)
+    assert got["normal"] == (2, 2, 4 * 5000 ** 2, 4 * 5000 ** 2)
