@@ -231,6 +231,8 @@ HEADLINE = [
     "q_countmin_sketch",
     "q_paywall_detect",
     "q_embedding_norm_audit",
+    "q_social_cards",
+    "q_anchor_rel_census",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -17959,3 +17959,215 @@ def q_embedding_norm_audit(spark, sf_dir):
         F.min("sqnorm").cast("long").alias("min_sqnorm"),
         F.max("sqnorm").cast("long").alias("max_sqnorm"),
     )
+
+
+@q(
+    "q_social_cards",
+    """
+    WITH pages AS (
+      SELECT event_id, event_id % 11 AS host,
+             CASE WHEN event_id % 8 IN (1, 3, 5, 7)
+               THEN '<meta property="og:title" content="T">'
+               ELSE '' END
+             || CASE WHEN event_id % 8 IN (2, 3, 6, 7)
+               THEN '<meta property="og:image" content="i.jpg">'
+               ELSE '' END
+             || CASE WHEN event_id % 8 IN (4, 5, 6, 7)
+               THEN '<meta name="twitter:card" '
+                 || 'content="summary_large_image">'
+               ELSE '' END AS head
+      FROM events),
+    flags AS (
+      SELECT host,
+             head LIKE '%property="og:title"%' AS has_og_title,
+             head LIKE '%property="og:image"%' AS has_og_image,
+             head LIKE '%name="twitter:card"%' AS has_twitter
+      FROM pages)
+    SELECT has_og_title, has_og_image, has_twitter,
+           CAST(CASE WHEN has_og_title THEN 1 ELSE 0 END
+                + CASE WHEN has_og_image THEN 1 ELSE 0 END
+                + CASE WHEN has_twitter THEN 1 ELSE 0 END
+                AS BIGINT) AS completeness,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM flags GROUP BY has_og_title, has_og_image, has_twitter
+    """,
+)
+def q_social_cards(spark, sf_dir):
+    """Social-card completeness census — the share-preview audit that
+    doubles as an image-text pairing yield estimate (og:image is the
+    one caption-bearing image a page declares; a card without it
+    renders as bare text everywhere): pages carry all EIGHT
+    presence combinations of og:title / og:image / twitter:card (the
+    3-bit rotation makes every row of the bitmap census live by
+    construction, including the empty head), probed as attribute
+    substrings and rolled up as a BITMAP — one row per combination,
+    not a lossy precedence class, because downstream consumers want
+    different marginals (the share-preview fixer needs missing
+    og:image regardless of twitter:card; the pairing pipeline needs
+    og:image AND og:title). The completeness column is the bit count.
+
+    Plan/scale: three LIKE probes in one codegen'd projection; ONE
+    hash aggregate on the 8-row bitmap."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 8
+    head = F.concat(
+        F.when(
+            m.isin(1, 3, 5, 7),
+            F.lit('<meta property="og:title" content="T">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            m.isin(2, 3, 6, 7),
+            F.lit('<meta property="og:image" content="i.jpg">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            m.isin(4, 5, 6, 7),
+            F.lit(
+                '<meta name="twitter:card" '
+                'content="summary_large_image">'
+            ),
+        ).otherwise(F.lit("")),
+    )
+    flags = ev.select(
+        (F.col("event_id") % 11).alias("host"),
+        head.contains('property="og:title"').alias("has_og_title"),
+        head.contains('property="og:image"').alias("has_og_image"),
+        head.contains('name="twitter:card"').alias("has_twitter"),
+    )
+    return (
+        flags.groupBy("has_og_title", "has_og_image", "has_twitter")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+        .select(
+            "has_og_title",
+            "has_og_image",
+            "has_twitter",
+            (
+                F.col("has_og_title").cast("int")
+                + F.col("has_og_image").cast("int")
+                + F.col("has_twitter").cast("int")
+            )
+            .cast("long")
+            .alias("completeness"),
+            "n_pages",
+            "n_hosts",
+        )
+    )
+
+
+@q(
+    "q_anchor_rel_census",
+    """
+    WITH links AS (
+      SELECT event_id % 13 AS host,
+             CASE event_id % 6
+               WHEN 0 THEN '<a href="/x" rel="nofollow">x</a>'
+               WHEN 1 THEN '<a href="/x" rel="sponsored">x</a>'
+               WHEN 2 THEN '<a href="/x" rel="ugc nofollow">x</a>'
+               WHEN 3 THEN '<a href="/x" rel="noopener">x</a>'
+               WHEN 4 THEN '<a href="/x">x</a>'
+               ELSE '<a href="/x" rel="nofollow sponsored">x</a>'
+             END AS a
+      FROM events),
+    rels AS (
+      SELECT host,
+             regexp_extract(a, 'rel="([^"]*)"', 1) AS rel
+      FROM links),
+    probes AS (
+      SELECT host,
+             regexp_matches(rel, '\\bnofollow\\b') AS is_nofollow,
+             regexp_matches(rel, '\\bsponsored\\b') AS is_sponsored,
+             regexp_matches(rel, '\\bugc\\b') AS is_ugc
+      FROM rels)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COALESCE(SUM(CASE WHEN is_nofollow THEN 1 END), 0)
+                AS BIGINT) AS n_nofollow,
+           CAST(COALESCE(SUM(CASE WHEN is_sponsored THEN 1 END), 0)
+                AS BIGINT) AS n_sponsored,
+           CAST(COALESCE(SUM(CASE WHEN is_ugc THEN 1 END), 0)
+                AS BIGINT) AS n_ugc,
+           CAST(COALESCE(SUM(CASE WHEN NOT (is_nofollow
+                OR is_sponsored OR is_ugc) THEN 1 END), 0)
+                AS BIGINT) AS n_follow,
+           CAST(COALESCE(SUM(CASE WHEN is_nofollow THEN 1 END), 0)
+                * 1000000 // COUNT(*) AS BIGINT) AS nofollow_ppm
+    FROM probes GROUP BY host
+    """,
+)
+def q_anchor_rel_census(spark, sf_dir):
+    """Anchor rel-attribute census — the link-graph hygiene signal
+    PageRank-style scoring consumes (a nofollow/sponsored/ugc edge
+    must not carry endorsement weight) and a spam auditor reads per
+    host (a host whose outlinks are overwhelmingly followed paid
+    links is selling them): rel values are MULTI-VALUED ('ugc
+    nofollow' asserts both), so the census is three independent
+    word-bounded probes over the captured attribute value — NOT a
+    precedence class; a link counts toward every qualifier it
+    carries, and 'follow' means none of the three (rel="noopener" is
+    a security hint, not a ranking qualifier, and must land in
+    follow — the word-boundary probe is what keeps 'nofollow' from
+    matching inside other tokens). Per host: link count, each
+    qualifier's count, the follow remainder, and the nofollow rate
+    in ppm.
+
+    Plan/scale: one regexp capture + three boolean probes in a
+    codegen'd projection; ONE hash aggregate on host with map-side
+    partials."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 6
+    a = (
+        F.when(m == 0, F.lit('<a href="/x" rel="nofollow">x</a>'))
+        .when(m == 1, F.lit('<a href="/x" rel="sponsored">x</a>'))
+        .when(m == 2, F.lit('<a href="/x" rel="ugc nofollow">x</a>'))
+        .when(m == 3, F.lit('<a href="/x" rel="noopener">x</a>'))
+        .when(m == 4, F.lit('<a href="/x">x</a>'))
+        .otherwise(
+            F.lit('<a href="/x" rel="nofollow sponsored">x</a>')
+        )
+    )
+    rels = ev.select(
+        (F.col("event_id") % 13).alias("host"),
+        F.regexp_extract(a, r'rel="([^"]*)"', 1).alias("rel"),
+    )
+    probes = rels.select(
+        "host",
+        F.col("rel").rlike(r"\bnofollow\b").alias("is_nofollow"),
+        F.col("rel").rlike(r"\bsponsored\b").alias("is_sponsored"),
+        F.col("rel").rlike(r"\bugc\b").alias("is_ugc"),
+    )
+    return probes.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.coalesce(F.sum(F.when(F.col("is_nofollow"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_nofollow"),
+        F.coalesce(F.sum(F.when(F.col("is_sponsored"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_sponsored"),
+        F.coalesce(F.sum(F.when(F.col("is_ugc"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_ugc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ~(
+                        F.col("is_nofollow")
+                        | F.col("is_sponsored")
+                        | F.col("is_ugc")
+                    ),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_follow"),
+        F.expr(
+            "COALESCE(SUM(CASE WHEN is_nofollow THEN 1 END), 0)"
+            " * 1000000 DIV COUNT(*)"
+        )
+        .cast("long")
+        .alias("nofollow_ppm"),
+    )

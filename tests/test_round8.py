@@ -2550,3 +2550,39 @@ def test_embedding_norm_audit_lattice(spark, tmp_path):
     assert got["tiny"] == (1, 1, 100, 100)
     assert got["huge"] == (1, 1, 4 * 15000 ** 2, 4 * 15000 ** 2)
     assert got["normal"] == (2, 2, 4 * 5000 ** 2, 4 * 5000 ** 2)
+
+
+def test_social_cards_bitmap(spark, tmp_path):
+    """One full 3-bit rotation: every presence combination is its own
+    bitmap row (no lossy precedence), completeness is the bit count,
+    and the empty head lands in the all-false row."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, i, "view", 1.0, "{}") for i in range(8)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_social_cards")
+    assert s == _oracle_rows(tmp_path, "q_social_cards")
+    got = {(r[0], r[1], r[2]): (r[3], r[4]) for r in s}
+    assert len(got) == 8
+    for (t, i, c), (comp, n) in got.items():
+        assert comp == int(t) + int(i) + int(c)
+        assert n == 1
+
+
+def test_anchor_rel_census_multivalued(spark, tmp_path):
+    """One link per rel shape: 'ugc nofollow' counts toward BOTH
+    qualifiers (multi-label, not a class), 'noopener' and the bare
+    link land in follow (word-bounded probes — 'nofollow' never
+    matches inside another token), and the double-qualified paid link
+    is nofollow AND sponsored."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(6)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_anchor_rel_census")
+    assert s == _oracle_rows(tmp_path, "q_anchor_rel_census")
+    got = {r[0]: r[1:] for r in s}
+    assert got[0] == (1, 1, 0, 0, 0, 1000000)   # nofollow
+    assert got[1] == (1, 0, 1, 0, 0, 0)         # sponsored
+    assert got[2] == (1, 1, 0, 1, 0, 1000000)   # ugc nofollow -> both
+    assert got[3] == (1, 0, 0, 0, 1, 0)         # noopener -> follow
+    assert got[4] == (1, 0, 0, 0, 1, 0)         # bare -> follow
+    assert got[5] == (1, 1, 1, 0, 0, 1000000)   # nofollow sponsored
