@@ -267,6 +267,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probes in tests/test_round8.py and joins the same r9 promise;
 #: the 13th streaming pipeline streaming_politeness (T-186) and the
 #: compliance job (T-196) are test-verified outside oracle scope.
+#: The session-10 audit batch — q_countmin_sketch (T-197 fixed-memory
+#: heavy hitters), q_paywall_detect (T-198 access-rights gate),
+#: q_embedding_norm_audit (T-199 vector-health lattice) — and the
+#: session-11 census pair q_social_cards (T-200 share-preview bitmap)
+#: and q_anchor_rel_census (T-201 multi-valued rel qualifiers) join
+#: the same r9 promise under the same parity-test coverage, as does
+#: the security/markup audit batch — q_mixed_content (T-202),
+#: q_security_headers (T-203), q_cookie_attributes (T-204) and
+#: q_sri_coverage (T-205).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

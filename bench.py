@@ -233,6 +233,10 @@ HEADLINE = [
     "q_embedding_norm_audit",
     "q_social_cards",
     "q_anchor_rel_census",
+    "q_mixed_content",
+    "q_security_headers",
+    "q_cookie_attributes",
+    "q_sri_coverage",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

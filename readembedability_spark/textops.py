@@ -18171,3 +18171,430 @@ def q_anchor_rel_census(spark, sf_dir):
         .cast("long")
         .alias("nofollow_ppm"),
     )
+
+
+@q(
+    "q_mixed_content",
+    """
+    WITH pages AS (
+      SELECT event_id % 9 AS host,
+             CASE WHEN event_id % 2 = 0 THEN 'https'
+                  ELSE 'http' END AS scheme,
+             CASE (event_id // 2) % 3
+               WHEN 0 THEN '<img src="http://cdn.example/i.jpg">'
+               WHEN 1 THEN
+                 '<script src="http://cdn.example/a.js"></script>'
+               ELSE '<img src="https://cdn.example/i.jpg">'
+                 || '<script src="https://cdn.example/a.js"></script>'
+             END AS body
+      FROM events),
+    cls AS (
+      SELECT host,
+             scheme = 'https' AS is_https,
+             body LIKE '%<script src="http://%' AS has_active,
+             body LIKE '%<img src="http://%' AS has_passive
+      FROM pages)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COALESCE(SUM(CASE WHEN is_https THEN 1 END), 0)
+                AS BIGINT) AS n_https,
+           CAST(COALESCE(SUM(CASE WHEN is_https AND has_active
+                THEN 1 END), 0) AS BIGINT) AS n_active,
+           CAST(COALESCE(SUM(CASE WHEN is_https AND has_passive
+                AND NOT has_active THEN 1 END), 0)
+                AS BIGINT) AS n_passive,
+           CAST(COALESCE(SUM(CASE WHEN is_https AND NOT has_active
+                AND NOT has_passive THEN 1 END), 0)
+                AS BIGINT) AS n_clean,
+           CAST(COALESCE(SUM(CASE WHEN NOT is_https THEN 1 END), 0)
+                AS BIGINT) AS n_http,
+           CAST(COALESCE(SUM(CASE WHEN is_https AND has_active
+                THEN 1 END), 0) * 1000000
+                // COALESCE(SUM(CASE WHEN is_https THEN 1 END), 1)
+                AS BIGINT) AS active_ppm
+    FROM cls GROUP BY host
+    """,
+)
+def q_mixed_content(spark, sf_dir):
+    """Mixed-content audit — the HTTPS-migration blocker census that
+    complements q_https_migration (a host can be fully migrated and
+    still serve pages browsers gut at render time): an https page
+    referencing an http:// SCRIPT is active mixed content (blocked
+    outright — the page is broken for every modern-browser fetch, so
+    its rendered capture diverges from its raw capture), an http://
+    IMG is passive (loaded but flagged); http pages are out of scope
+    by definition. Precedence active-over-passive per page (a page
+    with both needs the script fix first); per host: page counts in
+    each class plus the active rate in ppm over https pages only —
+    the denominator choice that makes hosts of different migration
+    depth comparable.
+
+    Plan/scale: scheme + two LIKE probes in one codegen'd
+    projection; ONE hash aggregate on host with map-side partials —
+    at 10^10 pages the partials collapse per scan task before the
+    9-way (real-world: millions-way) host exchange."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.expr("(event_id DIV 2) % 3")
+    body = (
+        F.when(c == 0, F.lit('<img src="http://cdn.example/i.jpg">'))
+        .when(
+            c == 1,
+            F.lit('<script src="http://cdn.example/a.js"></script>'),
+        )
+        .otherwise(
+            F.lit(
+                '<img src="https://cdn.example/i.jpg">'
+                '<script src="https://cdn.example/a.js"></script>'
+            )
+        )
+    )
+    cls = ev.select(
+        (F.col("event_id") % 9).alias("host"),
+        (F.col("event_id") % 2 == 0).alias("is_https"),
+        body.contains('<script src="http://').alias("has_active"),
+        body.contains('<img src="http://').alias("has_passive"),
+    )
+    act = F.when(F.col("is_https") & F.col("has_active"), 1)
+    return cls.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.coalesce(F.sum(F.when(F.col("is_https"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_https"),
+        F.coalesce(F.sum(act), F.lit(0)).cast("long").alias("n_active"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("is_https")
+                    & F.col("has_passive")
+                    & ~F.col("has_active"),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_passive"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("is_https")
+                    & ~F.col("has_active")
+                    & ~F.col("has_passive"),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_clean"),
+        F.coalesce(F.sum(F.when(~F.col("is_https"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_http"),
+        F.expr(
+            "COALESCE(SUM(CASE WHEN is_https AND has_active THEN 1"
+            " END), 0) * 1000000 DIV"
+            " COALESCE(SUM(CASE WHEN is_https THEN 1 END), 1)"
+        )
+        .cast("long")
+        .alias("active_ppm"),
+    )
+
+
+@q(
+    "q_security_headers",
+    """
+    WITH pages AS (
+      SELECT event_id % 5 AS host,
+             CASE WHEN event_id % 2 = 1 THEN
+               'strict-transport-security: max-age=31536000' || chr(10)
+               ELSE '' END
+             || CASE WHEN (event_id // 2) % 2 = 1 THEN
+               'content-security-policy: default-src ''self''' || chr(10)
+               ELSE '' END
+             || CASE WHEN (event_id // 4) % 2 = 1 THEN
+               'x-content-type-options: nosniff' || chr(10)
+               ELSE '' END
+             || CASE WHEN (event_id // 8) % 2 = 1 THEN
+               'x-frame-options: DENY' || chr(10)
+               ELSE '' END AS headers
+      FROM events),
+    flags AS (
+      SELECT host,
+             headers LIKE '%strict-transport-security:%' AS has_hsts,
+             headers LIKE '%content-security-policy:%' AS has_csp,
+             headers LIKE '%x-content-type-options:%' AS has_xcto,
+             headers LIKE '%x-frame-options:%' AS has_xfo
+      FROM pages)
+    SELECT CAST(CASE WHEN has_hsts THEN 1 ELSE 0 END
+                + CASE WHEN has_csp THEN 1 ELSE 0 END
+                + CASE WHEN has_xcto THEN 1 ELSE 0 END
+                + CASE WHEN has_xfo THEN 1 ELSE 0 END
+                AS BIGINT) AS grade,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COALESCE(SUM(CASE WHEN has_hsts THEN 1 END), 0)
+                AS BIGINT) AS n_hsts,
+           CAST(COALESCE(SUM(CASE WHEN has_csp THEN 1 END), 0)
+                AS BIGINT) AS n_csp,
+           CAST(COALESCE(SUM(CASE WHEN has_xcto THEN 1 END), 0)
+                AS BIGINT) AS n_xcto,
+           CAST(COALESCE(SUM(CASE WHEN has_xfo THEN 1 END), 0)
+                AS BIGINT) AS n_xfo,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM flags GROUP BY 1
+    """,
+)
+def q_security_headers(spark, sf_dir):
+    """Security-response-header census — the transport-hygiene grade
+    a crawl QA dashboard tracks per cohort (HSTS tells the recrawler
+    to upgrade scheme-less frontier entries; CSP/X-Frame-Options
+    changes tell the renderer what an archived capture could legally
+    have framed or executed): four independent presence bits (HSTS,
+    CSP, X-Content-Type-Options, X-Frame-Options) probed over the
+    raw header block, graded 0-4 by count. Grouping is BY GRADE with
+    per-header marginals inside each grade — the dashboard question
+    is 'what do grade-2 hosts tend to be missing', which a flat
+    per-header census cannot answer. All 16 presence combinations
+    are live by construction (4-bit rotation).
+
+    Plan/scale: four LIKE probes in one codegen'd projection; ONE
+    hash aggregate on the 5-row grade key (COUNT DISTINCT host adds
+    the standard distinct-expand, bounded by 5 grades x hosts)."""
+    ev = _t(spark, sf_dir, "events")
+    heads = F.concat(
+        F.when(
+            F.col("event_id") % 2 == 1,
+            F.lit("strict-transport-security: max-age=31536000\n"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.expr("(event_id DIV 2) % 2") == 1,
+            F.lit("content-security-policy: default-src 'self'\n"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.expr("(event_id DIV 4) % 2") == 1,
+            F.lit("x-content-type-options: nosniff\n"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.expr("(event_id DIV 8) % 2") == 1,
+            F.lit("x-frame-options: DENY\n"),
+        ).otherwise(F.lit("")),
+    )
+    flags = ev.select(
+        (F.col("event_id") % 5).alias("host"),
+        heads.contains("strict-transport-security:").alias("has_hsts"),
+        heads.contains("content-security-policy:").alias("has_csp"),
+        heads.contains("x-content-type-options:").alias("has_xcto"),
+        heads.contains("x-frame-options:").alias("has_xfo"),
+    )
+    grade = (
+        F.col("has_hsts").cast("int")
+        + F.col("has_csp").cast("int")
+        + F.col("has_xcto").cast("int")
+        + F.col("has_xfo").cast("int")
+    ).cast("long")
+    return (
+        flags.withColumn("grade", grade)
+        .groupBy("grade")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.coalesce(F.sum(F.when(F.col("has_hsts"), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_hsts"),
+            F.coalesce(F.sum(F.when(F.col("has_csp"), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_csp"),
+            F.coalesce(F.sum(F.when(F.col("has_xcto"), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_xcto"),
+            F.coalesce(F.sum(F.when(F.col("has_xfo"), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_xfo"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+    )
+
+
+@q(
+    "q_cookie_attributes",
+    """
+    WITH resp AS (
+      SELECT event_id % 7 AS host,
+             'Set-Cookie: sid=abc'
+             || CASE WHEN event_id % 2 = 1 THEN '; Secure'
+                ELSE '' END
+             || CASE WHEN (event_id // 2) % 2 = 1 THEN '; HttpOnly'
+                ELSE '' END
+             || CASE (event_id // 4) % 4
+                  WHEN 1 THEN '; SameSite=Lax'
+                  WHEN 2 THEN '; SameSite=Strict'
+                  WHEN 3 THEN '; SameSite=None'
+                  ELSE '' END AS header
+      FROM events),
+    parsed AS (
+      SELECT host,
+             CASE WHEN regexp_extract(header, 'SameSite=(\\w+)', 1)
+                    = '' THEN '(absent)'
+                  ELSE regexp_extract(header, 'SameSite=(\\w+)', 1)
+             END AS samesite,
+             header LIKE '%; Secure%' AS is_secure,
+             header LIKE '%; HttpOnly%' AS is_httponly
+      FROM resp)
+    SELECT samesite,
+           CAST(COUNT(*) AS BIGINT) AS n_cookies,
+           CAST(COALESCE(SUM(CASE WHEN is_secure THEN 1 END), 0)
+                AS BIGINT) AS n_secure,
+           CAST(COALESCE(SUM(CASE WHEN is_httponly THEN 1 END), 0)
+                AS BIGINT) AS n_httponly,
+           CAST(COALESCE(SUM(CASE WHEN samesite = 'None'
+                AND NOT is_secure THEN 1 END), 0)
+                AS BIGINT) AS n_rejected,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM parsed GROUP BY samesite
+    """,
+)
+def q_cookie_attributes(spark, sf_dir):
+    """Set-Cookie attribute census — the session-hygiene audit a
+    polite crawler needs before it decides which cookies to replay
+    on recrawl (a cookie the browser itself would REJECT must not
+    key a politeness bucket or a rendered-capture variant):
+    Secure / HttpOnly / SameSite parsed from the raw header,
+    grouped by SameSite class with the absent case a first-class
+    '(absent)' row (its default differs by browser era — the
+    dashboard needs it separate, not folded into Lax). n_rejected
+    counts the RFC 6265bis hard error: SameSite=None without
+    Secure, which modern browsers drop on the floor — capture
+    variants keyed on such a cookie never actually existed.
+
+    Plan/scale: one regexp capture + two LIKE probes in a codegen'd
+    projection; ONE hash aggregate on the 4-row SameSite key."""
+    ev = _t(spark, sf_dir, "events")
+    ss_code = F.expr("(event_id DIV 4) % 4")
+    header = F.concat(
+        F.lit("Set-Cookie: sid=abc"),
+        F.when(F.col("event_id") % 2 == 1, F.lit("; Secure")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.expr("(event_id DIV 2) % 2") == 1, F.lit("; HttpOnly")
+        ).otherwise(F.lit("")),
+        F.when(ss_code == 1, F.lit("; SameSite=Lax"))
+        .when(ss_code == 2, F.lit("; SameSite=Strict"))
+        .when(ss_code == 3, F.lit("; SameSite=None"))
+        .otherwise(F.lit("")),
+    )
+    ss_raw = F.regexp_extract(header, r"SameSite=(\w+)", 1)
+    parsed = ev.select(
+        (F.col("event_id") % 7).alias("host"),
+        F.when(ss_raw == "", F.lit("(absent)"))
+        .otherwise(ss_raw)
+        .alias("samesite"),
+        header.contains("; Secure").alias("is_secure"),
+        header.contains("; HttpOnly").alias("is_httponly"),
+    )
+    return parsed.groupBy("samesite").agg(
+        F.count("*").cast("long").alias("n_cookies"),
+        F.coalesce(F.sum(F.when(F.col("is_secure"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_secure"),
+        F.coalesce(F.sum(F.when(F.col("is_httponly"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_httponly"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("samesite") == "None") & ~F.col("is_secure"),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_rejected"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+
+
+@q(
+    "q_sri_coverage",
+    """
+    WITH tags AS (
+      SELECT event_id % 11 AS host,
+             '<script src="'
+             || CASE WHEN event_id % 2 = 1
+                  THEN 'https://cdn.thirdparty.example/lib.js'
+                  ELSE '/static/app.js' END
+             || '"'
+             || CASE WHEN (event_id // 2) % 2 = 1
+                  THEN ' integrity="'
+                    || CASE (event_id // 4) % 3
+                         WHEN 0 THEN 'sha256'
+                         WHEN 1 THEN 'sha384'
+                         ELSE 'sha512' END
+                    || '-9hKQAAAA==" crossorigin="anonymous"'
+                  ELSE '' END
+             || '></script>' AS tag
+      FROM events),
+    parsed AS (
+      SELECT host,
+             tag LIKE '%src="https://%' AS is_third_party,
+             CASE WHEN regexp_extract(tag,
+                    'integrity="(sha[0-9]+)-', 1) = ''
+                  THEN '(none)'
+                  ELSE regexp_extract(tag,
+                    'integrity="(sha[0-9]+)-', 1)
+             END AS algo
+      FROM tags)
+    SELECT is_third_party, algo,
+           CAST(COUNT(*) AS BIGINT) AS n_scripts,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM parsed GROUP BY is_third_party, algo
+    """,
+)
+def q_sri_coverage(spark, sf_dir):
+    """Subresource-integrity coverage census — the supply-chain
+    exposure audit for rendered captures (a third-party script tag
+    WITHOUT an integrity hash means the archived page's behavior
+    depends on whatever the CDN served that day — the capture is
+    not self-certifying): script tags split first-party
+    (path-relative src) vs third-party (absolute https src), the
+    integrity algorithm captured when present, '(none)' as a
+    first-class row — the exposure number IS the (third-party,
+    none) cell. Algorithm breakdown matters because sha256-only
+    hosts predate the sha384 CSP guidance and recrawl-priority
+    wants them distinguished from covered-but-modern.
+
+    Plan/scale: one LIKE probe + one regexp capture in a codegen'd
+    projection; ONE hash aggregate on the 8-row (origin, algo)
+    key with map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    algo_code = F.expr("(event_id DIV 4) % 3")
+    tag = F.concat(
+        F.lit('<script src="'),
+        F.when(
+            F.col("event_id") % 2 == 1,
+            F.lit("https://cdn.thirdparty.example/lib.js"),
+        ).otherwise(F.lit("/static/app.js")),
+        F.lit('"'),
+        F.when(
+            F.expr("(event_id DIV 2) % 2") == 1,
+            F.concat(
+                F.lit(' integrity="'),
+                F.when(algo_code == 0, F.lit("sha256"))
+                .when(algo_code == 1, F.lit("sha384"))
+                .otherwise(F.lit("sha512")),
+                F.lit('-9hKQAAAA==" crossorigin="anonymous"'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("></script>"),
+    )
+    algo_raw = F.regexp_extract(tag, r'integrity="(sha[0-9]+)-', 1)
+    parsed = ev.select(
+        (F.col("event_id") % 11).alias("host"),
+        tag.contains('src="https://').alias("is_third_party"),
+        F.when(algo_raw == "", F.lit("(none)"))
+        .otherwise(algo_raw)
+        .alias("algo"),
+    )
+    return parsed.groupBy("is_third_party", "algo").agg(
+        F.count("*").cast("long").alias("n_scripts"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )

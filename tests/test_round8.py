@@ -2586,3 +2586,75 @@ def test_anchor_rel_census_multivalued(spark, tmp_path):
     assert got[3] == (1, 0, 0, 0, 1, 0)         # noopener -> follow
     assert got[4] == (1, 0, 0, 0, 1, 0)         # bare -> follow
     assert got[5] == (1, 1, 1, 0, 0, 1000000)   # nofollow sponsored
+
+
+def test_mixed_content_classes(spark, tmp_path):
+    """18 ids cover every (scheme, resource) combination: active beats
+    passive per page, http pages land out of scope, and the ppm
+    denominator is https pages only (host 2 has one https page that
+    is active -> exactly 1000000)."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(18)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_mixed_content")
+    assert s == _oracle_rows(tmp_path, "q_mixed_content")
+    # every class fires (dead-class sanity on the synthesis key)
+    tot = [sum(r[k] for r in s) for k in range(1, 8)]
+    n_pages, n_https, n_active, n_passive, n_clean, n_http, _ = tot
+    assert (n_pages, n_https, n_http) == (18, 9, 9)
+    assert (n_active, n_passive, n_clean) == (3, 3, 3)
+    host2 = next(r for r in s if r[0] == 2)
+    assert host2[2] == 1 and host2[3] == 1 and host2[7] == 1000000
+
+
+def test_security_headers_grades(spark, tmp_path):
+    """One full 4-bit rotation: grade row counts follow the binomial
+    (1,4,6,4,1) and within-grade marginals show what each cohort is
+    missing (every header appears exactly once in grade 1)."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(16)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_security_headers")
+    assert s == _oracle_rows(tmp_path, "q_security_headers")
+    got = {r[0]: r[1:] for r in s}
+    assert [got[g][0] for g in range(5)] == [1, 4, 6, 4, 1]
+    assert got[1][1:5] == (1, 1, 1, 1)
+    assert got[3][1:5] == (3, 3, 3, 3)
+    assert got[0][1:5] == (0, 0, 0, 0)
+    assert got[4][1:5] == (1, 1, 1, 1)
+
+
+def test_cookie_attributes_rejection(spark, tmp_path):
+    """One full 4-bit rotation: each SameSite class holds 4 cookies
+    with independent Secure/HttpOnly bits, '(absent)' is its own row,
+    and ONLY SameSite=None without Secure counts as rejected (the
+    RFC 6265bis hard error)."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(16)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_cookie_attributes")
+    assert s == _oracle_rows(tmp_path, "q_cookie_attributes")
+    got = {r[0]: r[1:] for r in s}
+    assert set(got) == {"(absent)", "Lax", "Strict", "None"}
+    for cls in got:
+        assert got[cls][0] == 4 and got[cls][1] == 2 and got[cls][2] == 2
+    assert got["None"][3] == 2
+    assert got["(absent)"][3] == 0 and got["Lax"][3] == 0
+    assert got["Strict"][3] == 0
+
+
+def test_sri_coverage_cells(spark, tmp_path):
+    """24 ids = one full (origin, integrity, algo) rotation: the
+    exposure cell (third-party, none) carries 6 scripts, each algo
+    splits 2/2 across origins, and first-party relative srcs never
+    classify as third-party."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(24)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_sri_coverage")
+    assert s == _oracle_rows(tmp_path, "q_sri_coverage")
+    got = {(r[0], r[1]): r[2] for r in s}
+    assert got[(True, "(none)")] == 6 and got[(False, "(none)")] == 6
+    for algo in ("sha256", "sha384", "sha512"):
+        assert got[(True, algo)] == 2 and got[(False, algo)] == 2
+    assert len(got) == 8
