@@ -275,7 +275,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the same r9 promise under the same parity-test coverage, as does
 #: the security/markup audit batch — q_mixed_content (T-202),
 #: q_security_headers (T-203), q_cookie_attributes (T-204) and
-#: q_sri_coverage (T-205).
+#: q_sri_coverage (T-205) — and the capture-quality batch:
+#: q_mojibake_detect (T-206), q_truncation_detect (T-207),
+#: q_date_sanity (T-208) and q_parked_domain (T-209).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

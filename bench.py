@@ -237,6 +237,10 @@ HEADLINE = [
     "q_security_headers",
     "q_cookie_attributes",
     "q_sri_coverage",
+    "q_mojibake_detect",
+    "q_truncation_detect",
+    "q_date_sanity",
+    "q_parked_domain",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -18598,3 +18598,428 @@ def q_sri_coverage(spark, sf_dir):
         F.count("*").cast("long").alias("n_scripts"),
         F.countDistinct("host").cast("long").alias("n_hosts"),
     )
+
+
+@q(
+    "q_mojibake_detect",
+    """
+    WITH shaped AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 1 THEN 'caf\u00c3\u00a9 r\u00c3\u00a9sum\u00c3\u00a9 na\u00c3\u00afve'
+               WHEN 2 THEN 'don\u00e2\u20ac\u2122t can\u00e2\u20ac\u2122t \u00e2\u20ac\u0153quoted'
+               WHEN 3 THEN 'price:\u00c2\u00a010\u00c2\u00a0EUR net'
+               WHEN 4 THEN 'broken \ufffd decode \ufffd here'
+               ELSE text END AS body
+      FROM documents),
+    sig AS (
+      SELECT length(body) AS n_chars,
+             CAST(len(regexp_extract_all(body,
+               '\u00c3\u00a9|\u00c3\u00af|\u00e2\u20ac\u2122|\u00e2\u20ac\u0153'))
+               AS BIGINT) AS n_double,
+             CAST(len(regexp_extract_all(body, '\u00c2\u00a0'))
+               AS BIGINT) AS n_nbsp,
+             CAST(len(regexp_extract_all(body, '\ufffd'))
+               AS BIGINT) AS n_repl
+      FROM shaped),
+    cls AS (
+      SELECT n_chars, n_double + n_nbsp + n_repl AS n_sig,
+             CASE WHEN n_repl > 0 THEN 'replacement'
+                  WHEN n_double > 0 THEN 'double-utf8'
+                  WHEN n_nbsp > 0 THEN 'nbsp-debris'
+                  ELSE 'clean' END AS text_class
+      FROM sig)
+    SELECT text_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sig) AS BIGINT) AS n_signatures,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM cls GROUP BY text_class
+    """,
+)
+def q_mojibake_detect(spark, sf_dir):
+    """Mojibake detection \u2014 the encoding-debris census that catches
+    what charset detection CANNOT (q_extract_charset gates the decode
+    of THIS fetch; mojibake is damage already baked into the bytes by
+    some upstream transcode, so the document decodes cleanly and
+    still reads 'caf\u00c3\u00a9'): three signature families probed as literal
+    codepoint sequences \u2014 double-encoded UTF-8 (Latin-1 read of
+    UTF-8: '\u00c3\u00a9' '\u00c3\u00af' and the curly-punctuation family '\u00e2\u20ac\u2122' '\u00e2\u20ac\u0153'),
+    C2-prefixed NBSP debris ('\u00c2 '), and U+FFFD replacement chars (a
+    decoder ALREADY gave up upstream \u2014 irrecoverable, worst class).
+    Precedence replacement > double-utf8 > nbsp-debris > clean
+    (severity order: FFFD lost the bytes, the others are
+    deterministically repairable). Per class: doc count, total
+    signature hits, char mass.
+
+    Plan/scale: three regexp counts over literal alternations in one
+    codegen'd projection; ONE hash aggregate on the 4-class key. All
+    signature literals are \\u-escaped in source \u2014 raw multi-byte
+    sequences in a file are themselves one editor-normalize away
+    from silent corruption."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    body = (
+        F.when(
+            m == 1,
+            F.lit(
+                "caf\u00c3\u00a9 r\u00c3\u00a9sum\u00c3\u00a9"
+                " na\u00c3\u00afve"
+            ),
+        )
+        .when(
+            m == 2,
+            F.lit(
+                "don\u00e2\u20ac\u2122t can\u00e2\u20ac\u2122t"
+                " \u00e2\u20ac\u0153quoted"
+            ),
+        )
+        .when(m == 3, F.lit("price:\u00c2\u00a010\u00c2\u00a0EUR net"))
+        .when(m == 4, F.lit("broken \ufffd decode \ufffd here"))
+        .otherwise(F.col("text"))
+    )
+    sig = docs.select(
+        F.length(body).alias("n_chars"),
+        F.regexp_count(
+            body,
+            F.lit(
+                "\u00c3\u00a9|\u00c3\u00af|\u00e2\u20ac\u2122"
+                "|\u00e2\u20ac\u0153"
+            ),
+        )
+        .cast("long")
+        .alias("n_double"),
+        F.regexp_count(body, F.lit("\u00c2\u00a0"))
+        .cast("long")
+        .alias("n_nbsp"),
+        F.regexp_count(body, F.lit("\ufffd"))
+        .cast("long")
+        .alias("n_repl"),
+    )
+    cls = sig.select(
+        "n_chars",
+        (F.col("n_double") + F.col("n_nbsp") + F.col("n_repl")).alias(
+            "n_sig"
+        ),
+        F.when(F.col("n_repl") > 0, "replacement")
+        .when(F.col("n_double") > 0, "double-utf8")
+        .when(F.col("n_nbsp") > 0, "nbsp-debris")
+        .otherwise("clean")
+        .alias("text_class"),
+    )
+    return cls.groupBy("text_class").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_sig").cast("long").alias("n_signatures"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@q(
+    "q_truncation_detect",
+    """
+    WITH shaped AS (
+      SELECT CASE doc_id % 4
+               WHEN 0 THEN '<html><body><div>' || text
+                 || '</div></body></html>'
+               WHEN 1 THEN '<html><body><div>' || text
+                 || '</div></body>'
+               WHEN 2 THEN '<html><body><div>' || text
+                 || '</div><div cla'
+               ELSE '<html><body><div><div>' || text
+                 || '</div></body></html>'
+             END AS body
+      FROM documents),
+    sig AS (
+      SELECT length(body) AS n_chars,
+             regexp_matches(body, '<[^>]*$') AS mid_tag,
+             body LIKE '%</html>%' AS has_close,
+             (length(body) - length(replace(body, '<div', ''))) // 4
+               AS div_open,
+             (length(body) - length(replace(body, '</div', ''))) // 5
+               AS div_close
+      FROM shaped),
+    cls AS (
+      SELECT n_chars, div_open - div_close AS div_deficit,
+             CASE WHEN mid_tag THEN 'mid-tag'
+                  WHEN NOT has_close THEN 'no-close'
+                  WHEN div_open <> div_close THEN 'unbalanced'
+                  ELSE 'complete' END AS capture_class
+      FROM sig)
+    SELECT capture_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(div_deficit) AS BIGINT) AS div_deficit_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM cls GROUP BY capture_class
+    """,
+)
+def q_truncation_detect(spark, sf_dir):
+    """Truncated-capture detection — the markup heartbeat that
+    separates 'the server sent a short page' from 'the fetch was cut
+    off' (q_content_length_audit compares declared vs received BYTES;
+    this reads the received MARKUP and works when no Content-Length
+    was declared at all): three independent signals — a trailing
+    unterminated tag (the byte stream died inside '<div cla'),
+    a missing </html> heartbeat, and an open/close div imbalance
+    computed as replace-length arithmetic (no parser needed).
+    Precedence mid-tag > no-close > unbalanced > complete: a mid-tag
+    cut implies no-close, and the class should name the STRONGEST
+    evidence — re-fetch triage reads the class to decide between
+    'retry now' (cut) and 'author never closed their divs' (ship it).
+    Per class: doc count, summed div deficit, char mass.
+
+    Plan/scale: one anchored regexp + one LIKE + two replace-length
+    differences in a codegen'd projection; ONE hash aggregate on the
+    4-class key."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    body = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("<html><body><div>"),
+                F.col("text"),
+                F.lit("</div></body></html>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("<html><body><div>"),
+                F.col("text"),
+                F.lit("</div></body>"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("<html><body><div>"),
+                F.col("text"),
+                F.lit("</div><div cla"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<html><body><div><div>"),
+                F.col("text"),
+                F.lit("</div></body></html>"),
+            )
+        )
+    )
+    sig = docs.select(
+        F.length(body).alias("n_chars"),
+        body.rlike("<[^>]*$").alias("mid_tag"),
+        body.contains("</html>").alias("has_close"),
+        (
+            (
+                F.length(body)
+                - F.length(F.regexp_replace(body, "<div", ""))
+            )
+            / 4
+        )
+        .cast("long")
+        .alias("div_open"),
+        (
+            (
+                F.length(body)
+                - F.length(F.regexp_replace(body, "</div", ""))
+            )
+            / 5
+        )
+        .cast("long")
+        .alias("div_close"),
+    )
+    cls = sig.select(
+        "n_chars",
+        (F.col("div_open") - F.col("div_close")).alias("div_deficit"),
+        F.when(F.col("mid_tag"), "mid-tag")
+        .when(~F.col("has_close"), "no-close")
+        .when(F.col("div_open") != F.col("div_close"), "unbalanced")
+        .otherwise("complete")
+        .alias("capture_class"),
+    )
+    return cls.groupBy("capture_class").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("div_deficit").cast("long").alias("div_deficit_sum"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@q(
+    "q_date_sanity",
+    """
+    WITH pages AS (
+      SELECT ts AS crawl_ts,
+             CASE event_id % 4
+               WHEN 0 THEN ts - INTERVAL 10 DAY
+               WHEN 1 THEN ts + INTERVAL 3 DAY
+               WHEN 2 THEN TIMESTAMP '1970-06-15 00:00:00'
+               ELSE NULL END AS published
+      FROM events),
+    sig AS (
+      SELECT crawl_ts, published,
+             CASE WHEN published IS NULL THEN NULL
+                  ELSE abs(date_diff('microsecond', published,
+                           crawl_ts)) // 86400000000 END
+               AS abs_skew_days,
+             CASE WHEN published IS NULL THEN 'missing'
+                  WHEN published > crawl_ts THEN 'future'
+                  WHEN year(published) < 1995 THEN 'ancient'
+                  ELSE 'ok' END AS date_class
+      FROM pages)
+    SELECT date_class,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(MAX(abs_skew_days) AS BIGINT) AS max_abs_skew_days
+    FROM sig GROUP BY date_class
+    """,
+)
+def q_date_sanity(spark, sf_dir):
+    """Published-date plausibility audit — the sanity gate on the
+    extractor's date output before ANY freshness consumer trusts it
+    (q_freshness_weights decays by age; a page 'published' three days
+    from now or in 1970 poisons the decay silently): each capture's
+    declared publish time lands in one of four classes — missing
+    (extractor found nothing; its own row because the remediation is
+    'improve extraction', not 'distrust the site'), future (declared
+    AFTER the crawl observed it — clock skew or template bug; the
+    hard impossibility), ancient (before 1995 — predates the web,
+    almost always a unix-epoch default leaking through), ok. Skew is
+    measured on the exact microsecond lattice and floored to days —
+    abs BEFORE the integer division (negative DIV truncates toward
+    zero vs floors, diverging across engines).
+
+    Plan/scale: interval arithmetic + one comparison chain in a
+    codegen'd projection; ONE hash aggregate on the 4-class key."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 4
+    pages = ev.select(
+        F.col("ts").alias("crawl_ts"),
+        F.when(m == 0, F.expr("ts - INTERVAL 10 DAY"))
+        .when(m == 1, F.expr("ts + INTERVAL 3 DAY"))
+        .when(m == 2, F.expr("TIMESTAMP '1970-06-15 00:00:00'"))
+        .otherwise(F.lit(None).cast("timestamp_ntz"))
+        .alias("published"),
+    )
+    sig = pages.select(
+        F.when(
+            F.col("published").isNull(), F.lit(None).cast("long")
+        )
+        .otherwise(
+            F.expr(
+                "abs(timestampdiff(MICROSECOND, published,"
+                " crawl_ts)) DIV 86400000000"
+            )
+        )
+        .alias("abs_skew_days"),
+        F.when(F.col("published").isNull(), "missing")
+        .when(F.col("published") > F.col("crawl_ts"), "future")
+        .when(F.year("published") < 1995, "ancient")
+        .otherwise("ok")
+        .alias("date_class"),
+    )
+    return sig.groupBy("date_class").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.max("abs_skew_days").cast("long").alias("max_abs_skew_days"),
+    )
+
+
+@q(
+    "q_parked_domain",
+    """
+    WITH shaped AS (
+      SELECT doc_id % 13 AS host,
+             CASE doc_id % 5
+               WHEN 1 THEN 'This domain is for sale.'
+                 || ' Buy this domain today.'
+               WHEN 2 THEN 'Account suspended. Please contact'
+                 || ' your hosting provider.'
+               WHEN 3 THEN 'Coming soon. This site is under'
+                 || ' construction.'
+               WHEN 4 THEN 'Hi there.'
+               ELSE text END AS body
+      FROM documents),
+    sig AS (
+      SELECT host, length(body) AS n_chars, lower(body) AS t
+      FROM shaped),
+    cls AS (
+      SELECT host, n_chars,
+             CASE WHEN t LIKE '%domain is for sale%'
+                    OR t LIKE '%buy this domain%' THEN 'parked'
+                  WHEN t LIKE '%account suspended%' THEN 'suspended'
+                  WHEN t LIKE '%coming soon%'
+                    OR t LIKE '%under construction%'
+                    THEN 'placeholder'
+                  WHEN n_chars < 40 THEN 'thin'
+                  ELSE 'content' END AS page_class
+      FROM sig)
+    SELECT page_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM cls GROUP BY page_class
+    """,
+)
+def q_parked_domain(spark, sf_dir):
+    """Parked-domain detection — the corpus-poison filter for the
+    class of pages that are technically 200-OK HTML and semantically
+    nothing (registrar sale pages, host-suspension notices,
+    under-construction placeholders): phrase families probed on the
+    lowercased body with PRECEDENCE parked > suspended > placeholder
+    (sale phrasing wins over a co-present suspension notice: the
+    domain is changing hands, so the url's content history is dead
+    regardless of why it went down), then a thin floor (< 40 chars
+    — too short to classify,
+    too short to train on), then content. n_hosts matters more than
+    n_docs for this audit: one parked host contributes every one of
+    its urls, so the remediation list is hosts, not pages.
+
+    Plan/scale: five LIKE probes on one lowercased projection; ONE
+    hash aggregate on the 5-class key (distinct-host expand bounded
+    by classes x hosts)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    body = (
+        F.when(
+            m == 1,
+            F.lit("This domain is for sale. Buy this domain today."),
+        )
+        .when(
+            m == 2,
+            F.lit(
+                "Account suspended. Please contact"
+                " your hosting provider."
+            ),
+        )
+        .when(
+            m == 3,
+            F.lit("Coming soon. This site is under construction."),
+        )
+        .when(m == 4, F.lit("Hi there."))
+        .otherwise(F.col("text"))
+    )
+    sig = docs.select(
+        (F.col("doc_id") % 13).alias("host"),
+        F.length(body).alias("n_chars"),
+        F.lower(body).alias("t"),
+    )
+    cls = sig.select(
+        "host",
+        "n_chars",
+        F.when(
+            F.col("t").contains("domain is for sale")
+            | F.col("t").contains("buy this domain"),
+            "parked",
+        )
+        .when(F.col("t").contains("account suspended"), "suspended")
+        .when(
+            F.col("t").contains("coming soon")
+            | F.col("t").contains("under construction"),
+            "placeholder",
+        )
+        .when(F.col("n_chars") < 40, "thin")
+        .otherwise("content")
+        .alias("page_class"),
+    )
+    return cls.groupBy("page_class").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )

@@ -2658,3 +2658,75 @@ def test_sri_coverage_cells(spark, tmp_path):
     for algo in ("sha256", "sha384", "sha512"):
         assert got[(True, algo)] == 2 and got[(False, algo)] == 2
     assert len(got) == 8
+
+
+def test_mojibake_classes(spark, tmp_path):
+    """One full shape rotation x2: signature counts are exact (4
+    double-utf8 hits in the Latin-1 arm, 2 NBSP, 2 U+FFFD), the
+    severity precedence holds, and clean ASCII text never matches."""
+    rows = [
+        (i, "plain ascii text long enough", "en", "s0", 29)
+        for i in range(10)
+    ]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_mojibake_detect")
+    assert s == _oracle_rows(tmp_path, "q_mojibake_detect")
+    got = {r[0]: r[1:3] for r in s}
+    assert set(got) == {"clean", "double-utf8", "nbsp-debris",
+                        "replacement"}
+    assert got["double-utf8"] == (4, 14)
+    assert got["nbsp-debris"] == (2, 4)
+    assert got["replacement"] == (2, 4)
+    assert got["clean"] == (2, 0)
+
+
+def test_truncation_classes(spark, tmp_path):
+    """One shape rotation: the mid-tag cut outranks its own missing
+    </html>, the balanced-but-unclosed page is no-close, the extra
+    <div> with a proper close is unbalanced (deficit 1 each), and
+    the complete page carries zero deficit."""
+    rows = [(i, "body text", "en", "s0", 9) for i in range(8)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_truncation_detect")
+    assert s == _oracle_rows(tmp_path, "q_truncation_detect")
+    got = {r[0]: r[1:3] for r in s}
+    assert got["complete"] == (2, 0)
+    assert got["no-close"] == (2, 0)
+    assert got["mid-tag"] == (2, 2)
+    assert got["unbalanced"] == (2, 2)
+
+
+def test_date_sanity_classes(spark, tmp_path):
+    """One shape rotation: future is the hard impossibility (3-day
+    skew), the epoch leak lands in ancient with the largest absolute
+    skew, missing is its own row with NULL skew, and the 10-day-old
+    ok arm keeps its exact day count."""
+    t0 = _dt.datetime(2026, 1, 20, 12, 0, 0)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(8)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_date_sanity")
+    assert s == _oracle_rows(tmp_path, "q_date_sanity")
+    got = {r[0]: r[1:] for r in s}
+    assert got["ok"] == (2, 10)
+    assert got["future"] == (2, 3)
+    assert got["missing"] == (2, None)
+    assert got["ancient"][0] == 2 and got["ancient"][1] > 20000
+
+
+def test_parked_domain_classes(spark, tmp_path):
+    """One shape rotation x2 with hosts spread mod 13: every phrase
+    family fires, the thin floor catches the 9-char page, real text
+    long enough stays content, and n_hosts counts distinct hosts per
+    class (2 docs / 2 hosts each here)."""
+    rows = [
+        (i, "substantial real content " * 3, "en", "s0", 75)
+        for i in range(10)
+    ]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_parked_domain")
+    assert s == _oracle_rows(tmp_path, "q_parked_domain")
+    got = {r[0]: r[1:3] for r in s}
+    assert set(got) == {"content", "parked", "suspended",
+                        "placeholder", "thin"}
+    for cls in got:
+        assert got[cls] == (2, 2)
