@@ -277,7 +277,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_security_headers (T-203), q_cookie_attributes (T-204) and
 #: q_sri_coverage (T-205) — and the capture-quality batch:
 #: q_mojibake_detect (T-206), q_truncation_detect (T-207),
-#: q_date_sanity (T-208) and q_parked_domain (T-209).
+#: q_date_sanity (T-208) and q_parked_domain (T-209), plus the
+#: structured-data batch: q_jsonld_types (T-210), q_resource_hints
+#: (T-211) and q_amp_pairing (T-212).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

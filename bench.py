@@ -241,6 +241,9 @@ HEADLINE = [
     "q_truncation_detect",
     "q_date_sanity",
     "q_parked_domain",
+    "q_jsonld_types",
+    "q_resource_hints",
+    "q_amp_pairing",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -19023,3 +19023,328 @@ def q_parked_domain(spark, sf_dir):
         F.countDistinct("host").cast("long").alias("n_hosts"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
+
+
+@q(
+    "q_jsonld_types",
+    """
+    WITH pages AS (
+      SELECT event_id % 9 AS host,
+             CASE event_id % 6
+               WHEN 0 THEN '{"@context":"https://schema.org",'
+                 || '"@type":"Article","headline":"H"}'
+               WHEN 1 THEN '{"@type":"NewsArticle",'
+                 || '"headline":"N","datePublished":"2026-01-01"}'
+               WHEN 2 THEN '{"@type":"Product","name":"P"}'
+               WHEN 3 THEN '{"@type":"FAQPage"}'
+               WHEN 4 THEN '{"@graph":[{"@type":"BreadcrumbList"}]}'
+               ELSE '' END AS jsonld
+      FROM events),
+    parsed AS (
+      SELECT host,
+             CASE WHEN regexp_extract(jsonld,
+                    '"@type"\\s*:\\s*"(\\w+)"', 1) = ''
+                  THEN '(none)'
+                  ELSE regexp_extract(jsonld,
+                    '"@type"\\s*:\\s*"(\\w+)"', 1)
+             END AS schema_type,
+             jsonld LIKE '%"headline"%' AS has_headline
+      FROM pages)
+    SELECT schema_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COALESCE(SUM(CASE WHEN has_headline THEN 1 END), 0)
+                AS BIGINT) AS n_with_headline,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM parsed GROUP BY schema_type
+    """,
+)
+def q_jsonld_types(spark, sf_dir):
+    """Corpus-level schema.org @type census — what the page-level
+    JSON-LD extraction gate (q_extract_jsonld) feeds once it runs at
+    corpus scale: the mixture of declared document types IS the
+    corpus composition signal a pretraining sampler weights on
+    (Article/NewsArticle are prose; Product and FAQPage are
+    template-heavy and get different dedup treatment). The @type is
+    captured from the raw blob including the @graph-wrapped form (a
+    nested envelope must not read as '(none)'), '(none)' is a
+    first-class row, and has_headline tracks the one property the
+    title-fallback chain consumes — a type census without it can't
+    say whether the structured data is actually USABLE.
+
+    Plan/scale: one regexp capture + one LIKE in a codegen'd
+    projection; ONE hash aggregate on the 6-row type key."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 6
+    jsonld = (
+        F.when(
+            m == 0,
+            F.lit(
+                '{"@context":"https://schema.org",'
+                '"@type":"Article","headline":"H"}'
+            ),
+        )
+        .when(
+            m == 1,
+            F.lit(
+                '{"@type":"NewsArticle",'
+                '"headline":"N","datePublished":"2026-01-01"}'
+            ),
+        )
+        .when(m == 2, F.lit('{"@type":"Product","name":"P"}'))
+        .when(m == 3, F.lit('{"@type":"FAQPage"}'))
+        .when(
+            m == 4,
+            F.lit('{"@graph":[{"@type":"BreadcrumbList"}]}'),
+        )
+        .otherwise(F.lit(""))
+    )
+    ty = F.regexp_extract(jsonld, r'"@type"\s*:\s*"(\w+)"', 1)
+    parsed = ev.select(
+        (F.col("event_id") % 9).alias("host"),
+        F.when(ty == "", F.lit("(none)")).otherwise(ty).alias(
+            "schema_type"
+        ),
+        jsonld.contains('"headline"').alias("has_headline"),
+    )
+    return parsed.groupBy("schema_type").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.coalesce(F.sum(F.when(F.col("has_headline"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_with_headline"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+
+
+@q(
+    "q_resource_hints",
+    """
+    WITH pages AS (
+      SELECT event_id % 7 AS host,
+             CASE WHEN event_id % 2 = 1 THEN
+               '<link rel="preconnect" href="https://cdn.example">'
+               ELSE '' END
+             || CASE WHEN (event_id // 2) % 2 = 1 THEN
+               '<link rel="dns-prefetch" href="//cdn.example">'
+               ELSE '' END
+             || CASE WHEN (event_id // 4) % 2 = 1 THEN
+               '<link rel="preload" href="/f.woff2"'
+               || CASE WHEN (event_id // 8) % 2 = 1
+                    THEN ' as="font"' ELSE '' END
+               || '>'
+               ELSE '' END AS head
+      FROM events),
+    sig AS (
+      SELECT host,
+             CAST(len(regexp_extract_all(head, 'rel="preconnect"'))
+               AS BIGINT) AS n_pc,
+             CAST(len(regexp_extract_all(head, 'rel="dns-prefetch"'))
+               AS BIGINT) AS n_dp,
+             CAST(len(regexp_extract_all(head, 'rel="preload"'))
+               AS BIGINT) AS n_pl,
+             CASE WHEN head LIKE '%rel="preload"%'
+                    AND head NOT LIKE '%as="%'
+               THEN 1 ELSE 0 END AS n_pl_no_as
+      FROM pages)
+    SELECT 'preconnect' AS hint,
+           CAST(COALESCE(SUM(CASE WHEN n_pc > 0 THEN 1 END), 0)
+                AS BIGINT) AS n_pages,
+           CAST(SUM(n_pc) AS BIGINT) AS n_tags,
+           CAST(0 AS BIGINT) AS n_missing_as,
+           CAST(COUNT(DISTINCT CASE WHEN n_pc > 0 THEN host END)
+                AS BIGINT) AS n_hosts
+    FROM sig
+    UNION ALL
+    SELECT 'dns-prefetch',
+           CAST(COALESCE(SUM(CASE WHEN n_dp > 0 THEN 1 END), 0)
+                AS BIGINT),
+           CAST(SUM(n_dp) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN n_dp > 0 THEN host END)
+                AS BIGINT)
+    FROM sig
+    UNION ALL
+    SELECT 'preload',
+           CAST(COALESCE(SUM(CASE WHEN n_pl > 0 THEN 1 END), 0)
+                AS BIGINT),
+           CAST(SUM(n_pl) AS BIGINT),
+           CAST(SUM(n_pl_no_as) AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN n_pl > 0 THEN host END)
+                AS BIGINT)
+    FROM sig
+    """,
+)
+def q_resource_hints(spark, sf_dir):
+    """Resource-hint census — the third-party dependency map a
+    renderer warm-up and a tracker auditor both read (every
+    preconnect/dns-prefetch names an origin the page intends to hit
+    before any request exists; preload names the critical asset):
+    per-page hint counts unpivoted to one row per hint kind, with
+    the audit-grade defect column n_missing_as — a rel="preload"
+    without as= is IGNORED by every browser (the fetch happens with
+    wrong priority and no cache match), so coverage numbers that
+    don't subtract it overstate readiness. Pages carry independent
+    presence bits per hint (all combinations live).
+
+    Plan/scale: three literal-pattern counts in one codegen'd
+    projection, then ONE aggregate producing per-hint partials and a
+    3-row stack unpivot ON THE AGGREGATED result — the unpivot
+    multiplies 1 row by 3, never the page table; the oracle mirrors
+    it as UNION ALL over the same single-pass signals."""
+    ev = _t(spark, sf_dir, "events")
+    head = F.concat(
+        F.when(
+            F.col("event_id") % 2 == 1,
+            F.lit(
+                '<link rel="preconnect" href="https://cdn.example">'
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.expr("(event_id DIV 2) % 2") == 1,
+            F.lit('<link rel="dns-prefetch" href="//cdn.example">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.expr("(event_id DIV 4) % 2") == 1,
+            F.concat(
+                F.lit('<link rel="preload" href="/f.woff2"'),
+                F.when(
+                    F.expr("(event_id DIV 8) % 2") == 1,
+                    F.lit(' as="font"'),
+                ).otherwise(F.lit("")),
+                F.lit(">"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    sig = ev.select(
+        (F.col("event_id") % 7).alias("host"),
+        F.regexp_count(head, F.lit('rel="preconnect"'))
+        .cast("long")
+        .alias("n_pc"),
+        F.regexp_count(head, F.lit('rel="dns-prefetch"'))
+        .cast("long")
+        .alias("n_dp"),
+        F.regexp_count(head, F.lit('rel="preload"'))
+        .cast("long")
+        .alias("n_pl"),
+        F.when(
+            head.contains('rel="preload"') & ~head.contains('as="'),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_pl_no_as"),
+    )
+    agg = sig.agg(
+        F.coalesce(F.sum(F.when(F.col("n_pc") > 0, 1)), F.lit(0))
+        .cast("long")
+        .alias("pc_pages"),
+        F.sum("n_pc").cast("long").alias("pc_tags"),
+        F.countDistinct(
+            F.when(F.col("n_pc") > 0, F.col("host"))
+        )
+        .cast("long")
+        .alias("pc_hosts"),
+        F.coalesce(F.sum(F.when(F.col("n_dp") > 0, 1)), F.lit(0))
+        .cast("long")
+        .alias("dp_pages"),
+        F.sum("n_dp").cast("long").alias("dp_tags"),
+        F.countDistinct(
+            F.when(F.col("n_dp") > 0, F.col("host"))
+        )
+        .cast("long")
+        .alias("dp_hosts"),
+        F.coalesce(F.sum(F.when(F.col("n_pl") > 0, 1)), F.lit(0))
+        .cast("long")
+        .alias("pl_pages"),
+        F.sum("n_pl").cast("long").alias("pl_tags"),
+        F.sum("n_pl_no_as").cast("long").alias("pl_no_as"),
+        F.countDistinct(
+            F.when(F.col("n_pl") > 0, F.col("host"))
+        )
+        .cast("long")
+        .alias("pl_hosts"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " 'preconnect', pc_pages, pc_tags, CAST(0 AS BIGINT),"
+            "   pc_hosts,"
+            " 'dns-prefetch', dp_pages, dp_tags, CAST(0 AS BIGINT),"
+            "   dp_hosts,"
+            " 'preload', pl_pages, pl_tags, pl_no_as, pl_hosts)"
+            " AS (hint, n_pages, n_tags, n_missing_as, n_hosts)"
+        )
+    )
+
+
+@q(
+    "q_amp_pairing",
+    """
+    WITH canon AS (
+      SELECT event_id // 2 AS u,
+             (event_id // 2) % 9 AS host,
+             (event_id // 2) % 4 IN (0, 1) AS points
+      FROM events WHERE event_id % 2 = 0),
+    amp AS (
+      SELECT event_id // 2 AS u
+      FROM events
+      WHERE event_id % 2 = 1 AND (event_id // 2) % 4 IN (0, 2)),
+    cls AS (
+      SELECT c.host,
+             CASE WHEN c.points AND a.u IS NOT NULL THEN 'paired'
+                  WHEN c.points THEN 'dangling-pointer'
+                  WHEN a.u IS NOT NULL THEN 'orphan-amp'
+                  ELSE 'no-amp' END AS pairing_class
+      FROM canon c LEFT JOIN amp a ON c.u = a.u)
+    SELECT pairing_class,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM cls GROUP BY pairing_class
+    """,
+)
+def q_amp_pairing(spark, sf_dir):
+    """AMP pairing audit — the capture-dedup prerequisite for the
+    AMP ecosystem (an AMP variant is the SAME document; an unpaired
+    one is a duplicate the exact-dedup pass will never key
+    together because the bytes differ): the canonical corpus left-
+    joins its AMP captures on the url pair key and each canonical
+    page lands in one of four classes — paired (rel="amphtml"
+    pointer AND the AMP capture exists: safe to collapse),
+    dangling-pointer (the pointer names a capture the crawl never
+    fetched: frontier work), orphan-amp (an AMP capture exists but
+    the canonical stopped declaring it: the variant is stale and
+    should be dropped, not deduped), no-amp. Both sides derive from
+    ONE scan of the capture table split by variant flag.
+
+    Plan/scale: equi-join on the pair key — both sides are
+    projections of the same table, so at 10^10 captures this is a
+    co-partitioned sort-merge join (the AMP side is a small fraction
+    of the corpus and broadcast-eligible when its absolute size
+    allows); ONE hash aggregate on the 4-class key after the join."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.expr("event_id DIV 2")
+    canon = ev.filter(F.col("event_id") % 2 == 0).select(
+        u.alias("u"),
+        (u % 9).alias("host"),
+        (u % 4).isin(0, 1).alias("points"),
+    )
+    amp = (
+        ev.filter(
+            (F.col("event_id") % 2 == 1) & (u % 4).isin(0, 2)
+        )
+        .select(u.alias("au"))
+    )
+    cls = canon.join(
+        amp, canon["u"] == amp["au"], "left"
+    ).select(
+        "host",
+        F.when(
+            F.col("points") & F.col("au").isNotNull(), "paired"
+        )
+        .when(F.col("points"), "dangling-pointer")
+        .when(F.col("au").isNotNull(), "orphan-amp")
+        .otherwise("no-amp")
+        .alias("pairing_class"),
+    )
+    return cls.groupBy("pairing_class").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )

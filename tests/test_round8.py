@@ -2730,3 +2730,53 @@ def test_parked_domain_classes(spark, tmp_path):
                         "placeholder", "thin"}
     for cls in got:
         assert got[cls] == (2, 2)
+
+
+def test_jsonld_types_census(spark, tmp_path):
+    """One shape rotation x2: every declared type is its own row, the
+    @graph-wrapped BreadcrumbList still parses (nested envelope must
+    not read as none), '(none)' is first-class, and has_headline
+    fires only on the two article arms."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(12)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_jsonld_types")
+    assert s == _oracle_rows(tmp_path, "q_jsonld_types")
+    got = {r[0]: r[1:3] for r in s}
+    assert set(got) == {"Article", "NewsArticle", "Product",
+                        "FAQPage", "BreadcrumbList", "(none)"}
+    assert got["Article"] == (2, 2)
+    assert got["NewsArticle"] == (2, 2)
+    assert got["BreadcrumbList"] == (2, 0)
+    assert got["(none)"] == (2, 0)
+
+
+def test_resource_hints_missing_as(spark, tmp_path):
+    """One full 4-bit rotation: per-hint tallies come off the single
+    aggregated row (8 pages carry each hint), and the preload defect
+    column counts exactly the as=-less half of the preload pages —
+    zero for the other hints by construction."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(16)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_resource_hints")
+    assert s == _oracle_rows(tmp_path, "q_resource_hints")
+    got = {r[0]: r[1:4] for r in s}
+    assert got["preconnect"] == (8, 8, 0)
+    assert got["dns-prefetch"] == (8, 8, 0)
+    assert got["preload"] == (8, 8, 4)
+
+
+def test_amp_pairing_classes(spark, tmp_path):
+    """16 events = 8 url pairs = 2 per class: paired collapses, the
+    dangling pointer is frontier work (amp capture absent), the
+    orphaned amp capture exists without a declaring canonical, and
+    no-amp is the remainder."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(16)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_amp_pairing")
+    assert s == _oracle_rows(tmp_path, "q_amp_pairing")
+    got = {r[0]: r[1] for r in s}
+    assert got == {"paired": 2, "dangling-pointer": 2,
+                   "orphan-amp": 2, "no-amp": 2}
