@@ -279,7 +279,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_mojibake_detect (T-206), q_truncation_detect (T-207),
 #: q_date_sanity (T-208) and q_parked_domain (T-209), plus the
 #: structured-data batch: q_jsonld_types (T-210), q_resource_hints
-#: (T-211) and q_amp_pairing (T-212).
+#: (T-211) and q_amp_pairing (T-212); the capture-quality job
+#: (T-213) is test-verified outside oracle scope like its siblings.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

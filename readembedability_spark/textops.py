@@ -18600,6 +18600,50 @@ def q_sri_coverage(spark, sf_dir):
     )
 
 
+def mojibake_class_from(pages, body="body"):
+    """Shared mojibake-classification core: adds `n_signatures` and
+    `text_class` (replacement > double-utf8 > nbsp-debris > clean)
+    to `pages`, probing the `body` column for the three signature
+    families as literal codepoint alternations. Row-local \u2014 every
+    existing column passes through untouched, so callers chain it
+    with the other capture-quality cores on one scan. Used by the
+    q_mojibake_detect gate and jobs/capture_quality.py (one rule
+    source \u2014 the job cannot drift from the gated semantics). All
+    literals \\u-escaped in source (raw multi-byte sequences are one
+    editor-normalize away from silent corruption)."""
+    b = F.col(body)
+    keys = list(pages.columns)
+    sig = pages.select(
+        "*",
+        F.regexp_count(
+            b,
+            F.lit(
+                "\u00c3\u00a9|\u00c3\u00af|\u00e2\u20ac\u2122"
+                "|\u00e2\u20ac\u0153"
+            ),
+        )
+        .cast("long")
+        .alias("_n_double"),
+        F.regexp_count(b, F.lit("\u00c2\u00a0"))
+        .cast("long")
+        .alias("_n_nbsp"),
+        F.regexp_count(b, F.lit("\ufffd"))
+        .cast("long")
+        .alias("_n_repl"),
+    )
+    return sig.select(
+        *keys,
+        (
+            F.col("_n_double") + F.col("_n_nbsp") + F.col("_n_repl")
+        ).alias("n_signatures"),
+        F.when(F.col("_n_repl") > 0, "replacement")
+        .when(F.col("_n_double") > 0, "double-utf8")
+        .when(F.col("_n_nbsp") > 0, "nbsp-debris")
+        .otherwise("clean")
+        .alias("text_class"),
+    )
+
+
 @q(
     "q_mojibake_detect",
     """
@@ -18677,39 +18721,54 @@ def q_mojibake_detect(spark, sf_dir):
         .when(m == 4, F.lit("broken \ufffd decode \ufffd here"))
         .otherwise(F.col("text"))
     )
-    sig = docs.select(
-        F.length(body).alias("n_chars"),
-        F.regexp_count(
-            body,
-            F.lit(
-                "\u00c3\u00a9|\u00c3\u00af|\u00e2\u20ac\u2122"
-                "|\u00e2\u20ac\u0153"
-            ),
-        )
-        .cast("long")
-        .alias("n_double"),
-        F.regexp_count(body, F.lit("\u00c2\u00a0"))
-        .cast("long")
-        .alias("n_nbsp"),
-        F.regexp_count(body, F.lit("\ufffd"))
-        .cast("long")
-        .alias("n_repl"),
+    pages = docs.select(
+        F.length(body).alias("n_chars"), body.alias("body")
     )
-    cls = sig.select(
-        "n_chars",
-        (F.col("n_double") + F.col("n_nbsp") + F.col("n_repl")).alias(
-            "n_sig"
-        ),
-        F.when(F.col("n_repl") > 0, "replacement")
-        .when(F.col("n_double") > 0, "double-utf8")
-        .when(F.col("n_nbsp") > 0, "nbsp-debris")
-        .otherwise("clean")
-        .alias("text_class"),
-    )
+    cls = mojibake_class_from(pages)
     return cls.groupBy("text_class").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_sig").cast("long").alias("n_signatures"),
+        F.sum("n_signatures").cast("long").alias("n_signatures"),
         F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def truncation_class_from(pages, body="body"):
+    """Shared truncation-classification core: adds `div_deficit` and
+    `capture_class` (mid-tag > no-close > unbalanced > complete) to
+    `pages`, reading the raw-markup heartbeat of the `body` column —
+    a trailing unterminated tag, the </html> probe, and the div
+    open/close imbalance as replace-length arithmetic. Row-local,
+    all caller columns pass through. Used by the q_truncation_detect
+    gate and jobs/capture_quality.py (one rule source)."""
+    b = F.col(body)
+    keys = list(pages.columns)
+    sig = pages.select(
+        "*",
+        b.rlike("<[^>]*$").alias("_mid_tag"),
+        b.contains("</html>").alias("_has_close"),
+        (
+            (F.length(b) - F.length(F.regexp_replace(b, "<div", "")))
+            / 4
+        )
+        .cast("long")
+        .alias("_div_open"),
+        (
+            (F.length(b) - F.length(F.regexp_replace(b, "</div", "")))
+            / 5
+        )
+        .cast("long")
+        .alias("_div_close"),
+    )
+    return sig.select(
+        *keys,
+        (F.col("_div_open") - F.col("_div_close")).alias(
+            "div_deficit"
+        ),
+        F.when(F.col("_mid_tag"), "mid-tag")
+        .when(~F.col("_has_close"), "no-close")
+        .when(F.col("_div_open") != F.col("_div_close"), "unbalanced")
+        .otherwise("complete")
+        .alias("capture_class"),
     )
 
 
@@ -18804,38 +18863,10 @@ def q_truncation_detect(spark, sf_dir):
             )
         )
     )
-    sig = docs.select(
-        F.length(body).alias("n_chars"),
-        body.rlike("<[^>]*$").alias("mid_tag"),
-        body.contains("</html>").alias("has_close"),
-        (
-            (
-                F.length(body)
-                - F.length(F.regexp_replace(body, "<div", ""))
-            )
-            / 4
-        )
-        .cast("long")
-        .alias("div_open"),
-        (
-            (
-                F.length(body)
-                - F.length(F.regexp_replace(body, "</div", ""))
-            )
-            / 5
-        )
-        .cast("long")
-        .alias("div_close"),
+    pages = docs.select(
+        F.length(body).alias("n_chars"), body.alias("body")
     )
-    cls = sig.select(
-        "n_chars",
-        (F.col("div_open") - F.col("div_close")).alias("div_deficit"),
-        F.when(F.col("mid_tag"), "mid-tag")
-        .when(~F.col("has_close"), "no-close")
-        .when(F.col("div_open") != F.col("div_close"), "unbalanced")
-        .otherwise("complete")
-        .alias("capture_class"),
-    )
+    cls = truncation_class_from(pages)
     return cls.groupBy("capture_class").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("div_deficit").cast("long").alias("div_deficit_sum"),
@@ -18921,6 +18952,33 @@ def q_date_sanity(spark, sf_dir):
     )
 
 
+def parked_class_from(pages, body="body"):
+    """Shared parked/placeholder-classification core: adds
+    `page_class` (parked > suspended > placeholder > thin > content)
+    to `pages`, probing the lowercased `body` column for the phrase
+    families and the <40-char thin floor. Row-local, all caller
+    columns pass through. Used by the q_parked_domain gate and
+    jobs/capture_quality.py (one rule source)."""
+    t = F.lower(F.col(body))
+    return pages.select(
+        "*",
+        F.when(
+            t.contains("domain is for sale")
+            | t.contains("buy this domain"),
+            "parked",
+        )
+        .when(t.contains("account suspended"), "suspended")
+        .when(
+            t.contains("coming soon")
+            | t.contains("under construction"),
+            "placeholder",
+        )
+        .when(F.length(F.col(body)) < 40, "thin")
+        .otherwise("content")
+        .alias("page_class"),
+    )
+
+
 @q(
     "q_parked_domain",
     """
@@ -18995,29 +19053,12 @@ def q_parked_domain(spark, sf_dir):
         .when(m == 4, F.lit("Hi there."))
         .otherwise(F.col("text"))
     )
-    sig = docs.select(
+    pages = docs.select(
         (F.col("doc_id") % 13).alias("host"),
         F.length(body).alias("n_chars"),
-        F.lower(body).alias("t"),
+        body.alias("body"),
     )
-    cls = sig.select(
-        "host",
-        "n_chars",
-        F.when(
-            F.col("t").contains("domain is for sale")
-            | F.col("t").contains("buy this domain"),
-            "parked",
-        )
-        .when(F.col("t").contains("account suspended"), "suspended")
-        .when(
-            F.col("t").contains("coming soon")
-            | F.col("t").contains("under construction"),
-            "placeholder",
-        )
-        .when(F.col("n_chars") < 40, "thin")
-        .otherwise("content")
-        .alias("page_class"),
-    )
+    cls = parked_class_from(pages).drop("body")
     return cls.groupBy("page_class").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.countDistinct("host").cast("long").alias("n_hosts"),

@@ -2780,3 +2780,51 @@ def test_amp_pairing_classes(spark, tmp_path):
     got = {r[0]: r[1] for r in s}
     assert got == {"paired": 2, "dangling-pointer": 2,
                    "orphan-amp": 2, "no-amp": 2}
+
+
+def test_capture_quality_job_composes(spark, tmp_path, monkeypatch, capsys):
+    """jobs/capture_quality.py over the synthetic capture table:
+    written verdicts match an independent recompute through the SAME
+    shared cores the three gate queries use, the verdict mixture is
+    exactly the designed 3/8 keep, 3/8 drop, 1/8 fix, 1/8 refetch,
+    and every host's keep_ppm is 375000 (arm and host keys coprime)."""
+    import importlib
+    import json as json_
+    import sys as sys_
+
+    sys_.path.insert(
+        0, str(__import__("pathlib").Path(__file__).resolve().parent.parent
+               / "jobs")
+    )
+    cq = importlib.import_module("capture_quality")
+    out = tmp_path / "capq"
+    monkeypatch.setattr(
+        sys_, "argv",
+        ["capture_quality.py", "--docs", "400", "--output", str(out)],
+    )
+    cq.main()
+    stats = json_.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs"] == 400 and stats["hosts"] == 25
+    assert (stats["n_keep"], stats["n_drop"],
+            stats["n_fix"], stats["n_refetch"]) == (150, 150, 50, 50)
+    assert stats["worst_keep_ppm"] == 375000
+    # written verdicts == independent recompute via the shared cores
+    v = spark.read.parquet(str(out / "verdicts"))
+    got = {r["doc_id"]: (r["capture_class"], r["text_class"],
+                         r["page_class"], r["verdict"])
+           for r in v.collect()}
+    exp = {r["doc_id"]: (r["capture_class"], r["text_class"],
+                         r["page_class"], r["verdict"])
+           for r in cq.verdicts_from(cq.synth_corpus(spark, 400)).collect()}
+    assert got == exp
+    # arm -> verdict map is the designed one (all four verdicts live)
+    arm_verdict = {0: "keep", 1: "keep", 2: "fix", 3: "drop",
+                   4: "drop", 5: "drop", 6: "refetch", 7: "keep"}
+    for doc_id, (_, _, _, verdict) in got.items():
+        assert verdict == arm_verdict[doc_id % 8], doc_id
+    # work list: keep_ppm uniform, n_docs per host = 16
+    wl = spark.read.parquet(str(out / "host_worklist")).collect()
+    assert len(wl) == 25
+    for r in wl:
+        assert r["n_docs"] == 16 and r["keep_ppm"] == 375000
+        assert r["n_refetch"] == 2 and r["n_fix"] == 2 and r["n_drop"] == 6
