@@ -281,6 +281,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: structured-data batch: q_jsonld_types (T-210), q_resource_hints
 #: (T-211) and q_amp_pairing (T-212); the capture-quality job
 #: (T-213) is test-verified outside oracle scope like its siblings.
+#: The HTTP-economics batch — q_conditional_get (T-214),
+#: q_vary_audit (T-215) and q_retry_after (T-216, plan-pinned single
+#: host exchange) — joins the same r9 promise.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -244,6 +244,9 @@ HEADLINE = [
     "q_jsonld_types",
     "q_resource_hints",
     "q_amp_pairing",
+    "q_conditional_get",
+    "q_vary_audit",
+    "q_retry_after",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -19389,3 +19389,278 @@ def q_amp_pairing(spark, sf_dir):
         F.count("*").cast("long").alias("n_urls"),
         F.countDistinct("host").cast("long").alias("n_hosts"),
     )
+
+
+@q(
+    "q_conditional_get",
+    """
+    WITH fetches AS (
+      SELECT event_id % 8 AS host,
+             event_id % 4 <> 0 AS has_validator,
+             event_id % 4 <> 0 AND (event_id // 4) % 3 <> 2
+               AS is_304,
+             CAST(1000 + (event_id % 7) * 100 AS BIGINT)
+               AS payload_bytes
+      FROM events)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(COALESCE(SUM(CASE WHEN has_validator THEN 1 END), 0)
+                AS BIGINT) AS n_with_validator,
+           CAST(COALESCE(SUM(CASE WHEN is_304 THEN 1 END), 0)
+                AS BIGINT) AS n_304,
+           CAST(COALESCE(SUM(CASE WHEN NOT is_304
+                THEN payload_bytes END), 0) AS BIGINT)
+             AS bytes_full,
+           CAST(COALESCE(SUM(CASE WHEN is_304
+                THEN payload_bytes END), 0) AS BIGINT)
+             AS bytes_saved,
+           CAST(COALESCE(SUM(CASE WHEN is_304
+                THEN payload_bytes END), 0) * 1000000
+                // GREATEST(COALESCE(SUM(payload_bytes), 0), 1)
+                AS BIGINT) AS saved_ppm
+    FROM fetches GROUP BY host
+    """,
+)
+def q_conditional_get(spark, sf_dir):
+    """Conditional-revalidation efficiency — the recrawl bandwidth
+    ledger that tells the scheduler what validators are WORTH
+    (q_http_cache classifies what MAY be cached; this measures what
+    conditional requests actually SAVED): fetches carry a validator
+    presence bit (no validator means every recrawl is a full 200) and
+    a 304-vs-200 outcome for the validated ones; bytes_saved is the
+    payload mass the 304s avoided transferring, and saved_ppm is that
+    mass over the total payload the host WOULD have shipped — the
+    number that justifies validator-aware scheduling per host. The
+    no-validator arm keeps the denominator honest: a host serving no
+    ETags can't save anything no matter how gently it's recrawled.
+
+    Plan/scale: pure integer arithmetic in one codegen'd projection;
+    ONE hash aggregate on host with map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        (F.col("event_id") % 8).alias("host"),
+        (F.col("event_id") % 4 != 0).alias("has_validator"),
+        (
+            (F.col("event_id") % 4 != 0)
+            & (F.expr("(event_id DIV 4) % 3") != 2)
+        ).alias("is_304"),
+        (1000 + (F.col("event_id") % 7) * 100)
+        .cast("long")
+        .alias("payload_bytes"),
+    )
+    return fetches.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_requests"),
+        F.coalesce(
+            F.sum(F.when(F.col("has_validator"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_with_validator"),
+        F.coalesce(F.sum(F.when(F.col("is_304"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_304"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_304"), F.col("payload_bytes"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("bytes_full"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_304"), F.col("payload_bytes"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("bytes_saved"),
+        F.expr(
+            "COALESCE(SUM(CASE WHEN is_304 THEN payload_bytes END), 0)"
+            " * 1000000 DIV"
+            " GREATEST(COALESCE(SUM(payload_bytes), 0), 1)"
+        )
+        .cast("long")
+        .alias("saved_ppm"),
+    )
+
+
+@q(
+    "q_vary_audit",
+    """
+    WITH resp AS (
+      SELECT event_id % 9 AS host,
+             CASE event_id % 6
+               WHEN 1 THEN 'Accept-Encoding'
+               WHEN 2 THEN 'User-Agent'
+               WHEN 3 THEN 'Cookie'
+               WHEN 4 THEN '*'
+               WHEN 5 THEN 'Accept-Encoding, User-Agent'
+               ELSE '' END AS vary
+      FROM events),
+    cls AS (
+      SELECT host,
+             CASE WHEN vary LIKE '%*%' THEN 'star'
+                  WHEN vary LIKE '%Cookie%' THEN 'cookie'
+                  WHEN vary LIKE '%User-Agent%' THEN 'user-agent'
+                  WHEN vary LIKE '%Accept-Encoding%'
+                    THEN 'accept-encoding'
+                  ELSE '(none)' END AS vary_class
+      FROM resp)
+    SELECT vary_class,
+           vary_class IN ('star', 'cookie', 'user-agent')
+             AS is_fragmenting,
+           CAST(COUNT(*) AS BIGINT) AS n_responses,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM cls GROUP BY vary_class
+    """,
+)
+def q_vary_audit(spark, sf_dir):
+    """Vary-header audit — the cache-fragmentation census a shared
+    crawl cache reads before sizing itself (every Vary dimension
+    multiplies the variants a url can occupy; 'Vary: User-Agent'
+    against a crawler fleet with rotating agents means NO two fetches
+    ever hit): responses classify by their WORST Vary member —
+    precedence star ('uncacheable, full stop') > cookie (per-session
+    variants — uncacheable for a cookie-less crawler but a correctness
+    trap for a cookie-bearing one) > user-agent (fragmenting) >
+    accept-encoding (benign — the cache keys on encoding anyway) >
+    none. The multi-member arm ('Accept-Encoding, User-Agent') lands
+    in user-agent: a benign member never launders a fragmenting one.
+
+    Plan/scale: four LIKE probes in one codegen'd projection; ONE
+    hash aggregate on the 5-class key."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 6
+    vary = (
+        F.when(m == 1, F.lit("Accept-Encoding"))
+        .when(m == 2, F.lit("User-Agent"))
+        .when(m == 3, F.lit("Cookie"))
+        .when(m == 4, F.lit("*"))
+        .when(m == 5, F.lit("Accept-Encoding, User-Agent"))
+        .otherwise(F.lit(""))
+    )
+    cls = ev.select(
+        (F.col("event_id") % 9).alias("host"),
+        F.when(vary.contains("*"), "star")
+        .when(vary.contains("Cookie"), "cookie")
+        .when(vary.contains("User-Agent"), "user-agent")
+        .when(vary.contains("Accept-Encoding"), "accept-encoding")
+        .otherwise("(none)")
+        .alias("vary_class"),
+    )
+    return cls.groupBy("vary_class").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    ).select(
+        "vary_class",
+        F.col("vary_class")
+        .isin("star", "cookie", "user-agent")
+        .alias("is_fragmenting"),
+        "n_responses",
+        "n_hosts",
+    )
+
+
+@q(
+    "q_retry_after",
+    """
+    WITH fetches AS (
+      SELECT event_id % 5 AS host,
+             CAST((event_id // 5) * 60 AS BIGINT) AS t_s,
+             (event_id // 5) % 4 IN (1, 2) AS throttled,
+             CASE WHEN (event_id // 5) % 4 IN (1, 2) THEN
+               CASE (event_id // 10) % 3
+                 WHEN 0 THEN 30 WHEN 1 THEN 90 ELSE NULL END
+             ELSE NULL END AS retry_after_s
+      FROM events),
+    gaps AS (
+      SELECT host, throttled, retry_after_s,
+             lead(t_s) OVER (PARTITION BY host ORDER BY t_s)
+               - t_s AS gap_s
+      FROM fetches)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(COALESCE(SUM(CASE WHEN throttled THEN 1 END), 0)
+                AS BIGINT) AS n_throttled,
+           CAST(COALESCE(SUM(CASE WHEN throttled
+                AND retry_after_s IS NULL THEN 1 END), 0)
+                AS BIGINT) AS n_missing_header,
+           CAST(COALESCE(SUM(CASE WHEN gap_s < retry_after_s
+                THEN 1 END), 0) AS BIGINT) AS n_violations,
+           CAST(MAX(CASE WHEN gap_s < retry_after_s
+                THEN retry_after_s - gap_s END) AS BIGINT)
+             AS worst_deficit_s
+    FROM gaps GROUP BY host
+    """,
+)
+def q_retry_after(spark, sf_dir):
+    """Retry-After compliance — the throttle-response ledger that
+    complements the politeness audit (q_politeness_audit enforces the
+    CRAWLER's declared delay; this enforces the SERVER's explicit
+    back-off demand, which overrides everything): 429/503 responses
+    carry a Retry-After value or — the operationally distinct defect
+    — none at all (the crawler must guess; n_missing_header is the
+    hosts-to-special-case list), and a violation is the NEXT fetch of
+    the same host landing inside the demanded window. Gaps come from
+    one lead() window per host on an integer seconds lattice; the
+    final fetch per host has no successor and cannot violate. The
+    worst deficit says how badly the schedule missed, not just how
+    often.
+
+    Plan/scale: the lag window and the host aggregate share ONE
+    host-keyed exchange (the window's partition key is the groupBy
+    key — Catalyst reuses the sort+shuffle, same plan shape the
+    politeness audit pins)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("event_id DIV 5")
+    throttled = (k % 4).isin(1, 2)
+    r = F.expr("(event_id DIV 10) % 3")
+    fetches = ev.select(
+        (F.col("event_id") % 5).alias("host"),
+        (k * 60).cast("long").alias("t_s"),
+        throttled.alias("throttled"),
+        F.when(
+            throttled & (r == 0), F.lit(30)
+        )
+        .when(throttled & (r == 1), F.lit(90))
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("retry_after_s"),
+    )
+    w = Window.partitionBy("host").orderBy("t_s")
+    gaps = fetches.select(
+        "host",
+        "throttled",
+        "retry_after_s",
+        (F.lead("t_s").over(w) - F.col("t_s")).alias("gap_s"),
+    )
+    return gaps.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.coalesce(F.sum(F.when(F.col("throttled"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_throttled"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("throttled")
+                    & F.col("retry_after_s").isNull(),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_missing_header"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("gap_s") < F.col("retry_after_s"), 1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_violations"),
+        F.max(
+            F.when(
+                F.col("gap_s") < F.col("retry_after_s"),
+                F.col("retry_after_s") - F.col("gap_s"),
+            )
+        )
+        .cast("long")
+        .alias("worst_deficit_s"),
+    )

@@ -226,3 +226,17 @@ def test_crawl_trap_detect_join_free(spark):
     )
     c = _op_counts(_plan(df))
     assert c["SortMergeJoin"] == 0 and c["BroadcastHashJoin"] == 0
+
+
+def test_retry_after_single_exchange(spark):
+    """The Retry-After ledger is ONE exchange end-to-end: the lead()
+    window partitions on host and the final aggregate groups on the
+    same key (same shape as the politeness ledger); no joins."""
+    from readembedability_spark.textops import REGISTRY
+
+    df = REGISTRY["q_retry_after"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    c = _op_counts(_plan(df))
+    assert c["Exchange"] == 1 and c["Window"] == 1
+    assert c["SortMergeJoin"] == 0 and c["BroadcastHashJoin"] == 0

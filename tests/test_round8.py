@@ -2828,3 +2828,76 @@ def test_capture_quality_job_composes(spark, tmp_path, monkeypatch, capsys):
     for r in wl:
         assert r["n_docs"] == 16 and r["keep_ppm"] == 375000
         assert r["n_refetch"] == 2 and r["n_fix"] == 2 and r["n_drop"] == 6
+
+
+def test_conditional_get_ledger(spark, tmp_path):
+    """24 fetches over 8 hosts: validator coverage, 304 outcomes and
+    byte mass all recompute closed-form from the id lattice, and
+    saved_ppm uses the would-have-shipped total as denominator."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(24)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_conditional_get")
+    assert s == _oracle_rows(tmp_path, "q_conditional_get")
+    exp = {}
+    for i in range(24):
+        h = i % 8
+        has_v = i % 4 != 0
+        is304 = has_v and (i // 4) % 3 != 2
+        pb = 1000 + (i % 7) * 100
+        e = exp.setdefault(h, [0, 0, 0, 0, 0])
+        e[0] += 1
+        e[1] += has_v
+        e[2] += is304
+        e[3] += 0 if is304 else pb
+        e[4] += pb if is304 else 0
+    for r in s:
+        e = exp[r[0]]
+        assert list(r[1:6]) == e
+        assert r[6] == e[4] * 1000000 // max(e[3] + e[4], 1)
+    assert sum(e[2] for e in exp.values()) == 12
+
+
+def test_vary_audit_precedence(spark, tmp_path):
+    """One shape rotation x2: the multi-member Vary lands in
+    user-agent (a benign member never launders a fragmenting one),
+    star and cookie are uncacheable, accept-encoding stays benign."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(12)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_vary_audit")
+    assert s == _oracle_rows(tmp_path, "q_vary_audit")
+    got = {r[0]: (r[1], r[2]) for r in s}
+    assert got["(none)"] == (False, 2)
+    assert got["accept-encoding"] == (False, 2)
+    assert got["user-agent"] == (True, 4)
+    assert got["cookie"] == (True, 2)
+    assert got["star"] == (True, 2)
+
+
+def test_retry_after_compliance(spark, tmp_path):
+    """12 fetches per host at a fixed 60 s cadence: Retry-After 30 is
+    respected, 90 is violated with a 30 s deficit, the header-less
+    throttles count as missing, and the closed-form per-host ledger
+    recomputes from the id lattice."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(60)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_retry_after")
+    assert s == _oracle_rows(tmp_path, "q_retry_after")
+    exp = {}
+    for h in range(5):
+        thr = miss = viol = 0
+        for k in range(12):
+            if k % 4 in (1, 2):
+                thr += 1
+                r = ((h + 5 * k) // 10) % 3
+                if r == 2:
+                    miss += 1
+                elif r == 1 and k < 11:
+                    viol += 1
+        exp[h] = (12, thr, miss, viol, 30 if viol else None)
+    got = {r[0]: tuple(r[1:]) for r in s}
+    assert got == exp
+    assert any(v[3] > 0 for v in exp.values())
+    assert any(v[2] > 0 for v in exp.values())
