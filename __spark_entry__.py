@@ -283,7 +283,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (T-213) is test-verified outside oracle scope like its siblings.
 #: The HTTP-economics batch — q_conditional_get (T-214),
 #: q_vary_audit (T-215) and q_retry_after (T-216, plan-pinned single
-#: host exchange) — joins the same r9 promise.
+#: host exchange) — joins the same r9 promise, as do q_robots_diff
+#: (T-217, before/after through the shared RFC 9309 core) and
+#: q_bitext_mine (T-218, integer length-ratio pairing).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

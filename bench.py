@@ -247,6 +247,8 @@ HEADLINE = [
     "q_conditional_get",
     "q_vary_audit",
     "q_retry_after",
+    "q_robots_diff",
+    "q_bitext_mine",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -19664,3 +19664,261 @@ def q_retry_after(spark, sf_dir):
         .cast("long")
         .alias("worst_deficit_s"),
     )
+
+
+@q(
+    "q_robots_diff",
+    """
+    WITH rules_before(g, pattern, is_allow) AS (
+      VALUES (0, '/private/', 0),
+             (0, '/private/public/', 1),
+             (0, '/tmp', 0),
+             (1, '/', 0),
+             (1, '/articles/', 1)),
+    rules_after(g, pattern, is_allow) AS (
+      VALUES (0, '/private/', 0),
+             (0, '/tmp', 0),
+             (1, '/', 0),
+             (1, '/articles/', 1),
+             (1, '/index.html', 1)),
+    urls AS (
+      SELECT event_id, (event_id // 6) % 3 AS g,
+             CASE event_id % 6
+               WHEN 0 THEN '/private/a'
+               WHEN 1 THEN '/private/public/x'
+               WHEN 2 THEN '/articles/2024/one'
+               WHEN 3 THEN '/index.html'
+               WHEN 4 THEN '/tmp/x'
+               ELSE '/private' END AS path
+      FROM events),
+    m_before AS (
+      SELECT u.event_id, r.pattern, r.is_allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.event_id
+               ORDER BY length(r.pattern) DESC, r.is_allow DESC,
+                        r.pattern) AS rk
+      FROM urls u JOIN rules_before r
+        ON u.g = r.g AND starts_with(u.path, r.pattern)),
+    v_before AS (
+      SELECT u.event_id,
+             CASE WHEN m.pattern IS NULL OR m.is_allow = 1
+                  THEN 'allowed' ELSE 'blocked' END AS verdict
+      FROM urls u LEFT JOIN m_before m
+        ON u.event_id = m.event_id AND m.rk = 1),
+    m_after AS (
+      SELECT u.event_id, r.pattern, r.is_allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.event_id
+               ORDER BY length(r.pattern) DESC, r.is_allow DESC,
+                        r.pattern) AS rk
+      FROM urls u JOIN rules_after r
+        ON u.g = r.g AND starts_with(u.path, r.pattern)),
+    v_after AS (
+      SELECT u.event_id,
+             CASE WHEN m.pattern IS NULL OR m.is_allow = 1
+                  THEN 'allowed' ELSE 'blocked' END AS verdict
+      FROM urls u LEFT JOIN m_after m
+        ON u.event_id = m.event_id AND m.rk = 1),
+    trans AS (
+      SELECT u.g,
+             CASE WHEN b.verdict = 'allowed'
+                    AND a.verdict = 'blocked' THEN 'purge'
+                  WHEN b.verdict = 'blocked'
+                    AND a.verdict = 'allowed' THEN 'unlock'
+                  WHEN a.verdict = 'allowed' THEN 'still-allowed'
+                  ELSE 'still-blocked' END AS transition
+      FROM urls u
+      JOIN v_before b ON u.event_id = b.event_id
+      JOIN v_after a ON u.event_id = a.event_id)
+    SELECT transition,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_rulesets
+    FROM trans GROUP BY transition
+    """,
+)
+def q_robots_diff(spark, sf_dir):
+    """Robots-ruleset change impact — what a crawl operator runs the
+    moment a refreshed robots.txt lands (q_robots_precedence verdicts
+    ONE snapshot; compliance is about the TRANSITION): the same url
+    inventory is verdicted under the before and after rulesets
+    through the SAME shared RFC 9309 longest-match core the gate and
+    the compliance job use, and each url lands in purge
+    (allowed->blocked — already-fetched captures must be removed
+    retroactively), unlock (blocked->allowed — frontier work
+    appears), still-allowed, still-blocked. The synthesized change
+    exercises both live directions: the after-set DROPS the
+    '/private/public/' Allow override (its urls purge) and ADDS an
+    '/index.html' Allow piercing the blanket Disallow (its urls
+    unlock).
+
+    Plan/scale: two broadcast-rule applications of the shared core
+    (each: broadcast join + one per-url winner window, keyed on the
+    url — maximally spread), then an equi-join of the two verdict
+    streams on the SAME url key their windows already partitioned
+    by; ONE hash aggregate on the 4-class transition key."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 6
+    urls = ev.select(
+        "event_id",
+        F.expr("(event_id DIV 6) % 3").alias("g"),
+        F.when(m == 0, F.lit("/private/a"))
+        .when(m == 1, F.lit("/private/public/x"))
+        .when(m == 2, F.lit("/articles/2024/one"))
+        .when(m == 3, F.lit("/index.html"))
+        .when(m == 4, F.lit("/tmp/x"))
+        .otherwise(F.lit("/private"))
+        .alias("path"),
+    )
+    rules_before = spark.createDataFrame(
+        [
+            (0, "/private/", 0),
+            (0, "/private/public/", 1),
+            (0, "/tmp", 0),
+            (1, "/", 0),
+            (1, "/articles/", 1),
+        ],
+        "g long, pattern string, is_allow int",
+    )
+    rules_after = spark.createDataFrame(
+        [
+            (0, "/private/", 0),
+            (0, "/tmp", 0),
+            (1, "/", 0),
+            (1, "/articles/", 1),
+            (1, "/index.html", 1),
+        ],
+        "g long, pattern string, is_allow int",
+    )
+    before = robots_verdicts_from(urls, rules_before).select(
+        "event_id", F.col("verdict").alias("v_before")
+    )
+    after = robots_verdicts_from(urls, rules_after).select(
+        "event_id", F.col("verdict").alias("v_after")
+    )
+    trans = (
+        urls.select("event_id", "g")
+        .join(before, "event_id")
+        .join(after, "event_id")
+        .select(
+            "g",
+            F.when(
+                (F.col("v_before") == "allowed")
+                & (F.col("v_after") == "blocked"),
+                "purge",
+            )
+            .when(
+                (F.col("v_before") == "blocked")
+                & (F.col("v_after") == "allowed"),
+                "unlock",
+            )
+            .when(F.col("v_after") == "allowed", "still-allowed")
+            .otherwise("still-blocked")
+            .alias("transition"),
+        )
+    )
+    return trans.groupBy("transition").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("g").cast("long").alias("n_rulesets"),
+    )
+
+
+@q(
+    "q_bitext_mine",
+    """
+    WITH docs AS (
+      SELECT doc_id // 4 AS cluster, doc_id % 4 AS p,
+             CASE doc_id % 4
+               WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+               WHEN 2 THEN 'fr' ELSE 'en' END AS lang,
+             CAST(CASE doc_id % 4
+               WHEN 0 THEN 400 + (doc_id // 4) % 7 * 10
+               WHEN 1 THEN 400 + (doc_id // 4) % 7 * 10
+                 + (doc_id // 4) % 9
+               WHEN 2 THEN (400 + (doc_id // 4) % 7 * 10) // 5
+               ELSE 120 END AS BIGINT) AS n_chars_t
+      FROM documents),
+    pairs AS (
+      SELECT t.lang,
+             s.n_chars_t AS len_en, t.n_chars_t AS len_xx,
+             t.n_chars_t * 2 >= s.n_chars_t
+               AND s.n_chars_t * 2 >= t.n_chars_t AS ratio_ok
+      FROM docs s JOIN docs t ON s.cluster = t.cluster
+      WHERE s.p = 0 AND t.p IN (1, 2))
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN ratio_ok THEN 1 END), 0)
+                AS BIGINT) AS n_usable,
+           CAST(COALESCE(SUM(CASE WHEN NOT ratio_ok THEN 1 END), 0)
+                AS BIGINT) AS n_rejected_ratio,
+           CAST(COALESCE(SUM(CASE WHEN ratio_ok
+                THEN len_xx END), 0) AS BIGINT) AS usable_chars
+    FROM pairs GROUP BY lang
+    """,
+)
+def q_bitext_mine(spark, sf_dir):
+    """Bitext mining — the parallel-corpus extraction pass a
+    translation-model pipeline runs over hreflang clusters
+    (q_hreflang_clusters finds the clusters; this mines the usable
+    PAIRS): within each cluster the English source joins each
+    candidate translation, and the classic length-ratio sanity gate
+    keeps a pair only when neither side is more than 2x the other —
+    checked as pure integer cross-multiplication (len_xx*2 >= len_en
+    AND len_en*2 >= len_xx), no float ratio to drift across engines.
+    The synthesis keeps both gate branches live: the de arm tracks
+    the source length (usable), the fr arm is a 5x-too-short stub
+    (the dominant real-world failure — a navigation-only translated
+    shell). Per target lang: pair count, usable count, ratio
+    rejections, usable char mass (the training-data yield number).
+
+    Plan/scale: self-equi-join on the cluster key — both sides are
+    projections of ONE scan, co-partitioned sort-merge at 10^9
+    clusters (neither side is broadcast-sized); ONE hash aggregate
+    on the 2-row lang key."""
+    docs = _t(spark, sf_dir, "documents")
+    cluster = F.expr("doc_id DIV 4")
+    p = F.col("doc_id") % 4
+    base_len = 400 + (cluster % 7) * 10
+    shaped = docs.select(
+        cluster.alias("cluster"),
+        p.alias("p"),
+        F.when(p == 1, F.lit("de"))
+        .when(p == 2, F.lit("fr"))
+        .otherwise(F.lit("en"))
+        .alias("lang"),
+        F.when(p == 0, base_len)
+        .when(p == 1, base_len + cluster % 9)
+        .when(p == 2, F.expr("(400 + (doc_id DIV 4) % 7 * 10) DIV 5"))
+        .otherwise(F.lit(120))
+        .cast("long")
+        .alias("n_chars_t"),
+    )
+    src = shaped.where(F.col("p") == 0).select(
+        "cluster", F.col("n_chars_t").alias("len_en")
+    )
+    tgt = shaped.where(F.col("p").isin(1, 2)).select(
+        "cluster", "lang", F.col("n_chars_t").alias("len_xx")
+    )
+    pairs = src.join(tgt, "cluster").select(
+        "lang",
+        "len_en",
+        "len_xx",
+        (
+            (F.col("len_xx") * 2 >= F.col("len_en"))
+            & (F.col("len_en") * 2 >= F.col("len_xx"))
+        ).alias("ratio_ok"),
+    )
+    return pairs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.when(F.col("ratio_ok"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_usable"),
+        F.coalesce(F.sum(F.when(~F.col("ratio_ok"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_rejected_ratio"),
+        F.coalesce(
+            F.sum(F.when(F.col("ratio_ok"), F.col("len_xx"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("usable_chars"),
+    )

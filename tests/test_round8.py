@@ -2901,3 +2901,35 @@ def test_retry_after_compliance(spark, tmp_path):
     assert got == exp
     assert any(v[3] > 0 for v in exp.values())
     assert any(v[2] > 0 for v in exp.values())
+
+
+def test_robots_diff_transitions(spark, tmp_path):
+    """18 urls = every (ruleset, path) combo once: dropping the
+    '/private/public/' Allow purges exactly that url, adding the
+    '/index.html' Allow unlocks exactly that url in the blanket-
+    Disallow group, and the no-rules group stays allowed wholesale."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(18)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_robots_diff")
+    assert s == _oracle_rows(tmp_path, "q_robots_diff")
+    got = {r[0]: (r[1], r[2]) for r in s}
+    assert got["purge"] == (1, 1)
+    assert got["unlock"] == (1, 1)
+    assert got["still-allowed"] == (10, 3)
+    assert got["still-blocked"] == (6, 2)
+
+
+def test_bitext_mine_ratio_gate(spark, tmp_path):
+    """4 clusters x (en, de, fr, filler): the de arm tracks the
+    source length and passes the 2x cross-multiplication gate, the
+    5x-too-short fr stub is rejected, and usable char mass sums the
+    accepted target lengths exactly."""
+    rows = [(i, "t", "en", "s0", 1) for i in range(16)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_bitext_mine")
+    assert s == _oracle_rows(tmp_path, "q_bitext_mine")
+    got = {r[0]: r[1:] for r in s}
+    de_chars = sum(400 + (c % 7) * 10 + c % 9 for c in range(4))
+    assert got["de"] == (4, 4, 0, de_chars)
+    assert got["fr"] == (4, 0, 4, 0)
