@@ -285,7 +285,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_vary_audit (T-215) and q_retry_after (T-216, plan-pinned single
 #: host exchange) — joins the same r9 promise, as do q_robots_diff
 #: (T-217, before/after through the shared RFC 9309 core) and
-#: q_bitext_mine (T-218, integer length-ratio pairing).
+#: q_bitext_mine (T-218, integer length-ratio pairing). The 14th
+#: streaming pipeline streaming_retry_after (T-219, the stateful
+#: back-off-window enforcer) is test-verified outside oracle scope
+#: like its thirteen siblings.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -850,3 +850,124 @@ def streaming_politeness(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_retry_after(fetches_stream: DataFrame) -> DataFrame:
+    """Stateful Retry-After enforcement (the streaming maintainer of
+    q_retry_after's per-host back-off ledger): the input stream
+    carries (url, warc_ts, status, retry_after_s) and each host's
+    state holds the ACTIVE back-off window — the not-before
+    timestamp the last 429/503 demanded — plus the fold counters.
+    Every on-time fetch is first judged against the active window
+    (arriving inside it is a violation, and the deficit is how far
+    inside), then, if it is itself a throttle response, either
+    installs a new window or — the operationally distinct defect —
+    counts as header-less (the crawler must guess; no window is
+    installed, matching the batch rule where a NULL Retry-After can
+    never be violated).
+
+    State is O(1) per host: two timestamps and five longs, no fetch
+    history — the batch sibling re-sorts every fetch into a lag
+    window instead. Ordering: each micro-batch's arrow chunks are
+    concatenated and sorted once by (ts_us, url), so multi-chunk
+    delivery replays identically. LATE DATA: a fetch behind the fold
+    head cannot be judged against the window that was active at its
+    true position, so it counts in n_late and is otherwise ignored —
+    offline reconciliation is the batch op's job."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        last_us = None
+        not_before_us = None
+        n_fetches = 0
+        n_throttled = 0
+        n_missing = 0
+        n_violations = 0
+        worst_deficit_us = 0
+        n_late = 0
+        if state.exists:
+            (
+                last_us,
+                not_before_us,
+                n_fetches,
+                n_throttled,
+                n_missing,
+                n_violations,
+                worst_deficit_us,
+                n_late,
+            ) = state.get
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "url"])
+        for ts_us, status, ra_s in zip(
+            batch["ts_us"], batch["status"], batch["retry_after_s"]
+        ):
+            ts_us = int(ts_us)
+            n_fetches += 1
+            if last_us is not None and ts_us < last_us:
+                n_late += 1
+                continue
+            if not_before_us is not None and ts_us < not_before_us:
+                n_violations += 1
+                deficit = not_before_us - ts_us
+                if deficit > worst_deficit_us:
+                    worst_deficit_us = deficit
+            if int(status) in (429, 503):
+                n_throttled += 1
+                if pd.isna(ra_s):
+                    n_missing += 1
+                else:
+                    not_before_us = ts_us + int(ra_s) * 1_000_000
+            last_us = ts_us
+        state.update(
+            (
+                last_us,
+                not_before_us,
+                n_fetches,
+                n_throttled,
+                n_missing,
+                n_violations,
+                worst_deficit_us,
+                n_late,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n_fetches": [n_fetches],
+                "n_throttled": [n_throttled],
+                "n_missing_header": [n_missing],
+                "n_violations": [n_violations],
+                "n_late": [n_late],
+                "worst_deficit_ms": [worst_deficit_us // 1000],
+                "compliant": [n_violations == 0],
+            }
+        )
+
+    from readembedability_spark.functions import host_col
+
+    keyed = fetches_stream.select(
+        host_col("url").alias("host"),
+        "url",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " timestamp'1970-01-01 00:00:00', warc_ts)"
+        ).alias("ts_us"),
+        "status",
+        "retry_after_s",
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "host string, n_fetches long, n_throttled long,"
+            " n_missing_header long, n_violations long, n_late long,"
+            " worst_deficit_ms long, compliant boolean"
+        ),
+        stateStructType=(
+            "last_us long, not_before_us long, n_fetches long,"
+            " n_throttled long, n_missing long, n_violations long,"
+            " worst_deficit_us long, n_late long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -911,3 +911,162 @@ def test_streaming_politeness_verdicts_and_late(spark, tmp_path):
             assert (
                 final[r["host"]]["n_violations"] == r["n_violations"]
             ), r
+
+
+def test_streaming_retry_after_windows(spark, tmp_path):
+    """The stateful Retry-After ledger over two micro-batches: an
+    obeyed 30 s window, a violated 90 s window (30 s deficit), a
+    header-less throttle (missing counter, NO window installed so
+    the next fetch cannot violate), consecutive throttles where the
+    violating fetch itself installs the next window, and a LATE
+    fetch that only increments n_late; the final fold must equal a
+    sequential python replay of the same rule over the on-time rows."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from readembedability_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_retry_after,
+    )
+
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+    s = timedelta(seconds=1)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def batch(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [r[0] for r in rows],
+                    "warc_ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "html": pa.array(
+                        [b"<html/>"] * len(rows), pa.binary()
+                    ),
+                    "text": ["x"] * len(rows),
+                    "lang": ["en"] * len(rows),
+                }
+            ),
+            in_dir / name,
+        )
+        ts = 1_700_000_000 + int(name[1]) * 60
+        import os as _os
+
+        _os.utime(in_dir / name, (ts, ts))
+
+    def u(host, p):
+        return f"https://{host}.example.com{p}"
+
+    batch("b1.parquet", [
+        (u("obey", "/ra30/a"), t0),
+        (u("obey", "/ok/b"), t0 + 60 * s),          # 60 >= 30: fine
+        (u("slow", "/ra90/a"), t0),
+        (u("slow", "/ok/b"), t0 + 60 * s),          # inside 90 s window
+        (u("guess", "/ramiss/a"), t0),
+        (u("guess", "/ok/b"), t0 + 1 * s),          # no window -> fine
+        (u("relapse", "/ra90/a"), t0),
+    ])
+    batch("b2.parquet", [
+        (u("relapse", "/ra90/b"), t0 + 60 * s),     # violates AND re-arms
+        (u("relapse", "/ok/c"), t0 + 120 * s),      # inside the NEW window
+        (u("obey", "/ok/z"), t0 - 5 * s),           # LATE: behind the head
+    ])
+
+    def derive(st):
+        ra = F.regexp_extract("url", r"/ra(\d+)/", 1)
+        return st.select(
+            "url",
+            "warc_ts",
+            F.when(F.col("url").rlike("/ra"), 429)
+            .otherwise(200)
+            .cast("int")
+            .alias("status"),
+            # ANSI mode: cast('') throws — blank the non-matches first
+            F.when(ra == "", F.lit(None))
+            .otherwise(ra)
+            .cast("int")
+            .alias("retry_after_s"),
+        )
+
+    out = streaming_retry_after(
+        derive(
+            read_pages_stream(spark, str(in_dir), max_files_per_trigger=1)
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("retry_after")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        r["host"]: r
+        for r in spark.sql(
+            """select * from retry_after a
+               where n_fetches = (select max(n_fetches)
+                                  from retry_after b
+                                  where b.host = a.host)"""
+        ).collect()
+    }
+    obey = final["obey.example.com"]
+    assert (obey["n_throttled"], obey["n_violations"]) == (1, 0)
+    assert obey["n_late"] == 1 and obey["compliant"]
+    slow = final["slow.example.com"]
+    assert (slow["n_throttled"], slow["n_violations"]) == (1, 1)
+    assert slow["worst_deficit_ms"] == 30000
+    assert not slow["compliant"]
+    guess = final["guess.example.com"]
+    assert (guess["n_missing_header"], guess["n_violations"]) == (1, 0)
+    rel = final["relapse.example.com"]
+    assert (rel["n_throttled"], rel["n_violations"]) == (2, 2)
+    assert rel["worst_deficit_ms"] == 30000
+    # sequential python replay agrees per host — in ARRIVAL order
+    # (batch by batch, sorted within a batch like the fold does);
+    # late-ness is arrival-order-dependent by design
+    rows = []
+    for name in ("b1.parquet", "b2.parquet"):
+        batch_rows = sorted(
+            (
+                r["url"].split("//")[1].split("/")[0],
+                r["warc_ts"],
+                r["url"],
+            )
+            for r in spark.read.parquet(str(in_dir / name)).collect()
+        )
+        rows.extend(sorted(batch_rows, key=lambda x: (x[1], x[2])))
+    ref = {}
+    for host, ts, url in rows:
+        st = ref.setdefault(
+            host, {"last": None, "nb": None, "thr": 0, "miss": 0,
+                   "viol": 0, "late": 0, "n": 0}
+        )
+        st["n"] += 1
+        if st["last"] is not None and ts < st["last"]:
+            st["late"] += 1
+            continue
+        if st["nb"] is not None and ts < st["nb"]:
+            st["viol"] += 1
+        if "/ra" in url:
+            st["thr"] += 1
+            import re as re_
+
+            mm = re_.search(r"/ra(\d+)/", url)
+            if mm is None:
+                st["miss"] += 1
+            else:
+                st["nb"] = ts + timedelta(seconds=int(mm.group(1)))
+        st["last"] = ts
+    for host, st in ref.items():
+        r = final[host]
+        assert (
+            r["n_fetches"], r["n_throttled"], r["n_missing_header"],
+            r["n_violations"], r["n_late"],
+        ) == (st["n"], st["thr"], st["miss"], st["viol"], st["late"]), host
