@@ -288,7 +288,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_bitext_mine (T-218, integer length-ratio pairing). The 14th
 #: streaming pipeline streaming_retry_after (T-219, the stateful
 #: back-off-window enforcer) is test-verified outside oracle scope
-#: like its thirteen siblings.
+#: like its thirteen siblings. q_dom_nesting (T-220, peak running
+#: balance over the posexploded tag stream) joins the r9 promise.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

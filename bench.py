@@ -249,6 +249,7 @@ HEADLINE = [
     "q_retry_after",
     "q_robots_diff",
     "q_bitext_mine",
+    "q_dom_nesting",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -19922,3 +19922,128 @@ def q_bitext_mine(spark, sf_dir):
         .cast("long")
         .alias("usable_chars"),
     )
+
+
+@q(
+    "q_dom_nesting",
+    """
+    WITH shaped AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '<html><body><p>x</p></body></html>'
+               WHEN 1 THEN '<html><body><div><div><div>x'
+                 || '</div></div></div></body></html>'
+               WHEN 2 THEN '<html><p>a</p><p>b</p></html>'
+               ELSE '<html><body><br><img><p>t</p></body></html>'
+             END AS body
+      FROM documents),
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(body, '</?[a-z]+')) AS tok,
+             generate_subscripts(
+               regexp_extract_all(body, '</?[a-z]+'), 1) AS ord
+      FROM shaped),
+    d AS (
+      SELECT doc_id, ord,
+             CASE WHEN substr(tok, 2, 1) = '/' THEN
+               CASE WHEN substr(tok, 3) IN
+                 ('br','img','hr','meta','link','input')
+                 THEN 0 ELSE -1 END
+             ELSE
+               CASE WHEN substr(tok, 2) IN
+                 ('br','img','hr','meta','link','input')
+                 THEN 0 ELSE 1 END
+             END AS delta
+      FROM toks),
+    per_doc AS (
+      SELECT doc_id, CAST(MAX(depth) AS BIGINT) AS max_depth,
+             CAST(COUNT(*) AS BIGINT) AS n_tags
+      FROM (
+        SELECT doc_id,
+               CAST(SUM(delta) OVER (
+                 PARTITION BY doc_id ORDER BY ord) AS BIGINT)
+                 AS depth
+        FROM d)
+      GROUP BY doc_id)
+    SELECT max_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tags) AS BIGINT) AS n_tags
+    FROM per_doc GROUP BY max_depth
+    """,
+)
+def q_dom_nesting(spark, sf_dir):
+    """DOM nesting-depth census — the template-complexity signal
+    that separates hand-written prose pages (shallow, few tags) from
+    framework-generated shells (a 40-deep div pyramid around two
+    sentences is a STRONG boilerplate prior, and the extractor's
+    scoring pass weights ancestors by depth): depth is a running
+    balance over the tag stream — +1 on an opening tag, -1 on a
+    close, 0 for the HTML void elements (br/img/hr/meta/link/input
+    never close, so counting their opens would inflate every page
+    that uses line breaks) — and the page's figure is the MAXIMUM of
+    that balance, not the final value (a truncated page ends
+    positive; its peak is still the real nesting).
+
+    Plan/scale: regexp tag extraction fans out via posexplode, the
+    running balance is one cumulative-sum window partitioned by
+    doc (the explode and the window share the doc key — one
+    exchange), per-doc max collapses the fan-out back, and the
+    census aggregate is bounded by the depth alphabet. At 10^10
+    docs the fan-out is ~tags-per-page x rows but never leaves the
+    doc partition between window and collapse."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    body = (
+        F.when(m == 0, F.lit("<html><body><p>x</p></body></html>"))
+        .when(
+            m == 1,
+            F.lit(
+                "<html><body><div><div><div>x"
+                "</div></div></div></body></html>"
+            ),
+        )
+        .when(m == 2, F.lit("<html><p>a</p><p>b</p></html>"))
+        .otherwise(
+            F.lit("<html><body><br><img><p>t</p></body></html>")
+        )
+    )
+    shaped = docs.select("doc_id", body.alias("body"))
+    toks = shaped.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(body, '</?[a-z]+', 0)")
+        ).alias("ord", "tok"),
+    )
+    void = ("br", "img", "hr", "meta", "link", "input")
+    d = toks.select(
+        "doc_id",
+        "ord",
+        F.when(
+            F.substring("tok", 2, 1) == "/",
+            F.when(
+                F.expr("substr(tok, 3)").isin(*void), F.lit(0)
+            ).otherwise(F.lit(-1)),
+        )
+        .otherwise(
+            F.when(
+                F.expr("substr(tok, 2)").isin(*void), F.lit(0)
+            ).otherwise(F.lit(1))
+        )
+        .alias("delta"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    per_doc = (
+        d.select(
+            "doc_id",
+            F.sum("delta").over(w).cast("long").alias("depth"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("depth").cast("long").alias("max_depth"),
+            F.count("*").cast("long").alias("n_tags"),
+        )
+    )
+    return per_doc.groupBy("max_depth").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tags").cast("long").alias("n_tags"),
+    )

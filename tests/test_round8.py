@@ -2933,3 +2933,20 @@ def test_bitext_mine_ratio_gate(spark, tmp_path):
     de_chars = sum(400 + (c % 7) * 10 + c % 9 for c in range(4))
     assert got["de"] == (4, 4, 0, de_chars)
     assert got["fr"] == (4, 0, 4, 0)
+
+
+def test_dom_nesting_depths(spark, tmp_path):
+    """One shape rotation x2: the div pyramid peaks at 5, the flat
+    page at 2, and the void elements (br/img) add ZERO depth — the
+    page that uses them still peaks at 3, with its tag count intact
+    (opens without closes counted as tags, not as depth)."""
+    rows = [(i, "t", "en", "s0", 1) for i in range(8)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_dom_nesting")
+    assert s == _oracle_rows(tmp_path, "q_dom_nesting")
+    got = {r[0]: (r[1], r[2]) for r in s}
+    # arm0 depth 3 (6 tags), arm1 depth 5 (10), arm2 depth 2 (6),
+    # arm3 depth 3 (8 tags incl. the 2 voids)
+    assert got[5] == (2, 20)
+    assert got[2] == (2, 12)
+    assert got[3] == (4, 28)
