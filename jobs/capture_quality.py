@@ -236,8 +236,11 @@ def main() -> None:
         .parquet(str(out / "host_worklist"))
     )
 
-    stats: dict = {"docs": int(v.count())}
-    for r in spark.read.parquet(str(out / "class_stats")).collect():
+    # docs total comes off the already-aggregated census rows — no
+    # extra full scan of the ledger just for one JSON field
+    cs = spark.read.parquet(str(out / "class_stats")).collect()
+    stats: dict = {"docs": sum(int(r["n_docs"]) for r in cs)}
+    for r in cs:
         stats[f"n_{r['verdict']}"] = int(r["n_docs"])
     wl = spark.read.parquet(str(out / "host_worklist"))
     stats["hosts"] = int(wl.count())

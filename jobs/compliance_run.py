@@ -43,16 +43,16 @@ def rulesets(spark):
     """The robots dimension: three ruleset groups — an Allow override
     inside a disallowed subtree, a blanket Disallow pierced by one
     Allow, and an empty (default-allow) group. Broadcast-sized by
-    construction, exactly like a real curated robots snapshot."""
+    construction, exactly like a real curated robots snapshot. Built
+    from the SHARED module-level snapshot so the gate query,
+    q_robots_diff's before-set and this job can never drift."""
+    from readembedability_spark.textops import (
+        ROBOTS_RULES_SCHEMA,
+        ROBOTS_RULES_SNAPSHOT,
+    )
+
     return spark.createDataFrame(
-        [
-            (0, "/private/", 0),
-            (0, "/private/public/", 1),
-            (0, "/tmp", 0),
-            (1, "/", 0),
-            (1, "/articles/", 1),
-        ],
-        "g long, pattern string, is_allow int",
+        ROBOTS_RULES_SNAPSHOT, ROBOTS_RULES_SCHEMA
     )
 
 

@@ -853,11 +853,18 @@ def streaming_politeness(
 
 
 def streaming_retry_after(fetches_stream: DataFrame) -> DataFrame:
-    """Stateful Retry-After enforcement (the streaming maintainer of
-    q_retry_after's per-host back-off ledger): the input stream
-    carries (url, warc_ts, status, retry_after_s) and each host's
-    state holds the ACTIVE back-off window — the not-before
-    timestamp the last 429/503 demanded — plus the fold counters.
+    """Stateful Retry-After enforcement (the streaming counterpart of
+    q_retry_after's per-host back-off ledger — STRICTER by design,
+    not a row-identical maintainer: the batch op judges only the
+    single next fetch after each throttle via lead(), while this
+    fold judges EVERY fetch that lands inside the active window, so
+    two quick follow-ups after one 429 count twice here and once in
+    batch; the counts coincide exactly when at most one fetch falls
+    inside each window, e.g. whenever retry_after < 2x the fetch
+    cadence): the input stream carries (url, warc_ts, status,
+    retry_after_s) and each host's state holds the ACTIVE back-off
+    window — the not-before timestamp the last 429/503 demanded —
+    plus the fold counters.
     Every on-time fetch is first judged against the active window
     (arriving inside it is a violation, and the deficit is how far
     inside), then, if it is itself a throttle response, either

@@ -16914,6 +16914,21 @@ def q_ndcg_eval(spark, sf_dir):
     )
 
 
+#: The synthesized robots snapshot every python consumer shares —
+#: the q_robots_precedence gate, q_robots_diff's before-set and
+#: jobs/compliance_run.py's dimension all build from THIS list. The
+#: SQL oracles inline the same five rows as VALUES (SQL cannot
+#: import); an edit here must update those VALUES lists in step.
+ROBOTS_RULES_SNAPSHOT = [
+    (0, "/private/", 0),
+    (0, "/private/public/", 1),
+    (0, "/tmp", 0),
+    (1, "/", 0),
+    (1, "/articles/", 1),
+]
+ROBOTS_RULES_SCHEMA = "g long, pattern string, is_allow int"
+
+
 def robots_verdicts_from(urls, rules, uid="event_id"):
     """Shared RFC 9309 longest-match core (q_robots_precedence's
     exact plan), reused by jobs/compliance_run.py over real fetch
@@ -17026,14 +17041,7 @@ def q_robots_precedence(spark, sf_dir):
     skew; the rollup collapses onto the bounded rule alphabet."""
     ev = _t(spark, sf_dir, "events")
     rules = spark.createDataFrame(
-        [
-            (0, "/private/", 0),
-            (0, "/private/public/", 1),
-            (0, "/tmp", 0),
-            (1, "/", 0),
-            (1, "/articles/", 1),
-        ],
-        "g long, pattern string, is_allow int",
+        ROBOTS_RULES_SNAPSHOT, ROBOTS_RULES_SCHEMA
     )
     m = F.col("event_id") % 6
     path = (
@@ -19770,14 +19778,7 @@ def q_robots_diff(spark, sf_dir):
         .alias("path"),
     )
     rules_before = spark.createDataFrame(
-        [
-            (0, "/private/", 0),
-            (0, "/private/public/", 1),
-            (0, "/tmp", 0),
-            (1, "/", 0),
-            (1, "/articles/", 1),
-        ],
-        "g long, pattern string, is_allow int",
+        ROBOTS_RULES_SNAPSHOT, ROBOTS_RULES_SCHEMA
     )
     rules_after = spark.createDataFrame(
         [
@@ -19787,7 +19788,7 @@ def q_robots_diff(spark, sf_dir):
             (1, "/articles/", 1),
             (1, "/index.html", 1),
         ],
-        "g long, pattern string, is_allow int",
+        ROBOTS_RULES_SCHEMA,
     )
     before = robots_verdicts_from(urls, rules_before).select(
         "event_id", F.col("verdict").alias("v_before")
@@ -19885,9 +19886,12 @@ def q_bitext_mine(spark, sf_dir):
         .when(p == 2, F.lit("fr"))
         .otherwise(F.lit("en"))
         .alias("lang"),
+        # the fr stub derives from the SAME base_len expression the
+        # en/de arms use (base_len is always a multiple of 10, so
+        # the /5 is exact) — one formula source for the 5x invariant
         F.when(p == 0, base_len)
         .when(p == 1, base_len + cluster % 9)
-        .when(p == 2, F.expr("(400 + (doc_id DIV 4) % 7 * 10) DIV 5"))
+        .when(p == 2, (base_len / 5).cast("long"))
         .otherwise(F.lit(120))
         .cast("long")
         .alias("n_chars_t"),
