@@ -289,7 +289,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: streaming pipeline streaming_retry_after (T-219, the stateful
 #: back-off-window enforcer) is test-verified outside oracle scope
 #: like its thirteen siblings. q_dom_nesting (T-220, peak running
-#: balance over the posexploded tag stream) joins the r9 promise.
+#: balance over the posexploded tag stream) joins the r9 promise,
+#: as do q_split_leakage (T-221, doc-hash vs host-hash contrast)
+#: and q_instruction_detect (T-222, SFT-mining format census).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -250,6 +250,8 @@ HEADLINE = [
     "q_robots_diff",
     "q_bitext_mine",
     "q_dom_nesting",
+    "q_split_leakage",
+    "q_instruction_detect",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

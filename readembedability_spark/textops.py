@@ -20051,3 +20051,228 @@ def q_dom_nesting(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tags").cast("long").alias("n_tags"),
     )
+
+
+@q(
+    "q_split_leakage",
+    """
+    WITH docs AS (
+      SELECT doc_id, doc_id % 50 AS host,
+             CAST(100 + doc_id % 37 AS BIGINT) AS n_toks,
+             doc_id % 7 = 0 AS eval_doc_hash,
+             (doc_id % 50) % 10 = 0 AS eval_host_hash
+      FROM documents),
+    unpivoted AS (
+      SELECT host, n_toks, 'doc-hash' AS strategy,
+             eval_doc_hash AS is_eval FROM docs
+      UNION ALL
+      SELECT host, n_toks, 'host-hash', eval_host_hash FROM docs),
+    per_host AS (
+      SELECT strategy, host,
+             CAST(COALESCE(SUM(CASE WHEN is_eval THEN 1 END), 0)
+                  AS BIGINT) AS n_eval,
+             CAST(COALESCE(SUM(CASE WHEN NOT is_eval THEN 1 END), 0)
+                  AS BIGINT) AS n_train,
+             CAST(COALESCE(SUM(CASE WHEN is_eval
+                  THEN n_toks END), 0) AS BIGINT) AS eval_toks
+      FROM unpivoted GROUP BY strategy, host)
+    SELECT strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_hosts,
+           CAST(COALESCE(SUM(CASE WHEN n_eval > 0 AND n_train > 0
+                THEN 1 END), 0) AS BIGINT) AS n_leaky_hosts,
+           CAST(COALESCE(SUM(CASE WHEN n_eval > 0 AND n_train > 0
+                THEN 1 END), 0) * 1000000 // COUNT(*) AS BIGINT)
+             AS leaky_ppm,
+           CAST(SUM(eval_toks) AS BIGINT) AS eval_toks
+    FROM per_host GROUP BY strategy
+    """,
+)
+def q_split_leakage(spark, sf_dir):
+    """Train/eval split-leakage audit — the QA gate that justifies
+    q_split_by_host's existence with a NUMBER: a doc-hash split
+    (eval = hash(doc) % k) puts sibling pages of the SAME host on
+    both sides, so a model that memorizes the host's template scores
+    inflated on eval; a host-hash split cannot leak by construction.
+    Both strategies are applied to the same corpus in one pass
+    (strategy unpivot, then a two-level aggregate: per (strategy,
+    host) eval/train presence, then per strategy the leaky-host
+    count and rate). The audit's headline is the CONTRAST — doc-hash
+    leaks on ~every multi-doc host, host-hash reads zero — plus the
+    eval token mass each strategy yields (the budget the leak-free
+    split must still meet).
+
+    Plan/scale: the unpivot doubles rows BEFORE the heavy exchange,
+    but the first aggregate collapses to (strategy x hosts) — the
+    second is bounded by 2 rows; map-side partials absorb the
+    doubling inside the scan task."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        (F.col("doc_id") % 50).alias("host"),
+        (100 + F.col("doc_id") % 37).cast("long").alias("n_toks"),
+        # 7 is COPRIME with the 50-host key — doc_id % 10 would make
+        # every host all-eval or all-train (gcd(50,10)=10, the dead-
+        # class trap) and the leak the audit exists to expose would
+        # never fire in the synthesis
+        (F.col("doc_id") % 7 == 0).alias("eval_doc_hash"),
+        ((F.col("doc_id") % 50) % 10 == 0).alias("eval_host_hash"),
+    )
+    unpivoted = base.select(
+        "host",
+        "n_toks",
+        F.expr(
+            "stack(2, 'doc-hash', eval_doc_hash,"
+            " 'host-hash', eval_host_hash) AS (strategy, is_eval)"
+        ),
+    )
+    per_host = unpivoted.groupBy("strategy", "host").agg(
+        F.coalesce(F.sum(F.when(F.col("is_eval"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_eval"),
+        F.coalesce(F.sum(F.when(~F.col("is_eval"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_train"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_eval"), F.col("n_toks"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("eval_toks"),
+    )
+    leaky = (F.col("n_eval") > 0) & (F.col("n_train") > 0)
+    return per_host.groupBy("strategy").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.coalesce(F.sum(F.when(leaky, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_leaky_hosts"),
+        F.expr(
+            "COALESCE(SUM(CASE WHEN n_eval > 0 AND n_train > 0"
+            " THEN 1 END), 0) * 1000000 DIV COUNT(*)"
+        )
+        .cast("long")
+        .alias("leaky_ppm"),
+        F.sum("eval_toks").cast("long").alias("eval_toks"),
+    )
+
+
+@q(
+    "q_instruction_detect",
+    """
+    WITH shaped AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 1 THEN 'Q: how do I bake? A: slowly.'
+                 || ' Q: how long? A: an hour.'
+               WHEN 2 THEN 'Step 1. Preheat the oven.'
+                 || ' Step 2. Mix the batter. Step 3. Bake.'
+               WHEN 3 THEN '> the previous poster said this'
+                 || chr(10) || 'I agree with the quoted take.'
+               WHEN 4 THEN 'FAQ about baking. Q: really? A: yes.'
+               ELSE text END AS body
+      FROM documents),
+    sig AS (
+      SELECT doc_id, length(body) AS n_chars,
+             CAST(len(regexp_extract_all(body, 'Q: ')) AS BIGINT)
+               AS n_q,
+             CAST(len(regexp_extract_all(body, 'Step [0-9]+\\.'))
+               AS BIGINT) AS n_steps,
+             starts_with(body, '>')
+               OR body LIKE '%' || chr(10) || '>%' AS has_quote,
+             body LIKE '%FAQ%' AS has_faq
+      FROM shaped),
+    cls AS (
+      SELECT n_chars, n_q,
+             CASE WHEN n_q >= 2 OR (has_faq AND n_q >= 1)
+                    THEN 'qa-format'
+                  WHEN n_steps >= 2 THEN 'howto'
+                  WHEN has_quote THEN 'forum'
+                  ELSE 'prose' END AS format_class
+      FROM sig)
+    SELECT format_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_q) AS BIGINT) AS n_qa_pairs,
+           CAST(COALESCE(SUM(CASE WHEN format_class IN
+                ('qa-format', 'howto') THEN n_chars END), 0)
+                AS BIGINT) AS sft_yield_chars
+    FROM cls GROUP BY format_class
+    """,
+)
+def q_instruction_detect(spark, sf_dir):
+    """Instruction-format detection — the SFT-mining pre-filter that
+    finds the naturally-instructional slice of a web corpus (Q&A
+    pages and step-by-step how-tos convert to instruction-tuning
+    pairs almost mechanically; forum-quote threads need a different
+    unroller; plain prose needs synthetic instruction generation):
+    format classes by precedence qa-format (two Q: markers, or one
+    under an explicit FAQ header — the single-question FAQ page is
+    real and must not fall to prose) > howto (two numbered steps) >
+    forum (a line-leading quote marker) > prose. sft_yield_chars
+    totals the directly-convertible mass — the number the SFT data
+    budget is planned against.
+
+    Plan/scale: two literal-pattern counts + two probes in one
+    codegen'd projection; ONE hash aggregate on the 4-class key."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    body = (
+        F.when(
+            m == 1,
+            F.lit(
+                "Q: how do I bake? A: slowly."
+                " Q: how long? A: an hour."
+            ),
+        )
+        .when(
+            m == 2,
+            F.lit(
+                "Step 1. Preheat the oven."
+                " Step 2. Mix the batter. Step 3. Bake."
+            ),
+        )
+        .when(
+            m == 3,
+            F.lit(
+                "> the previous poster said this\n"
+                "I agree with the quoted take."
+            ),
+        )
+        .when(m == 4, F.lit("FAQ about baking. Q: really? A: yes."))
+        .otherwise(F.col("text"))
+    )
+    sig = docs.select(
+        F.length(body).alias("n_chars"),
+        F.regexp_count(body, F.lit("Q: ")).cast("long").alias("n_q"),
+        F.regexp_count(body, F.lit(r"Step [0-9]+\."))
+        .cast("long")
+        .alias("n_steps"),
+        (
+            body.startswith(">") | body.contains("\n>")
+        ).alias("has_quote"),
+        body.contains("FAQ").alias("has_faq"),
+    )
+    cls = sig.select(
+        "n_chars",
+        "n_q",
+        F.when(
+            (F.col("n_q") >= 2)
+            | (F.col("has_faq") & (F.col("n_q") >= 1)),
+            "qa-format",
+        )
+        .when(F.col("n_steps") >= 2, "howto")
+        .when(F.col("has_quote"), "forum")
+        .otherwise("prose")
+        .alias("format_class"),
+    )
+    return cls.groupBy("format_class").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_q").cast("long").alias("n_qa_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("format_class").isin("qa-format", "howto"),
+                    F.col("n_chars"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sft_yield_chars"),
+    )

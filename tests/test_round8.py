@@ -2950,3 +2950,43 @@ def test_dom_nesting_depths(spark, tmp_path):
     assert got[5] == (2, 20)
     assert got[2] == (2, 12)
     assert got[3] == (4, 28)
+
+
+def test_split_leakage_contrast(spark, tmp_path):
+    """100 docs over 50 two-doc hosts: the doc-hash split (mod 7,
+    coprime with the host key) leaks on exactly the hosts where one
+    sibling hashes to eval (15 of 50), while the host-hash split
+    leaks on ZERO hosts by construction — the contrast the audit
+    exists to show."""
+    rows = [(i, "t", "en", "s0", 1) for i in range(100)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_split_leakage")
+    assert s == _oracle_rows(tmp_path, "q_split_leakage")
+    got = {r[0]: r[1:4] for r in s}
+    exp_leaky = sum(
+        1 for h in range(50)
+        if (h % 7 == 0) != ((h + 50) % 7 == 0)
+    )
+    assert exp_leaky == 15
+    assert got["doc-hash"] == (50, 15, 15 * 1000000 // 50)
+    assert got["host-hash"] == (50, 0, 0)
+
+
+def test_instruction_detect_classes(spark, tmp_path):
+    """One shape rotation x2: the two-question page and the
+    single-question FAQ page BOTH land in qa-format (the FAQ header
+    rescues the single question from prose), numbered steps make
+    howto, the line-leading quote makes forum, and sft yield counts
+    only the mechanically-convertible classes."""
+    rows = [
+        (i, "plain prose long enough to matter", "en", "s0", 33)
+        for i in range(10)
+    ]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_instruction_detect")
+    assert s == _oracle_rows(tmp_path, "q_instruction_detect")
+    got = {r[0]: r[1:3] for r in s}
+    assert got["qa-format"] == (4, 6)   # 2x(2 Q:) + 2x(1 Q:)
+    assert got["howto"] == (2, 0)
+    assert got["forum"] == (2, 0)
+    assert got["prose"] == (2, 0)
