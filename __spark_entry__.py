@@ -290,8 +290,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: back-off-window enforcer) is test-verified outside oracle scope
 #: like its thirteen siblings. q_dom_nesting (T-220, peak running
 #: balance over the posexploded tag stream) joins the r9 promise,
-#: as do q_split_leakage (T-221, doc-hash vs host-hash contrast)
-#: and q_instruction_detect (T-222, SFT-mining format census).
+#: as do q_split_leakage (T-221, doc-hash vs host-hash contrast),
+#: q_instruction_detect (T-222, SFT-mining format census),
+#: q_script_mix (T-223, homoglyph adjacency) and q_status_flap
+#: (T-224, transition-counting retry-policy selector).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -252,6 +252,8 @@ HEADLINE = [
     "q_dom_nesting",
     "q_split_leakage",
     "q_instruction_detect",
+    "q_script_mix",
+    "q_status_flap",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -20276,3 +20276,234 @@ def q_instruction_detect(spark, sf_dir):
         .cast("long")
         .alias("sft_yield_chars"),
     )
+
+
+@q(
+    "q_script_mix",
+    """
+    WITH shaped AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 1 THEN '\u4e2d\u6587\u6587\u6863\u5185\u5bb9'
+               WHEN 2 THEN '\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440'
+               WHEN 3 THEN 'p\u0430yp\u0430l account login'
+               WHEN 4 THEN '12345 67890 !!'
+               ELSE text END AS body
+      FROM documents),
+    sig AS (
+      SELECT doc_id, length(body) AS n_chars,
+             length(body) - length(regexp_replace(body,
+               '[A-Za-z]', '', 'g')) AS n_latin,
+             length(body) - length(regexp_replace(body,
+               '[\u0400-\u04ff]', '', 'g')) AS n_cyr,
+             length(body) - length(regexp_replace(body,
+               '[\u4e00-\u9fff]', '', 'g')) AS n_cjk,
+             regexp_matches(body,
+               '[A-Za-z][\u0400-\u04ff]|[\u0400-\u04ff][A-Za-z]') AS homoglyph
+      FROM shaped),
+    cls AS (
+      SELECT n_chars,
+             CASE WHEN homoglyph THEN 'mixed-homoglyph'
+                  WHEN n_cjk > 0 THEN 'cjk'
+                  WHEN n_cyr > 0 THEN 'cyrillic'
+                  WHEN n_latin > 0 THEN 'latin'
+                  ELSE 'other' END AS script_class
+      FROM sig)
+    SELECT script_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM cls GROUP BY script_class
+    """,
+)
+def q_script_mix(spark, sf_dir):
+    """Script-mix census with homoglyph detection \u2014 the spoofing
+    gate the language-ID pass cannot provide (langid reads
+    DISTRIBUTIONS; a phishing page that spells a latin brand word
+    with a Cyrillic '\\u0430' inside it is distributionally latin and
+    lexically a weapon): per-document char counts for the latin,
+    Cyrillic and CJK ranges via regexp_replace length arithmetic,
+    plus the ADJACENCY probe \u2014 a latin letter directly touching a
+    Cyrillic one inside the same word is the homoglyph signature,
+    and it OUTRANKS every honest script class (an honest bilingual
+    page separates its scripts with spacing/punctuation; only
+    spoofing interleaves them). Remaining precedence cjk > cyrillic
+    > latin > other (digits/punctuation only). All non-ASCII
+    pattern/literal codepoints are \\u-escaped in source.
+
+    Plan/scale: three range-replace lengths + one adjacency regexp
+    in a codegen'd projection; ONE hash aggregate on the 5-class
+    key."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    body = (
+        F.when(m == 1, F.lit("\u4e2d\u6587\u6587\u6863\u5185\u5bb9"))
+        .when(m == 2, F.lit("\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"))
+        .when(m == 3, F.lit("p\u0430yp\u0430l account login"))
+        .when(m == 4, F.lit("12345 67890 !!"))
+        .otherwise(F.col("text"))
+    )
+    sig = docs.select(
+        F.length(body).alias("n_chars"),
+        (
+            F.length(body)
+            - F.length(F.regexp_replace(body, "[A-Za-z]", ""))
+        ).alias("n_latin"),
+        (
+            F.length(body)
+            - F.length(F.regexp_replace(body, "[\u0400-\u04ff]", ""))
+        ).alias("n_cyr"),
+        (
+            F.length(body)
+            - F.length(F.regexp_replace(body, "[\u4e00-\u9fff]", ""))
+        ).alias("n_cjk"),
+        body.rlike("[A-Za-z][\u0400-\u04ff]|[\u0400-\u04ff][A-Za-z]").alias(
+            "homoglyph"
+        ),
+    )
+    cls = sig.select(
+        "n_chars",
+        F.when(F.col("homoglyph"), "mixed-homoglyph")
+        .when(F.col("n_cjk") > 0, "cjk")
+        .when(F.col("n_cyr") > 0, "cyrillic")
+        .when(F.col("n_latin") > 0, "latin")
+        .otherwise("other")
+        .alias("script_class"),
+    )
+    return cls.groupBy("script_class").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@q(
+    "q_status_flap",
+    """
+    WITH fetches AS (
+      SELECT event_id % 6 AS host,
+             CAST(event_id // 6 AS BIGINT) AS k,
+             CASE
+               WHEN (event_id % 6) % 4 = 0 THEN 200
+               WHEN (event_id % 6) % 4 = 1 THEN 500
+               WHEN (event_id % 6) % 4 = 2 THEN
+                 CASE WHEN (event_id // 6) % 2 = 0
+                   THEN 200 ELSE 500 END
+               WHEN event_id // 6 = 0 THEN 500
+               ELSE 200 END AS status
+      FROM events),
+    lagged AS (
+      SELECT host, status,
+             lag(status) OVER (PARTITION BY host ORDER BY k)
+               AS prev_status
+      FROM fetches),
+    per_host AS (
+      SELECT host,
+             CAST(COUNT(*) AS BIGINT) AS n_fetches,
+             CAST(COALESCE(SUM(CASE WHEN status >= 500 THEN 1 END),
+                  0) AS BIGINT) AS n_errors,
+             CAST(COALESCE(SUM(CASE WHEN prev_status IS NOT NULL
+                  AND status <> prev_status THEN 1 END), 0)
+                  AS BIGINT) AS n_transitions
+      FROM lagged GROUP BY host),
+    cls AS (
+      SELECT host, n_fetches, n_errors, n_transitions,
+             CASE WHEN n_transitions * 4 >= n_fetches
+                    THEN 'flapping'
+                  WHEN n_errors * 2 > n_fetches THEN 'hard-down'
+                  WHEN n_errors > 0 THEN 'degraded'
+                  ELSE 'healthy' END AS stability
+      FROM per_host)
+    SELECT stability,
+           CAST(COUNT(*) AS BIGINT) AS n_hosts,
+           CAST(SUM(n_transitions) AS BIGINT) AS n_transitions,
+           CAST(SUM(n_errors) * 1000000 // SUM(n_fetches)
+                AS BIGINT) AS error_ppm
+    FROM cls GROUP BY stability
+    """,
+)
+def q_status_flap(spark, sf_dir):
+    """Host status-flap detection — the retry-policy selector the
+    error RATE alone cannot drive (a host at 50% errors that
+    alternates per fetch needs immediate retry — the next attempt
+    likely succeeds; a host at 50% because it died halfway needs
+    BACKOFF — retrying burns budget): per host, a lag window counts
+    status TRANSITIONS in fetch order, and the class precedence is
+    flapping (transitions >= a quarter of fetches — the alternation
+    signature) > hard-down (majority errors, few transitions) >
+    degraded (any errors) > healthy. The synthesis keeps ALL FOUR
+    arms live: an always-200 host, an always-500 host (zero
+    transitions — rate says down, flap says stable-down), a
+    per-fetch alternator, and a first-fetch-only error host
+    (degraded; the error rule is deliberately non-periodic — a
+    k-periodic error would accrue transitions proportional to n and
+    flip to flapping at scale).
+
+    Plan/scale: the lag window and the per-host aggregate share ONE
+    host-keyed exchange (window partition = groupBy key); the final
+    stability census is bounded by the 4-class alphabet."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.col("event_id") % 6
+    k = F.expr("event_id DIV 6")
+    fetches = ev.select(
+        h.alias("host"),
+        k.cast("long").alias("k"),
+        # kind 3 (degraded) errors ONLY on its first fetch — a
+        # k-periodic error rule would accumulate transitions
+        # proportional to n and misclassify as flapping at scale
+        F.when(h % 4 == 0, F.lit(200))
+        .when(h % 4 == 1, F.lit(500))
+        .when(
+            h % 4 == 2,
+            F.when(k % 2 == 0, F.lit(200)).otherwise(F.lit(500)),
+        )
+        .when(k == 0, F.lit(500))
+        .otherwise(F.lit(200))
+        .alias("status"),
+    )
+    w = Window.partitionBy("host").orderBy("k")
+    lagged = fetches.select(
+        "host",
+        "status",
+        F.lag("status").over(w).alias("prev_status"),
+    )
+    per_host = lagged.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.coalesce(
+            F.sum(F.when(F.col("status") >= 500, 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_errors"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("prev_status").isNotNull()
+                    & (F.col("status") != F.col("prev_status")),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_transitions"),
+    )
+    cls = per_host.select(
+        "n_fetches",
+        "n_errors",
+        "n_transitions",
+        F.when(
+            F.col("n_transitions") * 4 >= F.col("n_fetches"),
+            "flapping",
+        )
+        .when(F.col("n_errors") * 2 > F.col("n_fetches"), "hard-down")
+        .when(F.col("n_errors") > 0, "degraded")
+        .otherwise("healthy")
+        .alias("stability"),
+    )
+    return cls.groupBy("stability").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum("n_transitions").cast("long").alias("n_transitions"),
+        F.expr(
+            "SUM(n_errors) * 1000000 DIV SUM(n_fetches)"
+        )
+        .cast("long")
+        .alias("error_ppm"),
+    )

@@ -2990,3 +2990,41 @@ def test_instruction_detect_classes(spark, tmp_path):
     assert got["howto"] == (2, 0)
     assert got["forum"] == (2, 0)
     assert got["prose"] == (2, 0)
+
+
+def test_script_mix_homoglyph(spark, tmp_path):
+    """One shape rotation x2: the interleaved Cyrillic-a brand word
+    outranks every honest script class, honest CJK/Cyrillic pages
+    classify by range counts, digits-and-punctuation lands in
+    other, and plain corpus text stays latin."""
+    rows = [
+        (i, "plain latin corpus text", "en", "s0", 24)
+        for i in range(10)
+    ]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_script_mix")
+    assert s == _oracle_rows(tmp_path, "q_script_mix")
+    got = {r[0]: r[1] for r in s}
+    assert got == {"latin": 2, "cjk": 2, "cyrillic": 2,
+                   "mixed-homoglyph": 2, "other": 2}
+
+
+def test_status_flap_classes(spark, tmp_path):
+    """36 fetches over 6 hosts x 6 each — ALL FOUR classes live: the
+    always-200 pair is healthy, the always-500 pair is hard-down
+    with ZERO transitions (rate says down, flap says stable — the
+    backoff case), the per-fetch alternator is flapping with 5
+    transitions (the immediate-retry case), and the
+    first-fetch-only error host is degraded with exactly one
+    transition (non-periodic by design — a periodic error rule
+    would flip to flapping as n grows)."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(36)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_status_flap")
+    assert s == _oracle_rows(tmp_path, "q_status_flap")
+    got = {r[0]: r[1:] for r in s}
+    assert got["healthy"] == (2, 0, 0)
+    assert got["hard-down"] == (2, 0, 1000000)
+    assert got["flapping"] == (1, 5, 500000)
+    assert got["degraded"] == (1, 1, 1000000 // 6)
