@@ -292,8 +292,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: balance over the posexploded tag stream) joins the r9 promise,
 #: as do q_split_leakage (T-221, doc-hash vs host-hash contrast),
 #: q_instruction_detect (T-222, SFT-mining format census),
-#: q_script_mix (T-223, homoglyph adjacency) and q_status_flap
-#: (T-224, transition-counting retry-policy selector).
+#: q_script_mix (T-223, homoglyph adjacency), q_status_flap
+#: (T-224, transition-counting retry-policy selector),
+#: q_render_need (T-225, SPA-shell fork), q_hidden_text (T-226,
+#: keyword-stuffing gate) and q_cdn_detect (T-227, edge-provider
+#: census with the chained marginal).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -254,6 +254,9 @@ HEADLINE = [
     "q_instruction_detect",
     "q_script_mix",
     "q_status_flap",
+    "q_render_need",
+    "q_hidden_text",
+    "q_cdn_detect",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

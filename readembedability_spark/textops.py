@@ -20507,3 +20507,400 @@ def q_status_flap(spark, sf_dir):
         .cast("long")
         .alias("error_ppm"),
     )
+
+
+@q(
+    "q_render_need",
+    """
+    WITH pages AS (
+      SELECT event_id % 9 AS host,
+             CASE event_id % 5
+               WHEN 0 THEN '<html><body><article>'
+                 || repeat('Readable paragraph text. ', 10)
+                 || '</article></body></html>'
+               WHEN 1 THEN '<html><body><div id="root"></div>'
+                 || '<script src="/app.js"></script>'
+                 || '<script src="/vendor.js"></script>'
+                 || '</body></html>'
+               WHEN 2 THEN '<html><body><div id="root"></div>'
+                 || '<noscript>Enable JS to view this site.'
+                 || '</noscript><script src="/b.js"></script>'
+                 || '</body></html>'
+               WHEN 3 THEN '<html><body><p>'
+                 || repeat('Some server text. ', 5)
+                 || '</p><script src="/enhance.js"></script>'
+                 || '</body></html>'
+               ELSE '<html><body><article>'
+                 || repeat('Server-rendered article text. ', 10)
+                 || '</article><script src="/analytics.js">'
+                 || '</script></body></html>'
+             END AS html
+      FROM events),
+    sig AS (
+      SELECT host,
+             length(regexp_replace(regexp_replace(html,
+               '<script[^<]*</script>|<script[^>]*>', '', 'g'),
+               '<[^>]*>', '', 'g')) AS text_chars,
+             CAST(len(regexp_extract_all(html, '<script'))
+               AS BIGINT) AS n_scripts,
+             regexp_matches(html,
+               '<div id="root">\\s*</div>') AS empty_root,
+             html LIKE '%<noscript>%' AS has_noscript
+      FROM pages)
+    SELECT CASE WHEN empty_root AND text_chars < 60
+                  THEN 'spa-shell'
+                WHEN n_scripts > 0 AND text_chars < 200
+                  THEN 'hybrid'
+                WHEN n_scripts > 0 THEN 'enhanced-static'
+                ELSE 'static' END AS render_class,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COALESCE(SUM(CASE WHEN has_noscript THEN 1 END), 0)
+                AS BIGINT) AS n_noscript,
+           CAST(SUM(text_chars) AS BIGINT) AS text_chars,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM sig GROUP BY 1
+    """,
+)
+def q_render_need(spark, sf_dir):
+    """Render-need detection — the crawl-economics fork that decides
+    which urls go to the cheap HTTP fetcher and which to the
+    100x-costlier headless-browser pool: a page whose served HTML is
+    an empty framework mount point ('<div id="root"></div>') with
+    almost no text OUTSIDE scripts is a SPA shell — fetching it
+    without rendering archives nothing. Text mass is measured after
+    stripping script bodies THEN all tags (script JS would otherwise
+    count as text and hide the shell); the noscript marginal is
+    tracked because a noscript fallback sometimes carries enough to
+    skip rendering. Classes: spa-shell (empty root + text < 60) >
+    hybrid (scripts + thin text) > enhanced-static > static.
+
+    Plan/scale: two nested regexp_replace passes + a literal count
+    in one codegen'd projection; ONE hash aggregate on the 4-class
+    key. At 10^10 pages this classification is what keeps the
+    render-pool queue 10-100x smaller than the fetch queue."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 5
+    html = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("<html><body><article>"),
+                F.expr("repeat('Readable paragraph text. ', 10)"),
+                F.lit("</article></body></html>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.lit(
+                '<html><body><div id="root"></div>'
+                '<script src="/app.js"></script>'
+                '<script src="/vendor.js"></script>'
+                "</body></html>"
+            ),
+        )
+        .when(
+            m == 2,
+            F.lit(
+                '<html><body><div id="root"></div>'
+                "<noscript>Enable JS to view this site."
+                '</noscript><script src="/b.js"></script>'
+                "</body></html>"
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.expr("repeat('Some server text. ', 5)"),
+                F.lit('</p><script src="/enhance.js"></script>'),
+                F.lit("</body></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<html><body><article>"),
+                F.expr("repeat('Server-rendered article text. ', 10)"),
+                F.lit('</article><script src="/analytics.js">'),
+                F.lit("</script></body></html>"),
+            )
+        )
+    )
+    sig = ev.select(
+        (F.col("event_id") % 9).alias("host"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(
+                    html,
+                    r"<script[^<]*</script>|<script[^>]*>",
+                    "",
+                ),
+                "<[^>]*>",
+                "",
+            )
+        ).alias("text_chars"),
+        F.regexp_count(html, F.lit("<script"))
+        .cast("long")
+        .alias("n_scripts"),
+        html.rlike(r'<div id="root">\s*</div>').alias("empty_root"),
+        html.contains("<noscript>").alias("has_noscript"),
+    )
+    cls = sig.select(
+        "host",
+        "text_chars",
+        "has_noscript",
+        F.when(
+            F.col("empty_root") & (F.col("text_chars") < 60),
+            "spa-shell",
+        )
+        .when(
+            (F.col("n_scripts") > 0) & (F.col("text_chars") < 200),
+            "hybrid",
+        )
+        .when(F.col("n_scripts") > 0, "enhanced-static")
+        .otherwise("static")
+        .alias("render_class"),
+    )
+    return cls.groupBy("render_class").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.coalesce(F.sum(F.when(F.col("has_noscript"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_noscript"),
+        F.sum("text_chars").cast("long").alias("text_chars"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+
+
+@q(
+    "q_hidden_text",
+    """
+    WITH shaped AS (
+      SELECT doc_id,
+             'Visible article text that a reader actually sees.'
+             || CASE doc_id % 4
+               WHEN 1 THEN '<div style="display:none">cheap pills'
+                 || ' casino poker cheap pills casino</div>'
+               WHEN 2 THEN '<span style="font-size:0">keywords'
+                 || ' keywords keywords keywords</span>'
+               WHEN 3 THEN '<div style="visibility:hidden">x</div>'
+               ELSE '' END AS body
+      FROM documents),
+    sig AS (
+      SELECT doc_id,
+             CAST(length(regexp_extract(body,
+               'style="[^"]*(?:display:none|font-size:0'
+               || '|visibility:hidden)[^"]*">([^<]*)<', 1))
+               AS BIGINT) AS hidden_chars,
+             CAST(length(regexp_replace(body, '<[^>]*>[^<]*<[^>]*>',
+               '', 'g')) AS BIGINT) AS visible_chars
+      FROM shaped),
+    cls AS (
+      SELECT hidden_chars, visible_chars,
+             CASE WHEN hidden_chars >= 20 THEN 'stuffing'
+                  WHEN hidden_chars > 0 THEN 'hidden-minor'
+                  ELSE 'clean' END AS hidden_class
+      FROM sig)
+    SELECT hidden_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(hidden_chars) AS BIGINT) AS hidden_chars,
+           CAST(SUM(hidden_chars) * 1000000
+                // GREATEST(SUM(hidden_chars)
+                + SUM(visible_chars), 1) AS BIGINT) AS hidden_ppm
+    FROM cls GROUP BY hidden_class
+    """,
+)
+def q_hidden_text(spark, sf_dir):
+    """Hidden-text detection — the keyword-stuffing gate (SEO spam
+    hides a paragraph of money-keywords inside display:none /
+    font-size:0 / visibility:hidden blocks; the rendered page is
+    clean, the INDEXED text is poisoned, and a training corpus that
+    keeps it learns the spam vocabulary attached to innocent
+    contexts): hidden mass is the captured content of the first
+    style-hidden block (all three hiding idioms in one alternation),
+    classed stuffing (>= 20 hidden chars — a keyword list) vs
+    hidden-minor (a stray hidden element; legitimate templates do
+    this) vs clean. hidden_ppm gives the poisoned share of the
+    page's total text.
+
+    Plan/scale: one capture-group regexp + one strip in a codegen'd
+    projection; ONE hash aggregate on the 3-class key."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    body = F.concat(
+        F.lit("Visible article text that a reader actually sees."),
+        F.when(
+            m == 1,
+            F.lit(
+                '<div style="display:none">cheap pills'
+                " casino poker cheap pills casino</div>"
+            ),
+        )
+        .when(
+            m == 2,
+            F.lit(
+                '<span style="font-size:0">keywords'
+                " keywords keywords keywords</span>"
+            ),
+        )
+        .when(m == 3, F.lit('<div style="visibility:hidden">x</div>'))
+        .otherwise(F.lit("")),
+    )
+    sig = docs.select(
+        F.length(
+            F.regexp_extract(
+                body,
+                r'style="[^"]*(?:display:none|font-size:0'
+                r'|visibility:hidden)[^"]*">([^<]*)<',
+                1,
+            )
+        )
+        .cast("long")
+        .alias("hidden_chars"),
+        F.length(
+            F.regexp_replace(body, r"<[^>]*>[^<]*<[^>]*>", "")
+        )
+        .cast("long")
+        .alias("visible_chars"),
+    )
+    cls = sig.select(
+        "hidden_chars",
+        "visible_chars",
+        F.when(F.col("hidden_chars") >= 20, "stuffing")
+        .when(F.col("hidden_chars") > 0, "hidden-minor")
+        .otherwise("clean")
+        .alias("hidden_class"),
+    )
+    return cls.groupBy("hidden_class").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("hidden_chars").cast("long").alias("hidden_chars"),
+        F.expr(
+            "SUM(hidden_chars) * 1000000 DIV"
+            " GREATEST(SUM(hidden_chars) + SUM(visible_chars), 1)"
+        )
+        .cast("long")
+        .alias("hidden_ppm"),
+    )
+
+
+@q(
+    "q_cdn_detect",
+    """
+    WITH resp AS (
+      SELECT event_id % 11 AS host,
+             CASE event_id % 6
+               WHEN 0 THEN 'server: cloudflare' || chr(10)
+                 || 'cf-ray: 8a2f1c'
+               WHEN 1 THEN 'via: 1.1 varnish' || chr(10)
+                 || 'x-served-by: cache-ams1'
+               WHEN 2 THEN 'x-amz-cf-id: abc123' || chr(10)
+                 || 'via: 1.1 xyz.cloudfront.net (CloudFront)'
+               WHEN 3 THEN 'x-akamai-transformed: 9 1234 0'
+               WHEN 4 THEN 'server: nginx'
+               ELSE 'server: cloudflare' || chr(10)
+                 || 'x-amz-cf-id: chained456'
+             END AS headers
+      FROM events),
+    sig AS (
+      SELECT host,
+             headers LIKE '%cloudflare%'
+               OR headers LIKE '%cf-ray%' AS is_cf,
+             headers LIKE '%x-akamai-%' AS is_ak,
+             headers LIKE '%x-served-by%'
+               OR headers LIKE '%1.1 varnish%' AS is_fastly,
+             headers LIKE '%x-amz-cf-id%'
+               OR headers LIKE '%cloudfront.net%' AS is_cfront
+      FROM resp),
+    cls AS (
+      SELECT host,
+             CASE WHEN is_cf THEN 'cloudflare'
+                  WHEN is_ak THEN 'akamai'
+                  WHEN is_fastly THEN 'fastly'
+                  WHEN is_cfront THEN 'cloudfront'
+                  ELSE '(origin)' END AS cdn,
+             CAST(CASE WHEN is_cf THEN 1 ELSE 0 END
+                + CASE WHEN is_ak THEN 1 ELSE 0 END
+                + CASE WHEN is_fastly THEN 1 ELSE 0 END
+                + CASE WHEN is_cfront THEN 1 ELSE 0 END
+                AS BIGINT) >= 2 AS chained
+      FROM sig)
+    SELECT cdn,
+           CAST(COUNT(*) AS BIGINT) AS n_responses,
+           CAST(COALESCE(SUM(CASE WHEN chained THEN 1 END), 0)
+                AS BIGINT) AS n_chained,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM cls GROUP BY cdn
+    """,
+)
+def q_cdn_detect(spark, sf_dir):
+    """CDN fingerprinting — the infrastructure census the politeness
+    scheduler reads differently from the host census (a thousand
+    hostnames behind one CDN POP share real capacity; per-host
+    delays against an edge cache are over-cautious, and a CDN-level
+    block is a different incident than an origin block): provider
+    classified from the response-header signature families
+    (cloudflare server/cf-ray, akamai x-akamai-*, fastly
+    x-served-by/varnish via, cloudfront x-amz-cf-id). Multi-CDN
+    chaining (an edge in front of an origin shield) is real — the
+    class names the EDGE (precedence order), and the chained
+    marginal counts responses wearing two providers' signatures.
+
+    Plan/scale: LIKE probes in one codegen'd projection; ONE hash
+    aggregate on the provider alphabet."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 6
+    headers = (
+        F.when(m == 0, F.lit("server: cloudflare\ncf-ray: 8a2f1c"))
+        .when(
+            m == 1,
+            F.lit("via: 1.1 varnish\nx-served-by: cache-ams1"),
+        )
+        .when(
+            m == 2,
+            F.lit(
+                "x-amz-cf-id: abc123\n"
+                "via: 1.1 xyz.cloudfront.net (CloudFront)"
+            ),
+        )
+        .when(m == 3, F.lit("x-akamai-transformed: 9 1234 0"))
+        .when(m == 4, F.lit("server: nginx"))
+        .otherwise(
+            F.lit("server: cloudflare\nx-amz-cf-id: chained456")
+        )
+    )
+    sig = ev.select(
+        (F.col("event_id") % 11).alias("host"),
+        (
+            headers.contains("cloudflare") | headers.contains("cf-ray")
+        ).alias("is_cf"),
+        headers.contains("x-akamai-").alias("is_ak"),
+        (
+            headers.contains("x-served-by")
+            | headers.contains("1.1 varnish")
+        ).alias("is_fastly"),
+        (
+            headers.contains("x-amz-cf-id")
+            | headers.contains("cloudfront.net")
+        ).alias("is_cfront"),
+    )
+    cls = sig.select(
+        "host",
+        F.when(F.col("is_cf"), "cloudflare")
+        .when(F.col("is_ak"), "akamai")
+        .when(F.col("is_fastly"), "fastly")
+        .when(F.col("is_cfront"), "cloudfront")
+        .otherwise("(origin)")
+        .alias("cdn"),
+        (
+            F.col("is_cf").cast("int")
+            + F.col("is_ak").cast("int")
+            + F.col("is_fastly").cast("int")
+            + F.col("is_cfront").cast("int")
+            >= 2
+        ).alias("chained"),
+    )
+    return cls.groupBy("cdn").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.coalesce(F.sum(F.when(F.col("chained"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_chained"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )

@@ -240,3 +240,19 @@ def test_retry_after_single_exchange(spark):
     c = _op_counts(_plan(df))
     assert c["Exchange"] == 1 and c["Window"] == 1
     assert c["SortMergeJoin"] == 0 and c["BroadcastHashJoin"] == 0
+
+
+def test_dom_nesting_shares_doc_exchange(spark):
+    """The nesting census pays ONE exchange for the heavy work: the
+    cumsum window partitions on doc_id and the per-doc collapse
+    groups on the same key (rides the window's partitioning); the
+    final census aggregate is the only other exchange, bounded by
+    the depth alphabet. No joins."""
+    from readembedability_spark.textops import REGISTRY
+
+    df = REGISTRY["q_dom_nesting"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    c = _op_counts(_plan(df))
+    assert c["Exchange"] == 2 and c["Window"] == 1
+    assert c["SortMergeJoin"] == 0 and c["BroadcastHashJoin"] == 0

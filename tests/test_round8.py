@@ -3028,3 +3028,55 @@ def test_status_flap_classes(spark, tmp_path):
     assert got["hard-down"] == (2, 0, 1000000)
     assert got["flapping"] == (1, 5, 500000)
     assert got["degraded"] == (1, 1, 1000000 // 6)
+
+
+def test_render_need_classes(spark, tmp_path):
+    """One shape rotation x2 — all four classes live: both empty-root
+    arms are spa-shell (the noscript fallback text is counted but
+    stays under the shell floor, and the noscript marginal tracks
+    it), the thin-text script page is hybrid, the rich article with
+    an analytics script is enhanced-static (scripts alone never
+    demote rich text), and script JS/src never counts as text."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(10)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_render_need")
+    assert s == _oracle_rows(tmp_path, "q_render_need")
+    got = {r[0]: r[1:4] for r in s}
+    assert got["static"] == (2, 0, 500)
+    assert got["spa-shell"] == (4, 2, 2 * 28)
+    assert got["hybrid"] == (2, 0, 180)
+    assert got["enhanced-static"] == (2, 0, 600)
+
+
+def test_hidden_text_stuffing(spark, tmp_path):
+    """One shape rotation x2: both hiding idioms with keyword lists
+    land in stuffing, the one-char visibility:hidden element is
+    hidden-minor (legitimate templates do this), clean pages carry
+    zero hidden mass, and hidden_ppm is the poisoned share."""
+    rows = [(i, "t", "en", "s0", 1) for i in range(8)]
+    _write_docs(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_hidden_text")
+    assert s == _oracle_rows(tmp_path, "q_hidden_text")
+    got = {r[0]: r[1:3] for r in s}
+    assert got["stuffing"][0] == 4 and got["stuffing"][1] == 2 * (43 + 35)
+    assert got["hidden-minor"] == (2, 2)
+    assert got["clean"] == (2, 0)
+
+
+def test_cdn_detect_chaining(spark, tmp_path):
+    """One shape rotation x2: each provider classifies from its
+    header family, the bare-nginx response is (origin), and the
+    cloudflare-in-front-of-cloudfront arm names the EDGE with the
+    chained marginal set."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(12)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_cdn_detect")
+    assert s == _oracle_rows(tmp_path, "q_cdn_detect")
+    got = {r[0]: r[1:3] for r in s}
+    assert got["cloudflare"] == (4, 2)   # plain x2 + chained x2
+    assert got["fastly"] == (2, 0)
+    assert got["cloudfront"] == (2, 0)
+    assert got["akamai"] == (2, 0)
+    assert got["(origin)"] == (2, 0)
