@@ -295,8 +295,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_script_mix (T-223, homoglyph adjacency), q_status_flap
 #: (T-224, transition-counting retry-policy selector),
 #: q_render_need (T-225, SPA-shell fork), q_hidden_text (T-226,
-#: keyword-stuffing gate) and q_cdn_detect (T-227, edge-provider
-#: census with the chained marginal).
+#: keyword-stuffing gate), q_cdn_detect (T-227, edge-provider
+#: census with the chained marginal), q_typosquat (T-228,
+#: Levenshtein vs the broadcast brand dim) and
+#: q_subdomain_explosion (T-229, wildcard-farm fan-out classes).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

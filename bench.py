@@ -257,6 +257,8 @@ HEADLINE = [
     "q_render_need",
     "q_hidden_text",
     "q_cdn_detect",
+    "q_typosquat",
+    "q_subdomain_explosion",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

@@ -20904,3 +20904,191 @@ def q_cdn_detect(spark, sf_dir):
         .alias("n_chained"),
         F.countDistinct("host").cast("long").alias("n_hosts"),
     )
+
+
+@q(
+    "q_typosquat",
+    """
+    WITH brands(brand) AS (
+      VALUES ('paypal'), ('google'), ('amazon'), ('github')),
+    labels AS (
+      SELECT event_id,
+             CASE event_id % 6
+               WHEN 0 THEN 'paypal'
+               WHEN 1 THEN 'paypa1'
+               WHEN 2 THEN 'gooogle'
+               WHEN 3 THEN 'github'
+               WHEN 4 THEN 'news'
+               ELSE 'amazn' END AS label
+      FROM events),
+    dists AS (
+      SELECT l.event_id, l.label,
+             MIN(levenshtein(l.label, b.brand)) AS min_dist
+      FROM labels l CROSS JOIN brands b
+      GROUP BY l.event_id, l.label),
+    cls AS (
+      SELECT label, min_dist,
+             CASE WHEN min_dist = 0 THEN 'brand'
+                  WHEN min_dist <= 2 THEN 'typosquat'
+                  ELSE 'unrelated' END AS squat_class
+      FROM dists)
+    SELECT squat_class,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+           CAST(MIN(min_dist) AS BIGINT) AS min_dist,
+           CAST(MAX(min_dist) AS BIGINT) AS max_dist
+    FROM cls GROUP BY squat_class
+    """,
+)
+def q_typosquat(spark, sf_dir):
+    """Typosquat detection — the phishing-adjacent frontier filter
+    that complements the homoglyph probe (q_script_mix catches
+    mixed-SCRIPT spoofs; this catches same-script edit-distance
+    spoofs like 'paypa1' and 'gooogle' that no script census can
+    see): every hostname label is scored against a curated brand
+    dimension by minimum Levenshtein distance — 0 is the brand
+    itself, 1-2 is squatting range (one fat-finger or one
+    duplication), 3+ is unrelated. The brand side is a handful of
+    rows, so the all-pairs scoring is a broadcast nested-loop the
+    label side streams through once; the per-label MIN collapses the
+    brand fan-out immediately.
+
+    Plan/scale: broadcast cross join (|brands| per label row — the
+    dimension is curated and tiny) + per-label min aggregate + the
+    bounded class census; at 10^9 labels the only exchange is the
+    label-keyed partial-min collapse."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 6
+    labels = ev.select(
+        "event_id",
+        F.when(m == 0, F.lit("paypal"))
+        .when(m == 1, F.lit("paypa1"))
+        .when(m == 2, F.lit("gooogle"))
+        .when(m == 3, F.lit("github"))
+        .when(m == 4, F.lit("news"))
+        .otherwise(F.lit("amazn"))
+        .alias("label"),
+    )
+    brands = spark.createDataFrame(
+        [("paypal",), ("google",), ("amazon",), ("github",)],
+        "brand string",
+    )
+    dists = (
+        labels.crossJoin(F.broadcast(brands))
+        .groupBy("event_id", "label")
+        .agg(
+            F.min(F.levenshtein("label", "brand")).alias("min_dist")
+        )
+    )
+    cls = dists.select(
+        "label",
+        "min_dist",
+        F.when(F.col("min_dist") == 0, "brand")
+        .when(F.col("min_dist") <= 2, "typosquat")
+        .otherwise("unrelated")
+        .alias("squat_class"),
+    )
+    return cls.groupBy("squat_class").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+        F.min("min_dist").cast("long").alias("min_dist"),
+        F.max("min_dist").cast("long").alias("max_dist"),
+    )
+
+
+@q(
+    "q_subdomain_explosion",
+    """
+    WITH hosts AS (
+      SELECT 'dom' || (event_id % 10) AS registrable,
+             CASE
+               WHEN event_id % 10 < 5 THEN 'www'
+               WHEN event_id % 10 < 8
+                 THEN 's' || ((event_id // 10) % 4)
+               WHEN event_id % 10 = 8
+                 THEN 'm' || ((event_id // 10) % 16)
+               ELSE 'u' || ((event_id // 10) % 64)
+             END AS subdomain
+      FROM events),
+    per_dom AS (
+      SELECT registrable,
+             CAST(COUNT(DISTINCT subdomain) AS BIGINT) AS n_subs,
+             CAST(COUNT(*) AS BIGINT) AS n_pages
+      FROM hosts GROUP BY registrable),
+    cls AS (
+      SELECT registrable, n_subs, n_pages,
+             CASE WHEN n_subs = 1 THEN 'single'
+                  WHEN n_subs <= 8 THEN 'few'
+                  WHEN n_subs <= 32 THEN 'many'
+                  ELSE 'explosion' END AS fanout_class
+      FROM per_dom)
+    SELECT fanout_class,
+           CAST(COUNT(*) AS BIGINT) AS n_domains,
+           CAST(MAX(n_subs) AS BIGINT) AS max_subdomains,
+           CAST(SUM(n_pages) AS BIGINT) AS n_pages
+    FROM cls GROUP BY fanout_class
+    """,
+)
+def q_subdomain_explosion(spark, sf_dir):
+    """Subdomain-explosion detection — the frontier-budget guard
+    against wildcard-DNS farms (a spam operation serves every
+    `anything.domain.tld`, and a crawler that treats subdomains as
+    independent hosts hands the farm an unbounded politeness budget
+    and an unbounded frontier): per registrable domain, the DISTINCT
+    subdomain count classes into single / few (a normal www+api+cdn
+    spread) / many / explosion — the explosion class is the
+    wildcard-farm signature and its registrables get ONE shared
+    crawl budget instead of per-host budgets. Page mass per class
+    says how much of the frontier the farms already occupy.
+
+    Plan/scale: two-level aggregate — the heavy exchange is the
+    registrable-keyed distinct collapse (subdomain cardinality per
+    group is exactly what distinct-agg partials bound); the class
+    census is 4 rows."""
+    ev = _t(spark, sf_dir, "events")
+    r = F.col("event_id") % 10
+    hosts = ev.select(
+        F.concat(F.lit("dom"), r.cast("string")).alias("registrable"),
+        # four live fan-out arms: 1 / 4 / 16 / 64 distinct — the 16
+        # arm exists because the 9..32 'many' class would otherwise
+        # be structurally dead (the recurring dead-class trap)
+        F.when(r < 5, F.lit("www"))
+        .when(
+            r < 8,
+            F.concat(
+                F.lit("s"), F.expr("(event_id DIV 10) % 4").cast("string")
+            ),
+        )
+        .when(
+            r == 8,
+            F.concat(
+                F.lit("m"),
+                F.expr("(event_id DIV 10) % 16").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("u"),
+                F.expr("(event_id DIV 10) % 64").cast("string"),
+            )
+        )
+        .alias("subdomain"),
+    )
+    per_dom = hosts.groupBy("registrable").agg(
+        F.countDistinct("subdomain").cast("long").alias("n_subs"),
+        F.count("*").cast("long").alias("n_pages"),
+    )
+    cls = per_dom.select(
+        "n_subs",
+        "n_pages",
+        F.when(F.col("n_subs") == 1, "single")
+        .when(F.col("n_subs") <= 8, "few")
+        .when(F.col("n_subs") <= 32, "many")
+        .otherwise("explosion")
+        .alias("fanout_class"),
+    )
+    return cls.groupBy("fanout_class").agg(
+        F.count("*").cast("long").alias("n_domains"),
+        F.max("n_subs").cast("long").alias("max_subdomains"),
+        F.sum("n_pages").cast("long").alias("n_pages"),
+    )

@@ -3080,3 +3080,36 @@ def test_cdn_detect_chaining(spark, tmp_path):
     assert got["cloudfront"] == (2, 0)
     assert got["akamai"] == (2, 0)
     assert got["(origin)"] == (2, 0)
+
+
+def test_typosquat_distances(spark, tmp_path):
+    """One shape rotation x2: exact brand labels score 0, the
+    fat-finger and duplication labels land in squatting range (1),
+    and 'news' stays unrelated (min distance >= 3 against every
+    brand in the dimension)."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(12)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_typosquat")
+    assert s == _oracle_rows(tmp_path, "q_typosquat")
+    got = {r[0]: r[1:] for r in s}
+    assert got["brand"] == (4, 2, 0, 0)        # paypal x2, github x2
+    assert got["typosquat"] == (6, 3, 1, 1)    # paypa1, gooogle, amazn
+    assert got["unrelated"][0] == 2 and got["unrelated"][2] >= 3
+
+
+def test_subdomain_explosion_buckets(spark, tmp_path):
+    """640 pages over 10 registrables — all four fan-out arms live:
+    five single-www domains, three 4-subdomain spreads (few), one
+    16-subdomain domain (many), one 64-subdomain wildcard farm
+    (explosion), with page mass conserved per class."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(640)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_subdomain_explosion")
+    assert s == _oracle_rows(tmp_path, "q_subdomain_explosion")
+    got = {r[0]: r[1:] for r in s}
+    assert got["single"] == (5, 1, 320)
+    assert got["few"] == (3, 4, 192)
+    assert got["many"] == (1, 16, 64)
+    assert got["explosion"] == (1, 64, 64)
