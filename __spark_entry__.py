@@ -298,7 +298,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: keyword-stuffing gate), q_cdn_detect (T-227, edge-provider
 #: census with the chained marginal), q_typosquat (T-228,
 #: Levenshtein vs the broadcast brand dim) and
-#: q_subdomain_explosion (T-229, wildcard-farm fan-out classes).
+#: q_subdomain_explosion (T-229, wildcard-farm fan-out classes),
+#: q_robots_wildcard (T-230, RFC 9309 §2.2.3 '*'/'$' patterns via
+#: the unit-pinned robots_pattern_to_regex) and q_etag_stability
+#: (T-231, validator-churn ledger).
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -259,6 +259,8 @@ HEADLINE = [
     "q_cdn_detect",
     "q_typosquat",
     "q_subdomain_explosion",
+    "q_robots_wildcard",
+    "q_etag_stability",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

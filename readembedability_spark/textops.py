@@ -21092,3 +21092,242 @@ def q_subdomain_explosion(spark, sf_dir):
         F.max("n_subs").cast("long").alias("max_subdomains"),
         F.sum("n_pages").cast("long").alias("n_pages"),
     )
+
+
+def robots_pattern_to_regex(pattern):
+    """RFC 9309 §2.2.3 pattern translation, the single source both
+    q_robots_wildcard's rule dimension and its oracle embed: '*'
+    matches any octet sequence, a TRAILING '$' anchors the end,
+    every other char is literal (dots escaped). Returns an
+    anchored-at-start regex; without '$' the match is prefix-style
+    (unanchored tail)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    esc = body.replace(".", r"\.").replace("*", ".*")
+    return "^" + esc + ("$" if anchored else "")
+
+
+#: Wildcard-bearing ruleset for q_robots_wildcard (the plain-prefix
+#: snapshot ROBOTS_RULES_SNAPSHOT cannot express these): regexes
+#: derive from robots_pattern_to_regex — the oracle embeds the SAME
+#: translated strings, so the translation itself is pinned by the
+#: unit test, not re-derived in SQL.
+ROBOTS_WILDCARD_RULES = [
+    (0, "/private/*.html", 0),
+    (0, "/private/pub*", 1),
+    (1, "/downloads/*", 0),
+    (1, "/downloads/*.html$", 1),
+]
+
+
+@q(
+    "q_robots_wildcard",
+    """
+    WITH rules(g, pattern, regex, is_allow) AS (
+      VALUES
+        (0, '/private/*.html', '^/private/.*\\.html', 0),
+        (0, '/private/pub*', '^/private/pub.*', 1),
+        (1, '/downloads/*', '^/downloads/.*', 0),
+        (1, '/downloads/*.html$', '^/downloads/.*\\.html$', 1)),
+    urls AS (
+      SELECT event_id, (event_id // 6) % 3 AS g,
+             CASE event_id % 6
+               WHEN 0 THEN '/private/a.html'
+               WHEN 1 THEN '/private/pub/x.html'
+               WHEN 2 THEN '/downloads/file.pdf'
+               WHEN 3 THEN '/downloads/page.html'
+               WHEN 4 THEN '/downloads/page.html?sess=1'
+               ELSE '/index.html' END AS path
+      FROM events),
+    matched AS (
+      SELECT u.event_id, r.pattern, r.is_allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.event_id
+               ORDER BY length(r.pattern) DESC, r.is_allow DESC,
+                        r.pattern) AS rk
+      FROM urls u JOIN rules r
+        ON u.g = r.g AND regexp_matches(u.path, r.regex)),
+    verdicts AS (
+      SELECT u.g,
+             COALESCE(m.pattern, '(default)') AS rule,
+             CASE WHEN m.pattern IS NULL OR m.is_allow = 1
+                  THEN 'allowed' ELSE 'blocked' END AS verdict
+      FROM urls u LEFT JOIN matched m
+        ON u.event_id = m.event_id AND m.rk = 1)
+    SELECT g, verdict, rule,
+           CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM verdicts GROUP BY g, verdict, rule
+    """,
+)
+def q_robots_wildcard(spark, sf_dir):
+    """Robots wildcard matching (RFC 9309 §2.2.3) — the rule class
+    the plain-prefix core cannot express: '*' spans any octets and a
+    trailing '$' anchors the end, so '/downloads/*.html$' allows the
+    bare .html page but NOT the same path with a query string (the
+    '$' probe url), while '/private/*.html' blocks html ANYWHERE
+    under the subtree a prefix rule would need enumerating.
+    Longest-PATTERN-wins precedence carries over unchanged (the RFC
+    measures specificity in pattern octets, wildcards included), so
+    the allow override '/downloads/*.html$' (19 octets) beats the
+    blanket '/downloads/*' (12). Patterns translate to regexes
+    through `robots_pattern_to_regex` — ONE python source, embedded
+    verbatim in the oracle and pinned by a unit test.
+
+    Plan/scale: same shape as the shared prefix core — broadcast
+    rule dimension, per-url winner window keyed on the url itself
+    (maximally spread), LEFT join keeps default-allowed; the regex
+    match replaces startswith inside the same broadcast join."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 6
+    urls = ev.select(
+        "event_id",
+        F.expr("(event_id DIV 6) % 3").alias("g"),
+        F.when(m == 0, F.lit("/private/a.html"))
+        .when(m == 1, F.lit("/private/pub/x.html"))
+        .when(m == 2, F.lit("/downloads/file.pdf"))
+        .when(m == 3, F.lit("/downloads/page.html"))
+        .when(m == 4, F.lit("/downloads/page.html?sess=1"))
+        .otherwise(F.lit("/index.html"))
+        .alias("path"),
+    )
+    rules = spark.createDataFrame(
+        [
+            (g, p, robots_pattern_to_regex(p), a)
+            for (g, p, a) in ROBOTS_WILDCARD_RULES
+        ],
+        "g long, pattern string, regex string, is_allow int",
+    )
+    matched = (
+        urls.join(F.broadcast(rules), "g")
+        .where(F.expr("path RLIKE regex"))
+        .select(
+            "event_id",
+            "pattern",
+            "is_allow",
+            F.row_number()
+            .over(
+                Window.partitionBy("event_id").orderBy(
+                    F.length("pattern").desc(),
+                    F.col("is_allow").desc(),
+                    F.col("pattern"),
+                )
+            )
+            .alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+    )
+    verdicts = urls.join(matched, "event_id", "left").select(
+        "g",
+        F.coalesce(F.col("pattern"), F.lit("(default)")).alias("rule"),
+        F.when(
+            F.col("pattern").isNull() | (F.col("is_allow") == 1),
+            "allowed",
+        )
+        .otherwise("blocked")
+        .alias("verdict"),
+    )
+    return verdicts.groupBy("g", "verdict", "rule").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+
+
+@q(
+    "q_etag_stability",
+    """
+    WITH captures AS (
+      SELECT event_id % 12 AS url,
+             CASE (event_id % 12) % 4
+               WHEN 0 THEN 'e0'
+               WHEN 1 THEN 'e' || (event_id // 12)
+               WHEN 2 THEN 'e' || ((event_id // 12) // 2)
+               ELSE 'W/"e0"' END AS etag,
+             CASE (event_id % 12) % 4
+               WHEN 2 THEN 'd' || ((event_id // 12) // 2)
+               ELSE 'd0' END AS digest
+      FROM events),
+    per_url AS (
+      SELECT url,
+             CAST(COUNT(*) AS BIGINT) AS n_captures,
+             CAST(COUNT(DISTINCT etag) AS BIGINT) AS n_etags,
+             CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_digests,
+             MAX(CASE WHEN etag LIKE 'W/%' THEN 1 ELSE 0 END) = 1
+               AS is_weak
+      FROM captures GROUP BY url),
+    cls AS (
+      SELECT n_captures, n_etags, n_digests,
+             CASE WHEN is_weak THEN 'weak'
+                  WHEN n_etags > n_digests THEN 'etag-churn'
+                  ELSE 'consistent' END AS validator_class
+      FROM per_url)
+    SELECT validator_class,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(n_etags - n_digests) AS BIGINT)
+             AS wasted_refetches,
+           CAST(SUM(n_captures) AS BIGINT) AS n_captures
+    FROM cls GROUP BY validator_class
+    """,
+)
+def q_etag_stability(spark, sf_dir):
+    """ETag-stability audit — the validator-TRUST ledger behind the
+    conditional-GET savings (q_conditional_get measures what 304s
+    saved; this measures which hosts' validators can be BELIEVED): a
+    url whose distinct-ETag count exceeds its distinct-content-digest
+    count is churning validators on unchanged bytes (load-balancer
+    inode ETags, gzip-variant ETags — every churn is a full refetch
+    the crawler paid for nothing, counted in wasted_refetches), a
+    'W/'-prefixed weak validator is its own class (usable for GET
+    revalidation but not range resumption), and consistent urls are
+    where conditional fetching actually pays. The honest-change arm
+    (ETag and digest move TOGETHER) keeps 'consistent' live with
+    churn present.
+
+    Plan/scale: two distinct-aggs + a flag on ONE url-keyed
+    exchange; the class census is 3 rows."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("event_id") % 12
+    k = F.expr("event_id DIV 12")
+    kind = u % 4
+    captures = ev.select(
+        u.alias("url"),
+        F.when(kind == 0, F.lit("e0"))
+        .when(kind == 1, F.concat(F.lit("e"), k.cast("string")))
+        .when(
+            kind == 2,
+            F.concat(F.lit("e"), F.expr("(event_id DIV 12) DIV 2").cast("string")),
+        )
+        .otherwise(F.lit('W/"e0"'))
+        .alias("etag"),
+        F.when(
+            kind == 2,
+            F.concat(F.lit("d"), F.expr("(event_id DIV 12) DIV 2").cast("string")),
+        )
+        .otherwise(F.lit("d0"))
+        .alias("digest"),
+    )
+    per_url = captures.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.countDistinct("etag").cast("long").alias("n_etags"),
+        F.countDistinct("digest").cast("long").alias("n_digests"),
+        (
+            F.max(
+                F.when(F.col("etag").startswith("W/"), 1).otherwise(0)
+            )
+            == 1
+        ).alias("is_weak"),
+    )
+    cls = per_url.select(
+        "n_captures",
+        "n_etags",
+        "n_digests",
+        F.when(F.col("is_weak"), "weak")
+        .when(F.col("n_etags") > F.col("n_digests"), "etag-churn")
+        .otherwise("consistent")
+        .alias("validator_class"),
+    )
+    return cls.groupBy("validator_class").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(F.col("n_etags") - F.col("n_digests"))
+        .cast("long")
+        .alias("wasted_refetches"),
+        F.sum("n_captures").cast("long").alias("n_captures"),
+    )

@@ -3113,3 +3113,53 @@ def test_subdomain_explosion_buckets(spark, tmp_path):
     assert got["few"] == (3, 4, 192)
     assert got["many"] == (1, 16, 64)
     assert got["explosion"] == (1, 64, 64)
+
+
+def test_robots_pattern_to_regex():
+    """The RFC 9309 translation is the single source the wildcard
+    gate AND its oracle embed: '*' spans octets, trailing '$'
+    anchors, dots are literal."""
+    from readembedability_spark.textops import robots_pattern_to_regex
+
+    assert robots_pattern_to_regex("/private/*.html") == \
+        r"^/private/.*\.html"
+    assert robots_pattern_to_regex("/downloads/*.html$") == \
+        r"^/downloads/.*\.html$"
+    assert robots_pattern_to_regex("/downloads/*") == \
+        r"^/downloads/.*"
+
+
+def test_robots_wildcard_verdicts(spark, tmp_path):
+    """18 urls x all rulesets: the mid-pattern wildcard blocks html
+    anywhere under /private/ (including under the pub allow — 15
+    octets beat 13, RFC longest-match counts wildcards), the
+    $-anchored allow rescues the bare .html but NOT the same path
+    with a query string, and the empty ruleset defaults allowed."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(18)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_robots_wildcard")
+    assert s == _oracle_rows(tmp_path, "q_robots_wildcard")
+    got = {(r[0], r[1], r[2]): r[3] for r in s}
+    assert got[(0, "blocked", "/private/*.html")] == 2
+    assert got[(1, "allowed", "/downloads/*.html$")] == 1
+    assert got[(1, "blocked", "/downloads/*")] == 2
+    assert got[(2, "allowed", "(default)")] == 6
+    assert sum(v for (g, verdict, _), v in got.items()
+               if verdict == "blocked") == 4
+
+
+def test_etag_stability_classes(spark, tmp_path):
+    """48 captures over 12 urls x 4 each: the churn arm wastes 3
+    refetches per url (4 ETags over 1 digest), the honest-change arm
+    stays consistent (ETag and digest move TOGETHER), and the weak
+    validator is its own class regardless of stability."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(48)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_etag_stability")
+    assert s == _oracle_rows(tmp_path, "q_etag_stability")
+    got = {r[0]: r[1:] for r in s}
+    assert got["consistent"] == (6, 0, 24)
+    assert got["etag-churn"] == (3, 9, 12)
+    assert got["weak"] == (3, 0, 12)
