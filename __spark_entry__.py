@@ -301,7 +301,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_subdomain_explosion (T-229, wildcard-farm fan-out classes),
 #: q_robots_wildcard (T-230, RFC 9309 §2.2.3 '*'/'$' patterns via
 #: the unit-pinned robots_pattern_to_regex) and q_etag_stability
-#: (T-231, validator-churn ledger).
+#: (T-231, validator-churn ledger); the frontier-hygiene job
+#: (T-232) is test-verified outside oracle scope like its job-tier
+#: siblings.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -20906,6 +20906,53 @@ def q_cdn_detect(spark, sf_dir):
     )
 
 
+def typosquat_min_dist_from(labels, brands, key="event_id"):
+    """Shared typosquat-scoring core: `labels` carries (<key>,
+    label), `brands` is the curated broadcast dimension (brand) —
+    returns (<key>, label, min_dist), the minimum Levenshtein
+    distance of each label against the whole dimension. Broadcast
+    nested-loop the label side streams through once; the per-label
+    MIN collapses the brand fan-out immediately. Used by the
+    q_typosquat gate and jobs/frontier_hygiene.py (one rule
+    source)."""
+    return (
+        labels.crossJoin(F.broadcast(brands))
+        .groupBy(key, "label")
+        .agg(
+            F.min(F.levenshtein("label", "brand")).alias("min_dist")
+        )
+    )
+
+
+#: The curated brand dimension the typosquat gate and
+#: jobs/frontier_hygiene.py share; the gate's SQL oracle embeds the
+#: same four rows as VALUES (SQL cannot import).
+TYPOSQUAT_BRANDS = ["paypal", "google", "amazon", "github"]
+
+
+def subdomain_fanout_from(hosts):
+    """Shared subdomain-fanout core: `hosts` carries (registrable,
+    subdomain [, ...]) — returns per registrable the DISTINCT
+    subdomain count, page count and the fan-out class (single / few
+    / many / explosion; explosion is the wildcard-farm signature
+    whose registrables get ONE shared crawl budget). Used by the
+    q_subdomain_explosion gate and jobs/frontier_hygiene.py."""
+    per_dom = hosts.groupBy("registrable").agg(
+        F.countDistinct("subdomain").cast("long").alias("n_subs"),
+        F.count("*").cast("long").alias("n_pages"),
+    )
+    return per_dom.select(
+        "registrable",
+        "n_subs",
+        "n_pages",
+        F.when(F.col("n_subs") == 1, "single")
+        .when(F.col("n_subs") <= 8, "few")
+        .when(F.col("n_subs") <= 32, "many")
+        .otherwise("explosion")
+        .alias("fanout_class"),
+    )
+
+
 @q(
     "q_typosquat",
     """
@@ -20970,16 +21017,9 @@ def q_typosquat(spark, sf_dir):
         .alias("label"),
     )
     brands = spark.createDataFrame(
-        [("paypal",), ("google",), ("amazon",), ("github",)],
-        "brand string",
+        [(b,) for b in TYPOSQUAT_BRANDS], "brand string"
     )
-    dists = (
-        labels.crossJoin(F.broadcast(brands))
-        .groupBy("event_id", "label")
-        .agg(
-            F.min(F.levenshtein("label", "brand")).alias("min_dist")
-        )
-    )
+    dists = typosquat_min_dist_from(labels, brands)
     cls = dists.select(
         "label",
         "min_dist",
@@ -21074,19 +21114,7 @@ def q_subdomain_explosion(spark, sf_dir):
         )
         .alias("subdomain"),
     )
-    per_dom = hosts.groupBy("registrable").agg(
-        F.countDistinct("subdomain").cast("long").alias("n_subs"),
-        F.count("*").cast("long").alias("n_pages"),
-    )
-    cls = per_dom.select(
-        "n_subs",
-        "n_pages",
-        F.when(F.col("n_subs") == 1, "single")
-        .when(F.col("n_subs") <= 8, "few")
-        .when(F.col("n_subs") <= 32, "many")
-        .otherwise("explosion")
-        .alias("fanout_class"),
-    )
+    cls = subdomain_fanout_from(hosts)
     return cls.groupBy("fanout_class").agg(
         F.count("*").cast("long").alias("n_domains"),
         F.max("n_subs").cast("long").alias("max_subdomains"),

@@ -3163,3 +3163,64 @@ def test_etag_stability_classes(spark, tmp_path):
     assert got["consistent"] == (6, 0, 24)
     assert got["etag-churn"] == (3, 9, 12)
     assert got["weak"] == (3, 0, 12)
+
+
+def test_frontier_hygiene_job_composes(spark, tmp_path, monkeypatch,
+                                       capsys):
+    """jobs/frontier_hygiene.py over the synthetic frontier: written
+    verdicts match an independent recompute through the SAME three
+    shared cores the gate queries use, precedence holds (robots
+    blocked beats typosquat beats farm-collapse), exactly one farm
+    budget row exists for the 64-subdomain registrable, and the
+    stats line agrees with the written tables."""
+    import importlib
+    import json as json_
+    import sys as sys_
+
+    sys_.path.insert(
+        0, str(__import__("pathlib").Path(__file__).resolve().parent.parent
+               / "jobs")
+    )
+    fh = importlib.import_module("frontier_hygiene")
+    out = tmp_path / "fh"
+    monkeypatch.setattr(
+        sys_, "argv",
+        ["frontier_hygiene.py", "--urls", "600", "--output", str(out)],
+    )
+    fh.main()
+    stats = json_.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["urls"] == 600 and stats["farms"] == 1
+    # written verdicts == independent recompute via the shared cores
+    got = {}
+    for name in ("admitted", "quarantine"):
+        for r in spark.read.parquet(str(out / name)).collect():
+            got[r["url_id"]] = r["verdict"]
+    exp_all = {
+        r["url_id"]: r["verdict"]
+        for r in fh.verdicts_from(
+            spark, fh.synth_frontier(spark, 600)
+        ).collect()
+    }
+    exp_written = {k: v for k, v in exp_all.items() if v != "blocked"}
+    assert got == exp_written
+    # precedence: every paypa1 url that is not robots-blocked is
+    # quarantined (never admitted), and blocked paypa1 urls exist
+    squat_ids = [i for i in range(600) if i % 10 == 0]
+    assert any(exp_all[i] == "blocked" for i in squat_ids)
+    assert all(exp_all[i] in ("blocked", "quarantine")
+               for i in squat_ids)
+    # the farm: one budget row, the 64-subdomain registrable
+    fb = spark.read.parquet(str(out / "farm_budgets")).collect()
+    assert len(fb) == 1
+    assert fb[0]["registrable"] == "site9.example"
+    assert fb[0]["n_subs"] == 60 and fb[0]["shared_budget"] == 100
+    # stats agree with written tables
+    assert stats["admitted"] == sum(
+        1 for v in exp_written.values() if v in ("admit", "collapse")
+    )
+    assert stats["quarantined"] == sum(
+        1 for v in exp_written.values() if v == "quarantine"
+    )
+    assert stats["blocked"] == sum(
+        1 for v in exp_all.values() if v == "blocked"
+    )
