@@ -303,7 +303,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the unit-pinned robots_pattern_to_regex) and q_etag_stability
 #: (T-231, validator-churn ledger); the frontier-hygiene job
 #: (T-232) is test-verified outside oracle scope like its job-tier
-#: siblings.
+#: siblings. q_csp_audit (T-233, directive-level CSP classes)
+#: closes the round's security family under the same r9 promise.
 _GATE_PRIORITY = [
     "q_extract_flagship",
     "q_extract_pdf_tm",

@@ -261,6 +261,7 @@ HEADLINE = [
     "q_subdomain_explosion",
     "q_robots_wildcard",
     "q_etag_stability",
+    "q_csp_audit",
 ]
 # The quadratic all-pairs baselines (q_ann_cosine, q_dedup_ngram_jaccard,
 # q_dedup_jaccard, q_dedup_embedding) are not benched — since round 4

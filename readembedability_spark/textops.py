@@ -21359,3 +21359,108 @@ def q_etag_stability(spark, sf_dir):
         .alias("wasted_refetches"),
         F.sum("n_captures").cast("long").alias("n_captures"),
     )
+
+
+@q(
+    "q_csp_audit",
+    """
+    WITH resp AS (
+      SELECT event_id % 7 AS host,
+             CASE event_id % 5
+               WHEN 0 THEN 'default-src ''self''; script-src ''self'''
+               WHEN 1 THEN 'default-src ''self''; script-src ''self'''
+                 || ' ''unsafe-inline'''
+               WHEN 2 THEN 'script-src ''self'' ''unsafe-eval'''
+               WHEN 3 THEN 'default-src *; script-src ''self'''
+                 || ' ''unsafe-inline'' ''unsafe-eval'''
+               ELSE '' END AS csp
+      FROM events),
+    sig AS (
+      SELECT host, csp,
+             csp LIKE '%''unsafe-inline''%' AS has_inline,
+             csp LIKE '%''unsafe-eval''%' AS has_eval,
+             csp LIKE '%default-src *%' AS wildcard_default
+      FROM resp),
+    cls AS (
+      SELECT host,
+             CASE WHEN csp = '' THEN 'missing'
+                  WHEN has_inline AND has_eval THEN 'both-unsafe'
+                  WHEN has_inline THEN 'unsafe-inline'
+                  WHEN has_eval THEN 'unsafe-eval'
+                  ELSE 'strict' END AS csp_class,
+             wildcard_default
+      FROM sig)
+    SELECT csp_class,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COALESCE(SUM(CASE WHEN wildcard_default
+                THEN 1 END), 0) AS BIGINT) AS n_wildcard_default,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM cls GROUP BY csp_class
+    """,
+)
+def q_csp_audit(spark, sf_dir):
+    """CSP directive audit — the depth the presence-bit census
+    (q_security_headers) cannot reach: a Content-Security-Policy
+    that allows 'unsafe-inline' script has opted out of the one
+    protection CSP exists to provide, so the header's PRESENCE is a
+    misleading signal without parsing its directives. Classes by
+    what the policy actually permits — strict (no unsafe keywords),
+    unsafe-inline (XSS protection waived), unsafe-eval (string
+    execution allowed — different attack surface, different fix),
+    both-unsafe, missing — plus the wildcard-default marginal
+    ('default-src *' grants every unlisted fetch class). For a
+    rendered-archive pipeline this is an execution-fidelity signal:
+    what a capture could legally have run.
+
+    Plan/scale: three LIKE probes over the header value in one
+    codegen'd projection; ONE hash aggregate on the 5-class key."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 5
+    csp = (
+        F.when(
+            m == 0,
+            F.lit("default-src 'self'; script-src 'self'"),
+        )
+        .when(
+            m == 1,
+            F.lit(
+                "default-src 'self'; script-src 'self'"
+                " 'unsafe-inline'"
+            ),
+        )
+        .when(m == 2, F.lit("script-src 'self' 'unsafe-eval'"))
+        .when(
+            m == 3,
+            F.lit(
+                "default-src *; script-src 'self'"
+                " 'unsafe-inline' 'unsafe-eval'"
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    sig = ev.select(
+        (F.col("event_id") % 7).alias("host"),
+        csp.alias("csp"),
+        csp.contains("'unsafe-inline'").alias("has_inline"),
+        csp.contains("'unsafe-eval'").alias("has_eval"),
+        csp.contains("default-src *").alias("wildcard_default"),
+    )
+    cls = sig.select(
+        "host",
+        F.when(F.col("csp") == "", "missing")
+        .when(F.col("has_inline") & F.col("has_eval"), "both-unsafe")
+        .when(F.col("has_inline"), "unsafe-inline")
+        .when(F.col("has_eval"), "unsafe-eval")
+        .otherwise("strict")
+        .alias("csp_class"),
+        "wildcard_default",
+    )
+    return cls.groupBy("csp_class").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.coalesce(
+            F.sum(F.when(F.col("wildcard_default"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_wildcard_default"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )

@@ -3224,3 +3224,21 @@ def test_frontier_hygiene_job_composes(spark, tmp_path, monkeypatch,
     assert stats["blocked"] == sum(
         1 for v in exp_all.values() if v == "blocked"
     )
+
+
+def test_csp_audit_classes(spark, tmp_path):
+    """One shape rotation x2: the strict policy stays strict, each
+    unsafe keyword is its own class, the kitchen-sink policy is
+    both-unsafe AND carries the wildcard-default marginal, and the
+    empty header is missing."""
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 0, "view", 1.0, "{}") for i in range(10)]
+    _write_events(tmp_path, rows)
+    s = _spark_rows(spark, tmp_path, "q_csp_audit")
+    assert s == _oracle_rows(tmp_path, "q_csp_audit")
+    got = {r[0]: r[1:3] for r in s}
+    assert got["strict"] == (2, 0)
+    assert got["unsafe-inline"] == (2, 0)
+    assert got["unsafe-eval"] == (2, 0)
+    assert got["both-unsafe"] == (2, 2)
+    assert got["missing"] == (2, 0)
