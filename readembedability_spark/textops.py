@@ -258,13 +258,36 @@ def _minhash_sigs_from(shingles):
     the dominant CPU of the shingle stage at 100 TB. The md5 column is
     projected BEFORE the aggregate so it is evaluated once per row.
     Shared by _band_sigs_from (banding) and q_minhash_calibration
-    (component-level estimator audit)."""
+    (component-level estimator audit).
+
+    The minima are taken over LONG-decoded slices, not the hex strings
+    (r9): MIN(string) carries a string aggregation buffer, which
+    demotes the whole aggregate to SortAggregate — two full sorts of
+    the corpus-sized shingle table, one per side of the exchange.
+    Fixed-length lowercase hex is order-isomorphic to its numeric
+    value ('0'<…<'9'<'a'<…<'f' in ASCII), so MIN over the decoded long
+    is the SAME minimum; re-hexing with %04x restores the identical
+    string. Plan: SortAggregate + 2 Sorts → map-side-combining
+    HashAggregate, no sort."""
     hashed = shingles.select("doc_id", F.md5(F.encode("sh", "UTF-8")).alias("h"))
-    return hashed.groupBy("doc_id").agg(
+    parts = hashed.select(
+        "doc_id",
         *[
-            F.min(F.substring("h", i * 4 + 1, 4)).alias(f"mh{i}")
+            F.conv(F.substring("h", i * 4 + 1, 4), 16, 10)
+            .cast("long")
+            .alias(f"v{i}")
             for i in range(_N_MINHASH)
-        ]
+        ],
+    )
+    mins = parts.groupBy("doc_id").agg(
+        *[F.min(f"v{i}").alias(f"v{i}") for i in range(_N_MINHASH)]
+    )
+    return mins.select(
+        "doc_id",
+        *[
+            F.format_string("%04x", F.col(f"v{i}")).alias(f"mh{i}")
+            for i in range(_N_MINHASH)
+        ],
     )
 
 
@@ -723,11 +746,26 @@ def q_dedup_incremental(spark, sf_dir):
             "doc_id", F.md5(F.encode("sh", "UTF-8")).alias("h")
         )
         rows_per_band = _N_MINHASH // _N_BANDS
-        mh = hashed.groupBy("doc_id").agg(
+        # long-decoded mins + re-hex, same rationale as _minhash_sigs_from
+        # (hex↔numeric order isomorphism keeps values identical): the
+        # string-buffered MIN would demote this to SortAggregate.
+        parts = hashed.select(
+            "doc_id",
             *[
-                F.min(F.substring("h", i * 4 + 1, 4)).alias(f"mh{i}")
+                F.conv(F.substring("h", i * 4 + 1, 4), 16, 10)
+                .cast("long")
+                .alias(f"v{i}")
                 for i in range(_N_MINHASH)
-            ]
+            ],
+        )
+        mh = parts.groupBy("doc_id").agg(
+            *[F.min(f"v{i}").alias(f"v{i}") for i in range(_N_MINHASH)]
+        ).select(
+            "doc_id",
+            *[
+                F.format_string("%04x", F.col(f"v{i}")).alias(f"mh{i}")
+                for i in range(_N_MINHASH)
+            ],
         )
         band_structs = F.array(
             *[
