@@ -6634,18 +6634,25 @@ def _lrn_feats_labels(spark, sf_dir):
         .groupBy("doc_id", "b")
         .agg(F.count("*").alias("c"))
     )
+    # every branch already derives from lab, so the label y rides along
+    # on the feature rows for free (r9) — the training loop's error
+    # term then needs NO per-round lab join.
     feats = (
-        bf.join(lab.select("doc_id", "n_tok"), "doc_id")
+        bf.join(lab.select("doc_id", "n_tok", "y"), "doc_id")
         .select(
             "doc_id",
             "b",
             F.round(F.col("c") * F.lit(1000000.0) / F.col("n_tok"))
             .cast("long")
             .alias("xq"),
+            "y",
         )
         .unionAll(
             lab.select(
-                "doc_id", F.lit("bias").alias("b"), F.lit(1000000).cast("long").alias("xq")
+                "doc_id",
+                F.lit("bias").alias("b"),
+                F.lit(1000000).cast("long").alias("xq"),
+                "y",
             )
         )
         .unionAll(
@@ -6655,6 +6662,7 @@ def _lrn_feats_labels(spark, sf_dir):
                 F.round(F.col("n_tok") * F.lit(1000000.0) / F.lit(100))
                 .cast("long")
                 .alias("xq"),
+                "y",
             )
         )
     )
@@ -6686,28 +6694,40 @@ def _lrn_train(spark, sf_dir):
 
     Loop parallelism is derived from the data (VERDICT r04 #3): the
     doc-feature table's partition count comes from its row count
-    (docs × ~258 buckets), not a constant — the old coalesce(8)
-    pinned all 10 rounds × 2 shuffles to parallelism 8 at any corpus
-    size. The resize is a narrow coalesce over the persisted anchor
-    at sandbox scale (same low task overhead as before) and keeps the
-    shuffle width at web scale."""
+    (docs × ~258 buckets), not a constant.
+
+    Round-9 plan surgery (guide §2.4 — share one exchange): the
+    persisted feature table is hash-partitioned by doc_id ONCE, so the
+    per-round dot rollup (groupBy doc_id) and the gradient join (on
+    doc_id) both reuse that partitioning; the label rides on the
+    feature rows (no per-round lab join) and the doc count n is a
+    literal folded at build time (it was already computed for the
+    partition sizing — the old per-round crossJoin(nn) re-aggregated
+    it every round). Per-round corpus-sized exchanges: 2 → 0; the only
+    shuffle left is the ≤258-bucket gradient aggregate."""
     feats, lab = _lrn_feats_labels(spark, sf_dir)
-    feats = _persist(feats)
-    feats = _resize(feats, _parts_for(feats.count()))
     lab = _persist(lab)
-    lab = _resize(lab, _parts_for(lab.count()))
-    nn = F.broadcast(lab.groupBy().agg(F.count("*").alias("n")))
+    n_docs = lab.count()
+    lab = _resize(lab, _parts_for(n_docs))
+    feats0 = _persist(feats)
+    parts = _parts_for(feats0.count())
+    feats = _persist(feats0.repartition(parts, "doc_id"))
     w_rows = [
         (r["b"], 0) for r in feats.select("b").distinct().collect()
     ]
+    feats0.unpersist()
+    n_lit = F.lit(float(n_docs))
     for _ in range(_LRN_ROUNDS):
         w = spark.createDataFrame(w_rows, "b string, w long")
         dots = (
             feats.join(F.broadcast(w), "b")
             .groupBy("doc_id")
-            .agg(F.sum(F.col("xq") * F.col("w")).alias("dot"))
+            .agg(
+                F.sum(F.col("xq") * F.col("w")).alias("dot"),
+                F.max("y").alias("y"),
+            )
         )
-        errs = lab.join(dots, "doc_id").select(
+        errs = dots.select(
             "doc_id",
             F.round(
                 (_lrn_p("dot") - F.col("y")) * F.lit(1000000.0)
@@ -6724,7 +6744,6 @@ def _lrn_train(spark, sf_dir):
             (r["b"], r["w"])
             for r in F.broadcast(w)
             .join(grads, "b")
-            .crossJoin(nn)
             .select(
                 "b",
                 (
@@ -6732,7 +6751,7 @@ def _lrn_train(spark, sf_dir):
                     - F.round(
                         F.col("g").cast("double")
                         * F.lit(_LRN_RATE)
-                        / F.col("n").cast("double")
+                        / n_lit
                         / F.lit(1000000.0)
                     ).cast("long")
                 ).alias("w"),
