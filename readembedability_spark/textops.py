@@ -3403,9 +3403,28 @@ def q_ann_recall(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("qid", "cid", "rn")
     )
+    # The four method indexes are INDEPENDENT (each trains its own
+    # quantizer with eager checkpoint jobs); build them concurrently so
+    # one method's training tail back-fills the executors another left
+    # idle (guide §2.6 — overlap independent jobs). Result order stays
+    # the dict order regardless of completion order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(_ANN_RECALL_FLOORS)) as pool:
+        futs = {
+            method: pool.submit(
+                inheritable_thread_target(REGISTRY[f"q_{method}"].spark),
+                spark,
+                sf_dir,
+            )
+            for method in _ANN_RECALL_FLOORS
+        }
+        approxes = {m: f.result() for m, f in futs.items()}
     out = None
     for method, (k, thr) in _ANN_RECALL_FLOORS.items():
-        approx = REGISTRY[f"q_{method}"].spark(spark, sf_dir)
+        approx = approxes[method]
         hits = (
             approx.select("qid", "cid")
             .join(gt.filter(F.col("rn") <= k), ["qid", "cid"])
