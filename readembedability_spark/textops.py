@@ -9685,7 +9685,12 @@ def admission_policy_from(docs):
     disagree. Output is the 4-row funnel (stage, n_docs, n_tokens,
     frac); jobs that need the per-doc decision use
     `admission_stages_from` directly (jobs/full_pipeline.py)."""
-    staged = admission_stages_from(docs)
+    # staged is one tiny row per doc but its lineage is the WHOLE
+    # three-signal admission chain; it feeds both the funnel rollup and
+    # the total-count broadcast, so without an anchor the entire chain
+    # is planned and run twice (r9 — measured: the composed plan halves
+    # from ~2100 to ~1050 formatted lines once staged is persisted).
+    staged = _persist(admission_stages_from(docs))
     total = staged.agg(F.count("*").alias("n"))
     return (
         staged.crossJoin(F.broadcast(total))
