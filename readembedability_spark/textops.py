@@ -661,7 +661,11 @@ def _connected_components(spark, edges):
         # MinHash pipeline
     )
     cur_ids = _persistent_rdd_ids(spark) - before0
-    if cur.isEmpty():
+    # one count does double duty (r9): it is the emptiness probe AND
+    # the carried edge count, so each round runs ONE count job (on nxt)
+    # instead of recounting the already-counted cur a second time.
+    cur_n = cur.count()
+    if cur_n == 0:
         return cur.select(F.col("a").alias("node"), F.col("b").alias("label"))
     global _CC_LAST_ROUNDS
     converged = False
@@ -669,11 +673,10 @@ def _connected_components(spark, edges):
         before = _persistent_rdd_ids(spark)
         nxt = _local_checkpoint(_small_star(_large_star(cur)))
         created = _persistent_rdd_ids(spark) - before
-        same = (
-            nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty()
-        )
+        nxt_n = nxt.count()
+        same = nxt_n == cur_n and nxt.exceptAll(cur).isEmpty()
         _unpersist_rdd_ids(spark, cur_ids)
-        cur, cur_ids = nxt, created
+        cur, cur_ids, cur_n = nxt, created, nxt_n
         if same:
             _CC_LAST_ROUNDS = rounds
             converged = True
