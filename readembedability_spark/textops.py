@@ -656,7 +656,8 @@ def _connected_components(spark, edges):
     cur = (
         edges.filter(F.col("a") != F.col("b"))
         .distinct()
-        .transform(_local_checkpoint)  # pairs table is tiny vs corpus;
+        .transform(lambda d: _local_checkpoint(d, eager=False))
+        # pairs table is tiny vs corpus;
         # freeze it so each contraction round doesn't replay the whole
         # MinHash pipeline
     )
@@ -671,7 +672,9 @@ def _connected_components(spark, edges):
     converged = False
     for rounds in range(1, _CC_MAX_ROUNDS + 1):
         before = _persistent_rdd_ids(spark)
-        nxt = _local_checkpoint(_small_star(_large_star(cur)))
+        # eager=False: the count below materializes the checkpoint in
+        # the same job instead of paying a separate result-stage job
+        nxt = _local_checkpoint(_small_star(_large_star(cur)), eager=False)
         created = _persistent_rdd_ids(spark) - before
         nxt_n = nxt.count()
         same = nxt_n == cur_n and nxt.exceptAll(cur).isEmpty()
@@ -1740,7 +1743,7 @@ def _km_train(emb):
     )
     for _ in range(_KM_ROUNDS):
         cents = _km_update(_km_assign(emb, cents, nprobe=1, keep_v=True))
-    return _local_checkpoint(cents)
+    return _local_checkpoint(cents, eager=False)
 
 
 @q(
@@ -1948,7 +1951,7 @@ def _graph_nodes(edges):
     resolves to 1 partition; a billion-node web graph fans the score
     table out instead of funneling every round's checkpoint through a
     single task). One copy so a sizing fix reaches all three loops."""
-    edges = _local_checkpoint(edges)  # tiny; frozen across iterations
+    edges = _local_checkpoint(edges, eager=False)  # tiny; frozen across iterations
     nodes = _persist(
         edges.select(F.col("src").alias("v"))
         .union(edges.select(F.col("dst").alias("v")))
@@ -2048,7 +2051,7 @@ def _pagerank_loop(spark, edges, seeds=None, iters=_PR_ITERS, init=None):
         # loop; the rank table is node-count-sized and resized to
         # rank_parts = f(node count) so the checkpoint is one tiny
         # task here and a proper fan-out on a web graph.
-        r = _local_checkpoint(_resize(r, rank_parts))
+        r = _local_checkpoint(_resize(r, rank_parts), eager=False)
         contrib = (
             edges.join(r.select(F.col("v").alias("src"), "r"), "src")
             .join(deg, "src")
@@ -2969,7 +2972,7 @@ def _pq_codebook(sub):
                 lambda t: t["cx"],
             ).alias("c")
         )
-        .transform(_local_checkpoint)
+        .transform(lambda d: _local_checkpoint(d, eager=False))
     )
 
 
@@ -6290,7 +6293,7 @@ def _bpe_train_docs(spark, docs, merges: int = None):
     realistic merge counts (≥1k) stay O(R·vocab)."""
     n_rounds = _BPE_MERGES if merges is None else merges
     words = _persist(_bpe_words_from(docs))
-    cur = _local_checkpoint(_resize(words, _parts_for(words.count())))
+    cur = _local_checkpoint(_resize(words, _parts_for(words.count())), eager=False)
     merges = []
     for r in range(1, n_rounds + 1):
         syms = F.filter(F.split("seq", _BPE_D), lambda x: x != F.lit(""))
@@ -6322,7 +6325,8 @@ def _bpe_train_docs(spark, docs, merges: int = None):
                     F.lit(pat),
                     F.lit(rep),
                 ),
-            )
+            ),
+            eager=False,
         )
     return merges, cur.select("word", "freq", "seq")
 
@@ -8747,7 +8751,7 @@ def q_hits(spark, sf_dir):
         # single-read broadcast projections over an already-
         # checkpointed parent — materializing them too would write two
         # extra rank-table copies per round for no lineage benefit.
-        ap = _local_checkpoint(_resize(ap, rank_parts))
+        ap = _local_checkpoint(_resize(ap, rank_parts), eager=False)
         asum = ap.agg(F.sum("r").alias("s"))
         a = ap.crossJoin(F.broadcast(asum)).select(
             "v", (F.col("r") / F.col("s")).alias("r")
@@ -8764,7 +8768,7 @@ def q_hits(spark, sf_dir):
             )
             .select("v", F.coalesce("outflow", F.lit(0.0)).alias("r"))
         )
-        hp = _local_checkpoint(_resize(hp, rank_parts))
+        hp = _local_checkpoint(_resize(hp, rank_parts), eager=False)
         hsum = hp.agg(F.sum("r").alias("s"))
         h = hp.crossJoin(F.broadcast(hsum)).select(
             "v", (F.col("r") / F.col("s")).alias("r")
@@ -8977,7 +8981,7 @@ def q_label_prop(spark, sf_dir):
     lp = nodes.select("v", seed_lab.alias("lab"))
     w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
     for _ in range(_LP_ROUNDS):
-        lp = _local_checkpoint(_resize(lp, rank_parts))
+        lp = _local_checkpoint(_resize(lp, rank_parts), eager=False)
         cnt = (
             edges.join(
                 lp.filter(F.col("lab").isNotNull()).select(
@@ -10466,11 +10470,31 @@ def q_crawl_plan(spark, sf_dir):
     row-local CASE, one window over the host table bounded by host
     cardinality (at 10^8 hosts production would range-partition the
     priority sort; the rank is only needed within the due set)."""
-    auth = REGISTRY["q_pagerank_links"].spark(spark, sf_dir)
-    rob = REGISTRY["q_frontier_robots"].spark(spark, sf_dir)
-    rec = REGISTRY["q_recrawl_schedule"].spark(spark, sf_dir).select(
-        F.col("host").alias("hn"), "recrawl_hours"
-    )
+    # the three constituent signals are independent (authority runs an
+    # extraction pass + the PageRank loop eagerly at build); construct
+    # them concurrently so their eager jobs back-fill each other's
+    # stragglers (guide §2.6 — the q_ann_recall pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_auth = pool.submit(
+            inheritable_thread_target(REGISTRY["q_pagerank_links"].spark),
+            spark, sf_dir,
+        )
+        f_rob = pool.submit(
+            inheritable_thread_target(REGISTRY["q_frontier_robots"].spark),
+            spark, sf_dir,
+        )
+        f_rec = pool.submit(
+            inheritable_thread_target(REGISTRY["q_recrawl_schedule"].spark),
+            spark, sf_dir,
+        )
+        auth, rob = f_auth.result(), f_rob.result()
+        rec = f_rec.result().select(
+            F.col("host").alias("hn"), "recrawl_hours"
+        )
     host_str = F.concat(
         F.lit("h"), F.col("node").cast("string"), F.lit(".example.com")
     )
@@ -11148,7 +11172,7 @@ def q_redirect_resolve(spark, sf_dir):
         # without lineage truncation the join tree doubles per round
         # (2^rounds joins at execution — the classic pointer-jumping
         # blowup); with it every round is exactly ONE keyed equi-join
-        r = _local_checkpoint(r)
+        r = _local_checkpoint(r, eager=False)
         b = r.select(
             F.col("src").alias("b_src"),
             F.col("dst").alias("b_dst"),
@@ -11472,7 +11496,7 @@ def q_graph_triangles(spark, sf_dir):
     und = e.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
     ).distinct()
-    und = _local_checkpoint(und)  # consumed three times below
+    und = _local_checkpoint(und, eager=False)  # consumed three times below
     nd = (
         und.select(F.col("u").alias("x"))
         .unionByName(und.select(F.col("v").alias("x")))
@@ -12866,65 +12890,68 @@ def q_cdc_chunks(spark, sf_dir):
         .otherwise(F.col("htext"))
         .alias("text"),
     )
-    arr = F.split("text", " ")
-    items = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr)),
-                lambda p: F.struct(
-                    p.cast("long").alias("pos"),
-                    F.element_at(arr, p).alias("w"),
-                    F.when(
-                        (p >= 4)
-                        & (p < F.size(arr))
-                        & (
-                            F.substring(
-                                F.md5(
-                                    F.concat_ws(
-                                        " ", F.slice(arr, p - 3, 4)
-                                    ).cast("binary")
-                                ),
-                                1,
-                                1,
-                            )
-                            == "0"
-                        ),
-                        1,
+    # r9: chunking stays entirely in array land. A boundary at position
+    # q (the oracle's b=1) starts a new chunk at q+1, so the chunk
+    # start list is [1] ++ [q+1 for boundary q]; each chunk's digest is
+    # md5 over the words between consecutive starts. This replaces the
+    # per-token explode (corpus-token rows), the per-doc lagged-cumsum
+    # window (an exchange + sort) and the (doc, chunk) collect_list
+    # re-aggregate (another exchange) with row-local array transforms +
+    # ONE explode of chunk rows — byte-identical digests, 3 fewer
+    # corpus-sized exchanges.
+    arr0 = F.split("text", " ")
+    narr = F.size("arr")
+    is_boundary = lambda p: (  # noqa: E731 — the oracle's b=1 rule
+        (p >= 4)
+        & (p < narr)
+        & (
+            F.substring(
+                F.md5(
+                    F.concat_ws(" ", F.slice("arr", p - 3, 4)).cast(
+                        "binary"
                     )
-                    .otherwise(0)
-                    .alias("b"),
                 ),
+                1,
+                1,
             )
-        ).alias("t"),
-    ).select("doc_id", "t.pos", "t.w", "t.b")
-    wcum = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+            == "0"
+        )
     )
-    assigned = items.select(
-        "doc_id",
-        "pos",
-        "w",
-        F.coalesce(F.sum("b").over(wcum), F.lit(0))
-        .cast("long")
-        .alias("chunk_id"),
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), narr), lambda p: is_boundary(p)
+            ),
+            lambda q: q + 1,
+        ),
     )
-    chunks = assigned.groupBy("doc_id", "chunk_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "w"))
+    base2 = base.select("doc_id", arr0.alias("arr")).select(
+        "doc_id", "arr", starts.alias("st")
+    )
+    # chunk i spans [st[i], nxt-1] where nxt = st[i+1] (or n+1 at the
+    # tail); F.get is 0-based and null-safe past the end (ANSI-safe)
+    chunk_structs = F.transform(
+        F.col("st"),
+        lambda s, i: F.struct(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "arr",
+                        s,
+                        F.coalesce(F.get("st", i + 1), narr + 1) - s,
                     ),
-                    lambda x: x.getField("w"),
-                ),
-                " ",
-            ).cast("binary")
-        ).alias("chunk_digest"),
-        F.count("*").cast("long").alias("n_words"),
+                ).cast("binary")
+            ).alias("chunk_digest"),
+            (F.coalesce(F.get("st", i + 1), narr + 1) - s)
+            .cast("long")
+            .alias("n_words"),
+        ),
     )
+    chunks = base2.select(
+        "doc_id", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", "c.chunk_digest", "c.n_words")
     per_digest = chunks.groupBy("chunk_digest").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_occ"),
@@ -13690,7 +13717,7 @@ def q_link_depth(spark, sf_dir):
         (F.expr("h DIV 10") % 2 == 0) & (r == 0)
     ).select("h", F.lit(0).cast("long").alias("depth"))
     for _ in range(4):  # eccentricity bound of the planted graph
-        dist = _local_checkpoint(dist)
+        dist = _local_checkpoint(dist, eager=False)
         nxt = dist.join(edges, dist.h == edges.src).select(
             F.col("dst").alias("h"),
             (F.col("depth") + 1).cast("long").alias("depth"),
