@@ -429,18 +429,42 @@ def _pair_intersections_from(shingles):
     filter), so the two dup detectors provably walk the SAME candidate
     universe and a cap/banding change reaches both."""
     cand = _minhash_pairs_from(shingles)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = shingles.select(F.col("doc_id").alias("a"), "sh")
-    sb = shingles.select(F.col("doc_id").alias("b"), "sh")
-    inter = (
-        cand.join(sa, "a")
-        .join(sb, ["b", "sh"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("i"))
+    # r9: fold each doc's (distinct) shingles into ONE array row, then
+    # compute every candidate pair's intersection ROW-LOCALLY with
+    # array_intersect. The old shape shuffled the shingle table twice
+    # more (postings by doc_id for side a, by (doc_id, sh) for side b)
+    # and re-aggregated |pairs|x|shingles/doc| rows by (a, b); this one
+    # pays a single doc-keyed fold (which also carries the size, so the
+    # separate sizes rollup and its two joins disappear) and two
+    # pair-keyed joins of bounded per-doc arrays. Intersection counts
+    # are identical because per-doc shingles are distinct; pairs with
+    # an empty intersection now carry i=0 instead of being absent,
+    # which every consumer already handles (COALESCE / >= filters).
+    docsh = shingles.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"),
+        F.count("*").alias("sz"),
     )
-    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
-    return inter.join(za, "a").join(zb, "b")
+    da = docsh.select(
+        F.col("doc_id").alias("a"),
+        F.col("shs").alias("sha"),
+        F.col("sz").alias("sza"),
+    )
+    db = docsh.select(
+        F.col("doc_id").alias("b"),
+        F.col("shs").alias("shb"),
+        F.col("sz").alias("szb"),
+    )
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias("i"),
+            "sza",
+            "szb",
+        )
+    )
 
 
 def _verified_pairs_from(shingles):
@@ -531,8 +555,11 @@ def q_dedup_recall(spark, sf_dir):
         F.col("doc_id").alias("a"), "sh"
     )
     st = shingles.select(F.col("doc_id").alias("b"), "sh")
+    # the probe side is BOUNDED by construction (≤ CAP docs × shingles
+    # per doc), so broadcast it — the corpus-sized posting table then
+    # never shuffles by shingle; only the matched pair rows move (r9)
     pint = (
-        sp.join(st, "sh")
+        st.join(F.broadcast(sp), "sh")
         .filter((F.col("b") >= p) | (F.col("b") > F.col("a")))
         .groupBy("a", "b")
         .agg(F.count("*").alias("i"))
@@ -6738,11 +6765,16 @@ def _lrn_train(spark, sf_dir):
     feats0 = _persist(feats)
     parts = _parts_for(feats0.count())
     feats = _persist(feats0.repartition(parts, "doc_id"))
-    w_rows = [
+    w_rows = sorted(
         (r["b"], 0) for r in feats.select("b").distinct().collect()
-    ]
+    )
     feats0.unpersist()
     n_lit = F.lit(float(n_docs))
+    # NOTE (r9): chaining all rounds into one lazy plan was tried and
+    # reverted — w feeds two subtrees per round, so the un-collected
+    # plan doubles per round (2^R subtree copies; the pagerank
+    # dangling-mass lesson). The bounded ≤258-row collect per round is
+    # the lineage cut.
     for _ in range(_LRN_ROUNDS):
         w = spark.createDataFrame(w_rows, "b string, w long")
         dots = (
@@ -9260,22 +9292,26 @@ def q_minhash_calibration(spark, sf_dir):
     comp = (
         cand.join(ma, "a").join(mb, "b").select("a", "b", est.alias("est_m"))
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = shingles.select(F.col("doc_id").alias("a"), "sh")
-    sb = shingles.select(F.col("doc_id").alias("b"), "sh")
-    inter = (
-        cand.join(sa, "a")
-        .join(sb, ["b", "sh"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("i"))
+    # row-local array intersections (the _pair_intersections_from r9
+    # shape): one doc-keyed fold carrying shingle array + size, two
+    # pair-keyed joins, no (doc_id, sh) shuffle and no (a, b)
+    # re-aggregate; absent-intersection pairs become i=0 rows — the
+    # same value the old COALESCE produced.
+    docsh = shingles.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("sz")
     )
-    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
-    i0 = F.coalesce("i", F.lit(0))
+    da = docsh.select(
+        F.col("doc_id").alias("a"), F.col("shs").alias("sha"),
+        F.col("sz").alias("sza"),
+    )
+    db = docsh.select(
+        F.col("doc_id").alias("b"), F.col("shs").alias("shb"),
+        F.col("sz").alias("szb"),
+    )
+    i0 = F.size(F.array_intersect("sha", "shb"))
     pj = (
-        comp.join(inter, ["a", "b"], "left")
-        .join(za, "a")
-        .join(zb, "b")
+        comp.join(da, "a")
+        .join(db, "b")
         .select(
             "est_m",
             F.round(
