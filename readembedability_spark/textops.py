@@ -428,28 +428,68 @@ def _pair_intersections_from(shingles):
     (Jaccard ≥ 0.2 filter) and q_dedup_containment (containment
     filter), so the two dup detectors provably walk the SAME candidate
     universe and a cap/banding change reaches both."""
-    cand = _minhash_pairs_from(shingles)
-    # r9: fold each doc's (distinct) shingles into ONE array row, then
-    # compute every candidate pair's intersection ROW-LOCALLY with
-    # array_intersect. The old shape shuffled the shingle table twice
-    # more (postings by doc_id for side a, by (doc_id, sh) for side b)
-    # and re-aggregated |pairs|x|shingles/doc| rows by (a, b); this one
-    # pays a single doc-keyed fold (which also carries the size, so the
-    # separate sizes rollup and its two joins disappear) and two
-    # pair-keyed joins of bounded per-doc arrays. Intersection counts
-    # are identical because per-doc shingles are distinct; pairs with
-    # an empty intersection now carry i=0 instead of being absent,
-    # which every consumer already handles (COALESCE / >= filters).
-    docsh = shingles.groupBy("doc_id").agg(
-        F.collect_list("sh").alias("shs"),
-        F.count("*").alias("sz"),
+    # r9: ONE doc-keyed fold over the shingle table produces a per-doc
+    # profile carrying the shingle array, its size AND the 8
+    # long-decoded MinHash component minima. The banding/candidate
+    # path re-hexes the minima (byte-identical band signatures — hex
+    # is order/value-isomorphic to the decoded longs), so the separate
+    # signature aggregate pass over the corpus disappears; every
+    # candidate pair's intersection is then computed ROW-LOCALLY with
+    # array_intersect. vs the pre-r9 shape this removes the second
+    # signature rollup, the postings shuffles by doc_id and
+    # (doc_id, sh), the |pairs|x|shingles/doc| (a, b) re-aggregate and
+    # the separate sizes rollup + two joins. Intersection counts are
+    # identical because per-doc shingles are distinct; pairs with an
+    # empty intersection now carry i=0 instead of being absent, which
+    # every consumer already handles (COALESCE / >= filters).
+    rows_per_band = _N_MINHASH // _N_BANDS
+    hashed = shingles.select(
+        "doc_id", "sh", F.md5(F.encode("sh", "UTF-8")).alias("h")
     )
-    da = docsh.select(
+    prof = _persist(
+        hashed.groupBy("doc_id").agg(
+            F.collect_list("sh").alias("shs"),
+            F.count("*").alias("sz"),
+            *[
+                F.min(
+                    F.conv(F.substring("h", i * 4 + 1, 4), 16, 10).cast(
+                        "long"
+                    )
+                ).alias(f"m{i}")
+                for i in range(_N_MINHASH)
+            ],
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.format_string(
+                            "%04x", F.col(f"m{b * rows_per_band + j}")
+                        )
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = prof.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_sig")
+    buckets = bands.groupBy("band", "band_sig").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    cand = _capped_bucket_pairs(buckets)
+    da = prof.select(
         F.col("doc_id").alias("a"),
         F.col("shs").alias("sha"),
         F.col("sz").alias("sza"),
     )
-    db = docsh.select(
+    db = prof.select(
         F.col("doc_id").alias("b"),
         F.col("shs").alias("shb"),
         F.col("sz").alias("szb"),
@@ -3445,7 +3485,9 @@ def q_ann_recall(spark, sf_dir):
 
     from pyspark import inheritable_thread_target
 
-    with ThreadPoolExecutor(max_workers=len(_ANN_RECALL_FLOORS)) as pool:
+    with ThreadPoolExecutor(
+        max_workers=len(_ANN_RECALL_FLOORS) + 1
+    ) as pool:
         futs = {
             method: pool.submit(
                 inheritable_thread_target(REGISTRY[f"q_{method}"].spark),
@@ -3454,7 +3496,13 @@ def q_ann_recall(spark, sf_dir):
             )
             for method in _ANN_RECALL_FLOORS
         }
+        # warm the persisted ground-truth table concurrently with the
+        # method training so the final union job starts from cache
+        gt_warm = pool.submit(
+            inheritable_thread_target(lambda: gt.count())
+        )
         approxes = {m: f.result() for m, f in futs.items()}
+        gt_warm.result()
     out = None
     for method, (k, thr) in _ANN_RECALL_FLOORS.items():
         approx = approxes[method]
@@ -9276,44 +9324,47 @@ def q_minhash_calibration(spark, sf_dir):
     corpus-sized exchange beyond the verify pass it audits."""
     shingles = _persist(_shingles_df(spark, sf_dir))
     cand = _minhash_pairs_from(shingles)
-    mh = _minhash_sigs_from(shingles)
-    ma = mh.select(
-        F.col("doc_id").alias("a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_N_MINHASH)],
+    # ONE per-doc profile row carries the shingle array, its size AND
+    # the 8 long-decoded MinHash component minima (r9): the estimator
+    # only compares components for equality, so the longs never need
+    # re-hexing, and the candidate set is joined twice total (once per
+    # side) instead of four times (sigs x2 + arrays x2); the separate
+    # signature aggregate pass disappears. Intersections are row-local
+    # array_intersect (the _pair_intersections_from shape); absent
+    # intersections surface as i=0 — the value the old COALESCE gave.
+    hashed = shingles.select(
+        "doc_id", "sh", F.md5(F.encode("sh", "UTF-8")).alias("h")
     )
-    mb = mh.select(
-        F.col("doc_id").alias("b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_N_MINHASH)],
+    prof = hashed.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"),
+        F.count("*").alias("sz"),
+        *[
+            F.min(
+                F.conv(F.substring("h", i * 4 + 1, 4), 16, 10).cast("long")
+            ).alias(f"m{i}")
+            for i in range(_N_MINHASH)
+        ],
+    )
+    pa = prof.select(
+        F.col("doc_id").alias("a"), F.col("shs").alias("sha"),
+        F.col("sz").alias("sza"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_N_MINHASH)],
+    )
+    pb = prof.select(
+        F.col("doc_id").alias("b"), F.col("shs").alias("shb"),
+        F.col("sz").alias("szb"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_N_MINHASH)],
     )
     est = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
         for i in range(_N_MINHASH)
     ).cast("long")
-    comp = (
-        cand.join(ma, "a").join(mb, "b").select("a", "b", est.alias("est_m"))
-    )
-    # row-local array intersections (the _pair_intersections_from r9
-    # shape): one doc-keyed fold carrying shingle array + size, two
-    # pair-keyed joins, no (doc_id, sh) shuffle and no (a, b)
-    # re-aggregate; absent-intersection pairs become i=0 rows — the
-    # same value the old COALESCE produced.
-    docsh = shingles.groupBy("doc_id").agg(
-        F.collect_list("sh").alias("shs"), F.count("*").alias("sz")
-    )
-    da = docsh.select(
-        F.col("doc_id").alias("a"), F.col("shs").alias("sha"),
-        F.col("sz").alias("sza"),
-    )
-    db = docsh.select(
-        F.col("doc_id").alias("b"), F.col("shs").alias("shb"),
-        F.col("sz").alias("szb"),
-    )
     i0 = F.size(F.array_intersect("sha", "shb"))
     pj = (
-        comp.join(da, "a")
-        .join(db, "b")
+        cand.join(pa, "a")
+        .join(pb, "b")
         .select(
-            "est_m",
+            est.alias("est_m"),
             F.round(
                 i0 * F.lit(1000000.0)
                 / (F.col("sza") + F.col("szb") - i0)
