@@ -743,10 +743,20 @@ def _connected_components(spark, edges):
         # the same job instead of paying a separate result-stage job
         nxt = _local_checkpoint(_small_star(_large_star(cur)), eager=False)
         created = _persistent_rdd_ids(spark) - before
-        nxt_n = nxt.count()
-        same = nxt_n == cur_n and nxt.exceptAll(cur).isEmpty()
+        # convergence = nxt IS a star forest (no node is both a child
+        # and a parent) — the exact fixpoint of the alternating
+        # contraction (a star forest is invariant under both star
+        # operations, and any deeper tree is rewritten). Checking the
+        # 2-level property on nxt directly detects convergence one
+        # round EARLIER than the old edge-set-equality probe (which
+        # could only see that the previous round had already
+        # converged), and costs one semi-join probe instead of a
+        # count + exceptAll pair. Still exact — no checksums.
+        same = nxt.join(
+            nxt.select(F.col("b").alias("a")).distinct(), "a", "left_semi"
+        ).isEmpty()
         _unpersist_rdd_ids(spark, cur_ids)
-        cur, cur_ids, cur_n = nxt, created, nxt_n
+        cur, cur_ids = nxt, created
         if same:
             _CC_LAST_ROUNDS = rounds
             converged = True
