@@ -4287,17 +4287,23 @@ def q_bigram_lm_bits(spark, sf_dir):
     word-salad scores fluent under a unigram LM but falls apart under
     the bigram LM."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " "))
-    ).withColumnsRenamed({"pos": "i", "col": "w"})
-    w_lag = Window.partitionBy("doc_id").orderBy("i")
+    # adjacent bigrams straight from the token array (r9 — the fused
+    # q_bigram_pmi shape): the lag window's corpus-token exchange +
+    # sort disappear; pairs are identical (lag over array positions ==
+    # adjacency in the array, and the lag-NULL first token simply has
+    # no pair)
     bg = (
-        toks.select(
+        docs.select("doc_id", F.split("text", " ").alias("arr"))
+        .select(
             "doc_id",
-            F.lag("w").over(w_lag).alias("w1"),
-            F.col("w").alias("w2"),
+            F.explode(
+                F.expr(
+                    "transform(slice(arr, 1, size(arr) - 1),"
+                    " (x, i) -> struct(x AS w1, arr[i + 1] AS w2))"
+                )
+            ).alias("p"),
         )
-        .filter(F.col("w1").isNotNull())
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     # bg feeds the count tables AND the scoring join
     bg = _persist(bg)
@@ -10458,32 +10464,19 @@ def q_minhash_band_tuning(spark, sf_dir):
     table computing all four configs' micro sums in parallel
     aggregates — no per-config rescan, no new corpus-sized shuffle."""
     shingles = _persist(_shingles_df(spark, sf_dir))
-    cand = _minhash_pairs_from(shingles)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = shingles.select(F.col("doc_id").alias("a"), "sh")
-    sb = shingles.select(F.col("doc_id").alias("b"), "sh")
-    inter = (
-        cand.join(sa, "a")
-        .join(sb, ["b", "sh"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("i"))
-    )
-    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
-    i0 = F.coalesce("i", F.lit(0))
-    ps = (
-        cand.join(inter, ["a", "b"], "left")
-        .join(za, "a")
-        .join(zb, "b")
-        .select(
-            (
-                F.round(
-                    i0 * F.lit(1000000.0)
-                    / (F.col("sza") + F.col("szb") - i0)
-                ).cast("long")
-                / F.lit(1000000.0)
-            ).alias("s")
-        )
+    # the fused verify core (r9) already yields every capped candidate
+    # pair with its exact intersection (i=0 for empty — the value the
+    # old LEFT JOIN + COALESCE produced) and both sizes in one pass
+    inter = _pair_intersections_from(shingles)
+    i0 = F.col("i")
+    ps = inter.select(
+        (
+            F.round(
+                i0 * F.lit(1000000.0)
+                / (F.col("sza") + F.col("szb") - i0)
+            ).cast("long")
+            / F.lit(1000000.0)
+        ).alias("s")
     )
     sums = [F.count("*").cast("long").alias("n_pairs")]
     for b, r, _ in _BAND_CONFIGS:
