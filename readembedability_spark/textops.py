@@ -4789,15 +4789,20 @@ def q_doc_repetition(spark, sf_dir):
     token positions (no self-join); two aggregations, both keyed by
     doc_id so the shuffle is one exchange reused."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " "))
-    ).withColumnsRenamed({"pos": "i", "col": "w"})
-    w_lag = Window.partitionBy("doc_id").orderBy("i")
-    big = toks.select(
-        "doc_id",
-        F.concat_ws(" ", F.lag("w").over(w_lag), F.col("w")).alias("bg"),
-        F.lag("w").over(w_lag).alias("prev"),
-    ).filter(F.col("prev").isNotNull())
+    # adjacent bigrams straight from the token array (r9): no lag
+    # window, no corpus-token exchange + sort; identical pairs
+    big = (
+        docs.select("doc_id", F.split("text", " ").alias("arr"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(arr, 1, size(arr) - 1),"
+                    " (x, i) -> concat_ws(' ', x, arr[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+    )
     cnt = big.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
     tot = cnt.groupBy("doc_id").agg(
         F.max("c").alias("m"), F.sum("c").alias("t")
