@@ -61,7 +61,8 @@ def synth_frontier(spark, n):
     """A hygiene-bearing candidate frontier: ten registrables — one
     typosquat label ('paypa1'), one exact-brand label ('github'),
     eight neutral — with a 4-subdomain spread on one registrable and
-    a 64-subdomain wildcard farm on another, over the shared robots
+    a wildcard farm of up to 64 subdomains (min(ceil(n/10), 64); 60
+    at the default --urls 600) on another, over the shared robots
     snapshot's six path shapes and three ruleset groups (path and
     group keys coprime with the registrable key)."""
     ids = spark.range(0, n)

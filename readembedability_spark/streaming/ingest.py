@@ -879,8 +879,11 @@ def streaming_retry_after(fetches_stream: DataFrame) -> DataFrame:
     concatenated and sorted once by (ts_us, url), so multi-chunk
     delivery replays identically. LATE DATA: a fetch behind the fold
     head cannot be judged against the window that was active at its
-    true position, so it counts in n_late and is otherwise ignored —
-    offline reconciliation is the batch op's job."""
+    true position, so it counts in n_late and is never judged —
+    offline reconciliation is the batch op's job. NOTE (ADVICE r08):
+    n_fetches counts every ARRIVAL, including those late unjudged
+    rows — a consumer computing a violation RATE over judged fetches
+    must use (n_fetches - n_late) as the denominator."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

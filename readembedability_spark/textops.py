@@ -22,6 +22,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import re as _re
+
 import pandas as pd
 
 from pyspark.sql import Window
@@ -420,33 +422,18 @@ def _verified_pairs_df(spark, sf_dir):
     return _verified_pairs_from(shingles)
 
 
-def _pair_intersections_from(shingles):
-    """inter(a, b, i, sza, szb) — exact shingle-intersection counts
-    for the capped MinHash-LSH candidate pairs, with both side sizes
-    attached. The shared verify core: candidate-keyed equi-joins only,
-    never a shingle×shingle self-join. Consumed by _verified_pairs_from
-    (Jaccard ≥ 0.2 filter) and q_dedup_containment (containment
-    filter), so the two dup detectors provably walk the SAME candidate
-    universe and a cap/banding change reaches both."""
-    # r9: ONE doc-keyed fold over the shingle table produces a per-doc
-    # profile carrying the shingle array, its size AND the 8
-    # long-decoded MinHash component minima. The banding/candidate
-    # path re-hexes the minima (byte-identical band signatures — hex
-    # is order/value-isomorphic to the decoded longs), so the separate
-    # signature aggregate pass over the corpus disappears; every
-    # candidate pair's intersection is then computed ROW-LOCALLY with
-    # array_intersect. vs the pre-r9 shape this removes the second
-    # signature rollup, the postings shuffles by doc_id and
-    # (doc_id, sh), the |pairs|x|shingles/doc| (a, b) re-aggregate and
-    # the separate sizes rollup + two joins. Intersection counts are
-    # identical because per-doc shingles are distinct; pairs with an
-    # empty intersection now carry i=0 instead of being absent, which
-    # every consumer already handles (COALESCE / >= filters).
-    rows_per_band = _N_MINHASH // _N_BANDS
+def _doc_profiles_from(shingles):
+    """Persisted per-doc dedup profile (doc_id, shs, sz, m0..m{N-1}):
+    the doc's distinct-shingle array, its size, and the _N_MINHASH
+    long-decoded MinHash component minima — ONE doc-keyed fold over
+    the shingle table, shared by the verify core
+    (_pair_intersections_from) and q_minhash_calibration so the
+    corpus-sized signature aggregate runs exactly once per query.
+    Tracked for release_caches (caller frees after materializing)."""
     hashed = shingles.select(
         "doc_id", "sh", F.md5(F.encode("sh", "UTF-8")).alias("h")
     )
-    prof = _persist(
+    return _persist(
         hashed.groupBy("doc_id").agg(
             F.collect_list("sh").alias("shs"),
             F.count("*").alias("sz"),
@@ -460,6 +447,15 @@ def _pair_intersections_from(shingles):
             ],
         )
     )
+
+
+def _profile_cand_from(prof):
+    """Capped LSH candidate pairs (a, b) from a per-doc profile's
+    component minima. Re-hexing the long minima with %04x restores
+    byte-identical band signatures (hex is order/value-isomorphic to
+    the decoded longs), so the candidate set equals
+    _minhash_pairs_from's exactly."""
+    rows_per_band = _N_MINHASH // _N_BANDS
     band_structs = F.array(
         *[
             F.struct(
@@ -483,7 +479,40 @@ def _pair_intersections_from(shingles):
     buckets = bands.groupBy("band", "band_sig").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    cand = _capped_bucket_pairs(buckets)
+    return _capped_bucket_pairs(buckets)
+
+
+def _pair_intersections_from(shingles):
+    """inter(a, b, i, sza, szb) — exact shingle-intersection counts
+    for the capped MinHash-LSH candidate pairs, with both side sizes
+    attached. The shared verify core: candidate-keyed equi-joins only,
+    never a shingle×shingle self-join. Consumed by _verified_pairs_from
+    (Jaccard ≥ 0.2 filter) and q_dedup_containment (containment
+    filter), so the two dup detectors provably walk the SAME candidate
+    universe and a cap/banding change reaches both."""
+    # r9: ONE doc-keyed fold over the shingle table produces a per-doc
+    # profile carrying the shingle array, its size AND the 8
+    # long-decoded MinHash component minima. The banding/candidate
+    # path re-hexes the minima (byte-identical band signatures — hex
+    # is order/value-isomorphic to the decoded longs), so the separate
+    # signature aggregate pass over the corpus disappears; every
+    # candidate pair's intersection is then computed ROW-LOCALLY with
+    # array_intersect. vs the pre-r9 shape this removes the second
+    # signature rollup, the postings shuffles by doc_id and
+    # (doc_id, sh), the |pairs|x|shingles/doc| (a, b) re-aggregate and
+    # the separate sizes rollup + two joins. Intersection counts are
+    # identical because per-doc shingles are distinct; pairs with an
+    # empty intersection now carry i=0 instead of being absent, which
+    # every consumer already handles (COALESCE / >= filters).
+    return _pair_intersections_with_profiles(_doc_profiles_from(shingles))
+
+
+def _pair_intersections_with_profiles(prof):
+    """The verify core over an ALREADY-persisted per-doc profile —
+    callers that need the profile for other subtrees too (sizes,
+    component minima) build it once with _doc_profiles_from and share
+    it here, so the corpus-sized fold never runs twice."""
+    cand = _profile_cand_from(prof)
     da = prof.select(
         F.col("doc_id").alias("a"),
         F.col("shs").alias("sha"),
@@ -589,7 +618,6 @@ def q_dedup_recall(spark, sf_dir):
     count), mirrored by the oracle's pv CTE."""
     docs_n = _t(spark, sf_dir, "documents").count()
     shingles = _persist(_shingles_df(spark, sf_dir))
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     p = _dedup_recall_probe(docs_n)
     sp = shingles.filter(F.col("doc_id") < p).select(
         F.col("doc_id").alias("a"), "sh"
@@ -604,14 +632,20 @@ def q_dedup_recall(spark, sf_dir):
         .groupBy("a", "b")
         .agg(F.count("*").alias("i"))
     )
+    # doc sizes ride on the persisted verify-core profile — no second
+    # corpus-sized sizes rollup (r9)
+    prof = _doc_profiles_from(shingles)
+    sizes = prof.select("doc_id", "sz")
     za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
     zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
     jac = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
     exact = (
         pint.join(za, "a").join(zb, "b").filter(jac >= 0.2).select("a", "b")
     )
+    inter = _pair_intersections_with_profiles(prof)
+    vjac = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
     lsh = (
-        _verified_pairs_from(shingles)
+        inter.filter(vjac >= 0.2)
         .filter((F.col("a") < p) | (F.col("b") < p))
         .select("a", "b")
     )
@@ -9344,7 +9378,6 @@ def q_minhash_calibration(spark, sf_dir):
     rollup, then ONE ≤{_N_MINHASH}+1-key combining rollup. No new
     corpus-sized exchange beyond the verify pass it audits."""
     shingles = _persist(_shingles_df(spark, sf_dir))
-    cand = _minhash_pairs_from(shingles)
     # ONE per-doc profile row carries the shingle array, its size AND
     # the 8 long-decoded MinHash component minima (r9): the estimator
     # only compares components for equality, so the longs never need
@@ -9353,19 +9386,12 @@ def q_minhash_calibration(spark, sf_dir):
     # signature aggregate pass disappears. Intersections are row-local
     # array_intersect (the _pair_intersections_from shape); absent
     # intersections surface as i=0 — the value the old COALESCE gave.
-    hashed = shingles.select(
-        "doc_id", "sh", F.md5(F.encode("sh", "UTF-8")).alias("h")
-    )
-    prof = hashed.groupBy("doc_id").agg(
-        F.collect_list("sh").alias("shs"),
-        F.count("*").alias("sz"),
-        *[
-            F.min(
-                F.conv(F.substring("h", i * 4 + 1, 4), 16, 10).cast("long")
-            ).alias(f"m{i}")
-            for i in range(_N_MINHASH)
-        ],
-    )
+    # The profile is PERSISTED and the candidate pairs derive from its
+    # minima (_profile_cand_from), so the corpus-sized signature fold
+    # runs once — the pre-fix plan re-aggregated it three times (the
+    # separate _minhash_pairs_from path + each unpersisted join side).
+    prof = _doc_profiles_from(shingles)
+    cand = _profile_cand_from(prof)
     pa = prof.select(
         F.col("doc_id").alias("a"), F.col("shs").alias("sha"),
         F.col("sz").alias("sza"),
@@ -21337,7 +21363,13 @@ def robots_pattern_to_regex(pattern):
     (unanchored tail)."""
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern
-    esc = body.replace(".", r"\.").replace("*", ".*")
+    # re.escape EACH literal segment (ADVICE r08): regex
+    # metacharacters legal in robots.txt patterns ('?', '+', '(',
+    # '[', '{', '|') must stay literal octets, and a non-trailing '$'
+    # is a literal per RFC 9309, not an anchor. For the curated
+    # ROBOTS_WILDCARD_RULES the output is byte-identical to the old
+    # dot-only escape (pinned by the oracle's embedded strings).
+    esc = ".*".join(_re.escape(seg) for seg in body.split("*"))
     return "^" + esc + ("$" if anchored else "")
 
 

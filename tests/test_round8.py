@@ -3127,6 +3127,22 @@ def test_robots_pattern_to_regex():
         r"^/downloads/.*\.html$"
     assert robots_pattern_to_regex("/downloads/*") == \
         r"^/downloads/.*"
+    # regex metacharacters legal in robots.txt patterns stay literal
+    # octets (ADVICE r08): '?', '+', parens/brackets, and a
+    # NON-trailing '$' (only a trailing '$' anchors per RFC 9309)
+    import re
+
+    r = robots_pattern_to_regex("/*?")
+    assert r == r"^/.*\?"
+    assert re.search(r, "/index.php?sess=1")
+    assert not re.search(r, "/index.php")
+    r = robots_pattern_to_regex("/a$b/*.php")
+    assert r == r"^/a\$b/.*\.php"
+    assert re.search(r, "/a$b/x.php")
+    r = robots_pattern_to_regex("/x+(y)")
+    assert r == r"^/x\+\(y\)"
+    assert re.search(r, "/x+(y)")
+    assert not re.search(r, "/xxy")
 
 
 def test_robots_wildcard_verdicts(spark, tmp_path):

@@ -46,15 +46,23 @@ def test_dedup_embedding_bucketed_no_full_cross_join(spark):
     _no_cross_join(_plan(df))
 
 
-def test_lsh_verified_shingle_join_keyed_by_pair(spark):
-    """The verify-stage shingle join must be keyed by (doc_id, shingle)
-    — i.e. restricted to LSH candidates — not the full-corpus
-    shingle-only self-join of q_dedup_ngram_jaccard."""
+def test_lsh_verified_candidate_keyed_rowlocal_verify(spark):
+    """The verify stage must be keyed by the candidate pair's doc ids
+    against the fused per-doc profile, with the exact intersection
+    computed ROW-LOCALLY (array_intersect) — never the full-corpus
+    shingle self-join of q_dedup_ngram_jaccard, and never a
+    |pairs|×|shingles/doc| (a, b) re-aggregate (the pre-r9 shape whose
+    (b, sh)-keyed join this test used to pin)."""
     df = REGISTRY["q_dedup_lsh_verified"].spark(spark, SF_DIR)
     plan = _plan(df)
     _no_cross_join(plan)
-    # a 2-key equi-join with both the pair's doc id (b) and the shingle
-    assert re.search(r"keys \[2\]: \[b#\d+L?, sh#\d+\]", plan), plan
+    # single-key equi-joins on each side of the candidate pair …
+    assert re.search(r"keys \[1\]: \[a#\d+L?\]", plan), plan
+    assert re.search(r"keys \[1\]: \[b#\d+L?\]", plan), plan
+    # … and the intersection evaluated inside the joined row
+    assert "array_intersect" in plan, plan
+    # the quadratic shape would join on the shingle alone
+    assert not re.search(r"keys \[1\]: \[sh#\d+\]", plan), plan
 
 
 @pytest.fixture(scope="module")
